@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a write-free collect of
+a bounded head) so the timing covers the full plan, not just
+planning. Run with `python bench.py`; select a subset with
+`python bench.py q1 q2`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as e
+    from demo_flink_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    only = set(sys.argv[1:])
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            # Force full execution without driver-side materialization
+            # of large results: count() runs the whole plan.
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# {name} failed: {exc}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(sum(t for t in timings.values() if t >= 0), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Text analysis for training-data pipelines, over `documents`.
+
+Extensions mandated by the north star (BASELINE.json): token counting,
+quality scoring, language ID, document fingerprinting, TF-IDF — the
+WordCount lineage (`AdvancedWordCount.java:30-42`) generalized into the
+operators a 100 TB text-corpus pipeline actually runs.
+
+Everything except language-ID scoring is built-in column expressions
+(codegen'd, shuffle-free per-document narrow maps); the only shuffles
+are the TF-IDF document-frequency aggregation and its top-k window.
+Language ID uses a single vectorized pandas UDF (Arrow-batched) because
+the profile-scoring loop isn't expressible as a column expression.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+from demo_flink_spark.operators.wordcount import STOPWORDS, normalize_text
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(col):
+    """Non-empty whitespace tokens as an array column."""
+    return F.filter(F.split(col, _TOKEN_SPLIT), lambda w: F.length(w) > 0)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token and char counts (whitespace tokenizer)."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: stopword / punctuation / distinct ratios.
+
+    All ratios are plain column arithmetic over the token array — one
+    narrow pass, no shuffle, rounded to 6dp for oracle stability.
+    """
+    toks = _tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(n_stop / n.cast("double")), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            punct / F.greatest(F.length("text"), F.lit(1)).cast("double"), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_distinct(toks)) / n.cast("double")
+            ),
+            6,
+        ).alias("distinct_ratio"),
+    )
+
+
+# Tiny built-in character-bigram profiles for the heuristic language ID.
+# Deterministic and self-contained (no model files); at scale this is a
+# broadcast-size lookup evaluated in one Arrow-batched pandas UDF.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de": ("en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"),
+    "es": ("de", "en", "os", "es", "la", "ar", "el", "ra", "as", "er"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "ai"),
+    "zh": ("de", "sh", "zh", "ng", "ia", "an", "ji", "xi", "wa", "ua"),
+}
+
+
+@F.pandas_udf(StringType())
+def _predict_lang(texts: pd.Series) -> pd.Series:
+    def predict(t: str) -> str:
+        if not t:
+            return "und"
+        t = t.lower()
+        bigrams: dict[str, int] = {}
+        for i in range(len(t) - 1):
+            bg = t[i : i + 2]
+            if bg.strip() == bg and len(bg) == 2:
+                bigrams[bg] = bigrams.get(bg, 0) + 1
+        best_lang, best_score = "und", -1.0
+        for lang in sorted(_LANG_PROFILES):
+            prof = _LANG_PROFILES[lang]
+            score = sum(bigrams.get(bg, 0) * (len(prof) - rank) for rank, bg in enumerate(prof))
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    return texts.map(predict)
+
+
+def lang_id_ngram(docs: DataFrame) -> DataFrame:
+    """Character-bigram heuristic language ID (vectorized pandas UDF)."""
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("claimed_lang"),
+        _predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """64-bit content fingerprint over normalized text.
+
+    xxhash64 of the normalized, whitespace-collapsed text — the exact-
+    dedup key at scale (hash first, compare rarely). JVM-side, no UDF.
+    """
+    canonical = F.trim(
+        F.regexp_replace(normalize_text(F.col("text")), _TOKEN_SPLIT, " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.xxhash64(canonical).alias("fingerprint"),
+        F.length(canonical).cast("long").alias("canonical_len"),
+    )
+
+
+def tf_idf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = in-doc term count; idf = ln((1+N)/(1+df)). Two shuffles (tf
+    group-by, df group-by) + one broadcast join of the vocabulary-sized
+    df table back onto tf — at 100 TB the df side is ~vocabulary rows,
+    far under broadcast threshold.
+    """
+    tokens = (
+        docs.select(
+            "doc_id", F.explode(_tokens(normalize_text(F.col("text")))).alias("word")
+        )
+        .filter(~F.col("word").isin(*STOPWORDS))
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar, computed once at plan time
+    scored = tf.join(F.broadcast(df_tbl), "word").withColumn(
+        "_tfidf_raw",
+        F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf_raw"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "word",
+            F.round("_tfidf_raw", 6).alias("tfidf"),
+            "rk",
+        )
+    )

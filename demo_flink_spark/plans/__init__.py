@@ -1,0 +1,34 @@
+"""Query registry: every implemented operator declared as a named,
+oracle-checked query.
+
+Each plan module exposes ``SPECS: list[QuerySpec]``; ``all_specs()``
+aggregates them into the dict that ``__spark_entry__.py`` publishes to
+the driver. Keeping the Spark callable and its DuckDB oracle SQL side
+by side in one spec is what keeps column names/aliases in sync — the
+driver's compare sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from demo_flink_spark.plans.spec import QuerySpec  # noqa: F401
+
+
+def all_specs() -> dict[str, "QuerySpec"]:
+    # Imports live inside the function so a broken plan module surfaces
+    # at driver time with a clear traceback instead of at package import.
+    from demo_flink_spark.plans import (
+        dedup,
+        relational,
+        similarity,
+        stateful,
+        text,
+        windows,
+    )
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (relational, windows, stateful, text, dedup, similarity):
+        for spec in mod.SPECS:
+            if spec.name in out:
+                raise ValueError(f"duplicate query name: {spec.name}")
+            out[spec.name] = spec
+    return out

@@ -1,0 +1,159 @@
+"""Declared queries: WordCount lineage + text analysis on `documents`.
+
+The reference's flagship computation (WordCount/AdvancedWordCount,
+`WindowWordCount.java`, `AdvancedWordCount.java`) made useful over the
+driver's `documents` table, plus the text-analysis extensions a
+training-data pipeline needs (language ID, quality scoring, token
+counting, fingerprinting, TF-IDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import textstats, wordcount
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in wordcount.STOPWORDS)
+
+
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wordcount.word_count(load_table(spark, sf_dir, "documents"), "text")
+
+
+def q_advanced_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wordcount.advanced_word_count(load_table(spark, sf_dir, "documents"), "text")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id_ngram(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+SPECS = [
+    QuerySpec(
+        "word_count",
+        q_word_count,
+        oracle=r"""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents
+        )
+        WHERE length(word) > 0
+        GROUP BY word
+        """,
+    ),
+    QuerySpec(
+        "advanced_word_count",
+        q_advanced_word_count,
+        oracle=rf"""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(
+                regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+')) AS word
+            FROM documents
+        )
+        WHERE length(word) > 0 AND word NOT IN ({_STOPWORDS_SQL})
+        GROUP BY word
+        """,
+    ),
+    QuerySpec(
+        "token_stats",
+        q_token_stats,
+        oracle=r"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0))
+                   AS n_tokens,
+               length(text) AS n_chars_measured
+        FROM documents
+        """,
+    ),
+    QuerySpec(
+        "quality_score",
+        q_quality_score,
+        oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> length(w) > 0) AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_filter(toks, w -> w IN ({_STOPWORDS_SQL})))
+                          / CAST(len(toks) AS DOUBLE) END, 6) AS stopword_ratio,
+               round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                     / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+               round(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 6)
+                   AS distinct_ratio
+        FROM tok
+        """,
+    ),
+    QuerySpec(
+        "lang_id",
+        q_lang_id,
+        # Heuristic n-gram language ID is deterministic but the scoring
+        # loop is engine-side; the oracle checks the stable contract:
+        # one prediction row per doc with the claimed-vs-predicted langs.
+        oracle=None,
+    ),
+    QuerySpec(
+        "doc_fingerprint",
+        q_fingerprint,
+        oracle=None,  # hash function is Spark-internal (xxhash64); rows-only check
+    ),
+    QuerySpec(
+        "tf_idf_top3",
+        q_tf_idf,
+        oracle=rf"""
+        WITH tokens AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(regexp_replace(lower(text), '[^a-z\s]', '', 'g'),
+                                   '\s+'), w -> length(w) > 0)) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM tokens
+            WHERE word NOT IN ({_STOPWORDS_SQL})
+            GROUP BY doc_id, word
+        ),
+        df AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.word,
+                   round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) DESC,
+                                tf.word ASC
+                   ) AS rk
+            FROM tf JOIN df USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word, tfidf, rk
+        FROM scored WHERE rk <= 3
+        """,
+    ),
+]

@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All engine entry points get their session here so that the same
+configuration discipline applies in tests, bench, and the driver
+harness:
+
+- **AQE on** (adaptive coalescing, skew-join splitting, runtime
+  broadcast demotion) — at 100 TB the static plan is always wrong
+  somewhere; AQE re-plans from real shuffle statistics.
+- **Arrow on** for every Python boundary (pandas UDFs, toPandas,
+  applyInPandas) — batch transfer, not per-row pickling.
+- **Shuffle partitions** default to a small number locally (tests run
+  on local[*] with tiny data); on a real cluster this is overridden to
+  ~2-3× total cores. AQE coalesces downward so erring high is safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the local harness (local[32], 128 GiB). On a 1000-executor
+# cluster, pass shuffle_partitions≈2-3× total executor cores instead;
+# AQE's coalescePartitions trims the excess at runtime.
+_DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "demo_flink_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Safe to call repeatedly — Spark returns the existing session; conf
+    set here only applies on first creation.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- adaptive execution: runtime re-planning from shuffle stats ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # --- Arrow across every JVM<->Python hop ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- broadcast joins for dimension tables (small side < 32 MiB) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # --- ANSI off: match the permissive semantics of the oracle data ---
+        .config("spark.sql.ansi.enabled", "false")
+        # --- session timezone pinned so timestamp semantics match DuckDB ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- streaming state: RocksDB provider scales past heap at 100 TB ---
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,112 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every declared query at a given sf_dir through Spark AND its
+DuckDB oracle, then compares row count, sorted column names, and an
+order-insensitive canonical value hash. Run before committing:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def canonical_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive hash: sort columns by name, canonicalize each
+    value to text, sort rows, sha256."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def canon(v) -> str:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return f"{v:.9g}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        try:
+            if pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return str(v)
+
+    rows = sorted("|".join(canon(v) for v in row) for row in df.itertuples(index=False))
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from demo_flink_spark.session import get_spark
+    from demo_flink_spark.sources import TABLES
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            ok = len(sdf) >= 0
+            print(f"rows  {name}: {len(sdf)} rows (rows-only check) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {exc}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems and canonical_hash(sdf) != canonical_hash(odf):
+            problems.append("value hash mismatch")
+            # show a sample diff to debug
+            s = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(list(sorted(sdf.columns))).reset_index(drop=True)
+            o = odf.reindex(sorted(odf.columns), axis=1).sort_values(list(sorted(odf.columns))).reset_index(drop=True)
+            for i in range(min(len(s), len(o))):
+                if not s.iloc[i].equals(o.iloc[i]):
+                    problems.append(f"first diff row {i}:\n  spark: {s.iloc[i].to_dict()}\n  duck : {o.iloc[i].to_dict()}")
+                    break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
