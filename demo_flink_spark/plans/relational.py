@@ -1,3 +1,739 @@
-"""Placeholder plan module — filled in as operators land."""
+"""Declared queries: relational core (SURVEY §7.2).
 
-SPECS: list = []
+Filters/projections + every scalar-function family (§2.9 ext),
+aggregations incl. distinct/cube/rollup (§2.4 ext), all join types
+(§2.3 ext), sorts/limits/top-k, set ops (§2.7 ext), analytic window
+functions (§2.8 ext) over the TPC-H-ish star schema.
+
+Float discipline for oracle hash-matching: every double aggregate goes
+through the decimal-exact helpers in `operators.relational` and is
+rounded to 6dp on BOTH sides — see `dsum` docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from demo_flink_spark.operators.relational import (
+    davg,
+    dstddev_samp,
+    dsum,
+    top_k_per_group,
+)
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+# SQL twins of the deterministic aggregate helpers.
+_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE)"
+_DAVG = f"({_DSUM} / COUNT({{e}}))"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Single scan → single hash aggregate; the filter and the 6-column
+    projection push into the parquet scan (verified via
+    .explain: PushedFilters + ReadSchema). Map-side partial agg
+    shrinks the shuffle to |groups| rows per partition — at 100 TB the
+    exchange carries ~8 rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(dsum(F.col("l_quantity")), 6).alias("sum_qty"),
+            F.round(dsum(F.col("l_extendedprice")), 6).alias("sum_base_price"),
+            F.round(dsum(disc_price), 6).alias("sum_disc_price"),
+            F.round(dsum(charge), 6).alias("sum_charge"),
+            F.round(davg(F.col("l_quantity")), 6).alias("avg_qty"),
+            F.round(davg(F.col("l_extendedprice")), 6).alias("avg_price"),
+            F.round(davg(F.col("l_discount")), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, revenue agg, top-10.
+
+    customer is tiny relative to orders/lineitem → broadcast hint;
+    orders⨝lineitem is the one real shuffle (both sides hashed on
+    orderkey). Top-10 via sort+limit — Spark's TakeOrderedAndProject
+    keeps only 10 rows per partition, no global sort materialization.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(dsum(revenue), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS as a left-semi join, then count.
+
+    Semi join sends only the join key of lineitem through the shuffle
+    (Catalyst prunes to l_orderkey) and stops probing at first match.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > F.lit(45.0)
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way star join with broadcast dimensions.
+
+    region/nation/customer/supplier are dimension-sized → all
+    broadcast; the only shuffle join is orders⨝lineitem. This is the
+    canonical 100 TB star-join shape: fact tables shuffled once,
+    dims shipped to every executor.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(dsum(revenue), 6).alias("revenue"))
+    )
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, order count (0 for orderless)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers with at least one open ('O') order."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-nation aggregates (customers vs
+    suppliers) — nations appearing on either side survive."""
+    cust_per_nation = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp_per_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = cust_per_nation.join(
+        supp_per_nation,
+        cust_per_nation.c_nationkey == supp_per_nation.s_nationkey,
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + theta residual: lineitems whose quantity exceeds the
+    part's size. The equi key keeps it a hash join (theta as a post-
+    probe filter), never a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey)
+            & (li.l_quantity > part.p_size.cast("double")),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.round(dsum(F.col("l_quantity")), 6).alias("sum_qty"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer (SURVEY §2.7 top-k)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates per group (count distinct, exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — deterministic in Spark but not
+    comparable to DuckDB's sketch → rows-only check, with the exact
+    count alongside for eyeballing the error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: min/max/avg/stddev/median per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.min(p), 6).alias("min_price"),
+        F.round(F.max(p), 6).alias("max_price"),
+        F.round(davg(p), 6).alias("avg_price"),
+        F.round(dstddev_samp(p), 6).alias("stddev_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+    )
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set surfaced as sorted joined strings
+    (array columns hash differently across engines; strings don't)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.size(F.collect_set("n_name")).cast("long").alias("n_distinct"),
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dsum(F.col("o_totalprice")), 6).alias("total"),
+        )
+    )
+
+
+def q_rollup_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (year, month): hierarchical revenue subtotals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("o_month", F.month("o_orderdate").cast("long"))
+        .rollup("o_year", "o_month")
+        .agg(F.round(dsum(F.col("o_totalprice")), 6).alias("total"))
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (no DataFrame-API equivalent)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-nation projections,
+    tagged by which set op produced each row."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    u = building.union(auto).distinct().withColumn("op", F.lit("union"))
+    i = building.intersect(auto).withColumn("op", F.lit("intersect"))
+    e = building.exceptAll(auto).distinct().withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e)
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (SURVEY §2.8 ext): running sum, lag,
+    lead, rank, dense_rank, ntile over each customer's order history.
+
+    Deterministic frame: ordered by (o_orderdate, o_orderkey) — unique
+    within customer. One shuffle on o_custkey; all functions share the
+    same window so Spark evaluates them in a single Window operator.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"),
+            6,
+        ).alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(w), 6).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 6).alias("next_price"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def q_window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute range frame per user over events — the batch
+    form of the fraud detector's time-pruned list (SURVEY §2.6 ST1's
+    oracle shape). RANGE BETWEEN 600000 PRECEDING on epoch millis.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")).alias(
+        "ts_ms"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-600000, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", ts_ms, "value")
+        .withColumn("n_in_10min", F.count(F.lit(1)).over(w))
+        .select("user_id", "event_id", "n_in_10min")
+    )
+
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (SURVEY §2.9 ext)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.lpad("c_mktsegment", 12, "_").alias("padded_seg"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.col("c_name").rlike("[02468]$").alias("even_end"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (SURVEY §2.9 ext)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_date"),
+        F.datediff(
+            F.lit("2024-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("days_to_eoy"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (SURVEY §2.9 ext). All per-row IEEE double
+    ops — deterministic and engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        F.round(p, 0).alias("price_round"),
+        F.abs(p - 1000.0).alias("abs_diff"),
+        F.ceil(p).alias("price_ceil"),
+        F.floor(p).alias("price_floor"),
+        F.round(F.pow(F.col("l_quantity"), 2.0), 6).alias("qty_sq"),
+        F.round(F.log(p + 1.0), 6).alias("ln_price"),
+        F.round(F.sqrt(p), 6).alias("sqrt_price"),
+    )
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function family over events.props (SURVEY §2.9: the CDC
+    job's JSON surface — parse, extract, reconstruct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        ).alias("reconstructed"),
+    )
+
+
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort with explicit null placement + limit.
+
+    TakeOrderedAndProject at the physical layer: each partition keeps
+    its local top-N, the driver merges — no full global sort at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(
+            F.desc("o_totalprice"), F.asc_nulls_last("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(25)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "q1_pricing_summary",
+        q1_pricing_summary,
+        oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               round({_DSUM.format(e='l_quantity')}, 6) AS sum_qty,
+               round({_DSUM.format(e='l_extendedprice')}, 6) AS sum_base_price,
+               round({_DSUM.format(e='l_extendedprice * (1 - l_discount)')}, 6) AS sum_disc_price,
+               round({_DSUM.format(e='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 6) AS sum_charge,
+               round({_DAVG.format(e='l_quantity')}, 6) AS avg_qty,
+               round({_DAVG.format(e='l_extendedprice')}, 6) AS avg_price,
+               round({_DAVG.format(e='l_discount')}, 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    ),
+    QuerySpec(
+        "q3_shipping_priority",
+        q3_shipping_priority,
+        oracle=f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round({_DSUM.format(e='l_extendedprice * (1 - l_discount)')}, 6) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """,
+    ),
+    QuerySpec(
+        "q4_order_priority",
+        q4_order_priority,
+        oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 45.0
+        )
+        GROUP BY o_orderpriority
+        """,
+    ),
+    QuerySpec(
+        "q5_local_supplier_volume",
+        q5_local_supplier_volume,
+        oracle=f"""
+        SELECT n_name,
+               round({_DSUM.format(e='l_extendedprice * (1 - l_discount)')}, 6) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+        """,
+    ),
+    QuerySpec(
+        "join_left_outer",
+        q_join_left_outer,
+        oracle="""
+        SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        """,
+    ),
+    QuerySpec(
+        "join_anti",
+        q_join_anti,
+        oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+    ),
+    QuerySpec(
+        "join_semi",
+        q_join_semi,
+        oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        """,
+    ),
+    QuerySpec(
+        "join_full_outer",
+        q_join_full_outer,
+        oracle="""
+        WITH c AS (SELECT c_nationkey, count(*) AS n_cust
+                   FROM customer GROUP BY c_nationkey),
+             s AS (SELECT s_nationkey, count(*) AS n_supp
+                   FROM supplier GROUP BY s_nationkey)
+        SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        """,
+    ),
+    QuerySpec(
+        "join_theta",
+        q_join_theta,
+        oracle=f"""
+        SELECT p_brand, count(*) AS n_li,
+               round({_DSUM.format(e='l_quantity')}, 6) AS sum_qty
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey AND l_quantity > CAST(p_size AS DOUBLE)
+        GROUP BY p_brand
+        """,
+    ),
+    QuerySpec(
+        "topk_per_group",
+        q_topk_per_group,
+        oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+        """,
+    ),
+    QuerySpec(
+        "agg_distinct",
+        q_agg_distinct,
+        oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    QuerySpec("agg_approx_distinct", q_agg_approx_distinct, oracle=None),
+    QuerySpec(
+        "agg_stats",
+        q_agg_stats,
+        oracle=f"""
+        SELECT l_linestatus,
+               round(min(l_extendedprice), 6) AS min_price,
+               round(max(l_extendedprice), 6) AS max_price,
+               round({_DAVG.format(e='l_extendedprice')}, 6) AS avg_price,
+               round(sqrt((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+                     - {_DSUM.format(e='l_extendedprice')} * {_DSUM.format(e='l_extendedprice')} / count(l_extendedprice))
+                     / (count(l_extendedprice) - 1)), 6) AS stddev_price,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+        FROM lineitem GROUP BY l_linestatus
+        """,
+    ),
+    QuerySpec(
+        "agg_collect",
+        q_agg_collect,
+        oracle="""
+        SELECT n_regionkey,
+               array_to_string(list_sort(list(n_name)), ',') AS nations,
+               len(list_distinct(list(n_name))) AS n_distinct
+        FROM nation GROUP BY n_regionkey
+        """,
+    ),
+    QuerySpec(
+        "cube_orders",
+        q_cube_orders,
+        oracle=f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round({_DSUM.format(e='o_totalprice')}, 6) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+    ),
+    QuerySpec(
+        "rollup_dates",
+        q_rollup_dates,
+        oracle=f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(month(o_orderdate) AS BIGINT) AS o_month,
+               round({_DSUM.format(e='o_totalprice')}, 6) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_year, o_month)
+        """,
+    ),
+    QuerySpec(
+        "grouping_sets",
+        q_grouping_sets,
+        oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    ),
+    QuerySpec(
+        "setops",
+        q_setops,
+        oracle="""
+        WITH b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             a AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        SELECT c_nationkey, 'union' AS op FROM (SELECT DISTINCT c_nationkey FROM (SELECT * FROM b UNION ALL SELECT * FROM a))
+        UNION ALL
+        SELECT c_nationkey, 'intersect' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM a)
+        UNION ALL
+        SELECT c_nationkey, 'except' AS op FROM (SELECT DISTINCT c_nationkey FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a))
+        """,
+    ),
+    QuerySpec(
+        "window_analytics",
+        q_window_analytics,
+        oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w_cum AS DOUBLE), 6) AS running_total,
+               round(lag(o_totalprice, 1) OVER w, 6) AS prev_price,
+               round(lead(o_totalprice, 1) OVER w, 6) AS next_price,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+    ),
+    QuerySpec(
+        "window_range_trailing",
+        q_window_range_trailing,
+        oracle="""
+        SELECT user_id, event_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                              RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS n_in_10min
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "scalar_string",
+        q_scalar_string,
+        oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS upper_name,
+               substring(c_name, 1, 8) AS prefix8,
+               lpad(c_mktsegment, 12, '_') AS padded_seg,
+               instr(c_name, '#') AS hash_pos,
+               c_name LIKE '%1%' AS has_one,
+               regexp_matches(c_name, '[02468]$') AS even_end,
+               concat_ws('/', c_mktsegment, c_name) AS seg_name,
+               length(c_name) AS name_len
+        FROM customer
+        """,
+    ),
+    QuerySpec(
+        "scalar_datetime",
+        q_scalar_datetime,
+        oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-12-31') AS BIGINT) AS days_to_eoy,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+        FROM orders
+        """,
+    ),
+    QuerySpec(
+        "scalar_math",
+        q_scalar_math,
+        oracle="""
+        SELECT l_orderkey,
+               round(l_extendedprice, 0) AS price_round,
+               abs(l_extendedprice - 1000.0) AS abs_diff,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               round(pow(l_quantity, 2.0), 6) AS qty_sq,
+               round(ln(l_extendedprice + 1.0), 6) AS ln_price,
+               round(sqrt(l_extendedprice), 6) AS sqrt_price
+        FROM lineitem WHERE l_linenumber = 1
+        """,
+    ),
+    QuerySpec(
+        "scalar_json",
+        q_scalar_json,
+        oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               to_json(struct_pack(t := event_type, u := user_id)) AS reconstructed
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "orderby_limit",
+        q_orderby_limit,
+        oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderdate ASC NULLS LAST, o_orderkey ASC
+        LIMIT 25
+        """,
+    ),
+]

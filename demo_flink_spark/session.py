@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         # --- session timezone pinned so timestamp semantics match DuckDB ---
         .config("spark.sql.session.timeZone", "UTC")
+        # --- the events table stores TIMESTAMP(NANOS); read as long nanos
+        #     (sources.tables converts to microsecond timestamps, matching
+        #     DuckDB's truncation of the same files) ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- streaming state: RocksDB provider scales past heap at 100 TB ---
         .config(
             "spark.sql.streaming.stateStore.providerClass",

@@ -31,10 +31,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one parquet table. Columns/filters prune at the scan."""
+    """Scan one parquet table. Columns/filters prune at the scan.
+
+    `events.ts` is stored as TIMESTAMP(NANOS), which Spark only reads
+    via `spark.sql.legacy.parquet.nanosAsLong` (long nanos). Convert to
+    a microsecond timestamp — the same floor-truncation DuckDB applies
+    when it reads the file — so both engines see identical instants.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
