@@ -1,0 +1,132 @@
+"""Pure-Python state kernels shared by the streaming StatefulProcessors
+and their batch twins.
+
+The reference implements each stateful rule once inside a Flink
+Rich*Function; we do the same — one kernel function per rule — and
+call it from BOTH execution paths (transformWithStateInPandas for
+streams, applyInPandas for batch), so golden tests pin a single
+implementation.
+
+Reference parity:
+- fraud rule: `FraudDetectorExample.java:88-120`
+- JSON CDC diff: `TradeChangeDetectionJob.java:115-155`
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# ST1 — fraud detector (`FraudDetectorExample.java:71-121`)
+# ---------------------------------------------------------------------------
+
+FRAUD_AMOUNT_THRESHOLD = 100.0  # `FraudDetectorExample.java:92`
+FRAUD_MIN_COUNT = 3  # `:108`
+FRAUD_WINDOW_MS = 10 * 60 * 1000  # prune + throttle, `:98,112`
+
+
+@dataclass
+class FraudState:
+    """Per-key state: recent high-value tx timestamps + last alert time.
+
+    Mirrors the reference's `ListState<Transaction>` + `ValueState<Long>`
+    (`FraudDetectorExample.java:73-85`). We keep only timestamps in the
+    list — the rule never reads amounts back out.
+    """
+
+    recent_ts: list[int] = field(default_factory=list)
+    last_alert_ms: int | None = None
+
+
+def fraud_step(
+    state: FraudState,
+    amount: float,
+    ts_ms: int,
+    threshold: float = FRAUD_AMOUNT_THRESHOLD,
+    window_ms: int = FRAUD_WINDOW_MS,
+    min_count: int = FRAUD_MIN_COUNT,
+) -> tuple[int, bool]:
+    """Process one transaction; returns (tracked_count, alert_fired).
+
+    Exact transcription of the rule (`FraudDetectorExample.java:88-120`)
+    with the reference's constants as defaults: track txs with
+    amount > 100; prune entries older than ts−10min; alert when ≥3
+    tracked AND (never alerted OR last alert >10min ago).
+    """
+    if amount > threshold:
+        state.recent_ts.append(ts_ms)
+    cutoff = ts_ms - window_ms
+    state.recent_ts = [t for t in state.recent_ts if t >= cutoff]
+    count = len(state.recent_ts)
+    if count >= min_count and (
+        state.last_alert_ms is None or ts_ms - state.last_alert_ms > window_ms
+    ):
+        state.last_alert_ms = ts_ms
+        return count, True
+    return count, False
+
+
+# ---------------------------------------------------------------------------
+# ST2 — JSON change detection / CDC diff (`TradeChangeDetectionJob.java:115-155`)
+# ---------------------------------------------------------------------------
+
+ADDED = "ADDED"
+MODIFIED = "MODIFIED"
+REMOVED = "REMOVED"
+
+
+def _canon(value) -> str:
+    """Canonical JSON text of a scalar/nested value.
+
+    Preserves the reference's type-sensitive equality
+    (`TradeChangeDetectionJob.java:132`, Jackson `JsonNode.equals`):
+    1, 1.0 and "1" canonicalize to '1', '1.0', '"1"' — all distinct.
+    """
+    return json.dumps(value, sort_keys=True, separators=(",", ":"))
+
+
+def json_diff(old: dict, new: dict) -> list[tuple[str, str, str | None, str | None]]:
+    """Field-level diff of two JSON objects.
+
+    Returns [(field, action, old_canonical, new_canonical)] sorted by
+    field name; empty list = no change (caller must then NOT update
+    state, `TradeChangeDetectionJob.java:109-111`). Actions follow the
+    reference exactly: in new only → ADDED; in both but unequal →
+    MODIFIED; in old only → REMOVED (`:115-155`).
+    """
+    out: list[tuple[str, str, str | None, str | None]] = []
+    for k in sorted(set(old) | set(new)):
+        if k not in old:
+            out.append((k, ADDED, None, _canon(new[k])))
+        elif k not in new:
+            out.append((k, REMOVED, _canon(old[k]), None))
+        else:
+            oc, nc = _canon(old[k]), _canon(new[k])
+            if oc != nc:
+                out.append((k, MODIFIED, oc, nc))
+    return out
+
+
+def cdc_step(
+    prev_raw: str | None, raw: str
+) -> tuple[str | None, list[tuple[str, str, str | None, str | None]]]:
+    """One CDC step: returns (new_state_raw, diffs).
+
+    First occurrence → store silently (state=raw, no diffs). No-change
+    record → diffs empty AND state unchanged (returns prev_raw).
+    Malformed JSON records are skipped (state unchanged).
+    """
+    try:
+        new = json.loads(raw)
+    except (ValueError, TypeError):
+        return prev_raw, []
+    if not isinstance(new, dict):
+        return prev_raw, []
+    if prev_raw is None:
+        return raw, []
+    old = json.loads(prev_raw)
+    diffs = json_diff(old, new)
+    if not diffs:
+        return prev_raw, []  # state NOT updated on no-change
+    return raw, diffs

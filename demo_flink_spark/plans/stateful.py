@@ -1,3 +1,143 @@
-"""Placeholder plan module — filled in as operators land."""
+"""Declared queries: keyed stateful operators, batch twins (SURVEY §2.6).
 
-SPECS: list = []
+The streaming StatefulProcessors themselves are exercised by the
+golden fixture tests (tests/test_stateful.py, FIXTURES.md F3-F6) under
+real Structured Streaming; these declared queries are their batch
+twins over the `events` table — window-algebra forms with full DuckDB
+oracles where expressible, shared-kernel applyInPandas replays
+(rows-only check) where the rule is inherently sequential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import stateful_batch as sb
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+
+def q_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 twin: running event count per user in event_id order."""
+    ev = load_table(spark, sf_dir, "events")
+    return sb.running_count(ev, "user_id", "event_id", out_col="clicks")
+
+
+def q_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 twin: cumulative event_type history per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return sb.event_history(ev, "user_id", "event_id", "event_type")
+
+
+def q_fraud_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 window half: trailing 10-min high-value count + flag."""
+    ev = load_table(spark, sf_dir, "events")
+    return sb.fraud_candidates(ev, "user_id", "ts", "value")
+
+
+def q_fraud_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 full rule (incl. throttle) via shared-kernel applyInPandas.
+
+    events mapping: value>100 is "high-value", event_id is the arrival
+    order, epoch-millis of ts is the rule clock.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")).alias(
+            "ts_ms"
+        ),
+        F.col("value").alias("amount"),
+    )
+    # 1-day window (vs the reference's 10 min): the synthetic events are
+    # too sparse for the 10-min rule to ever fire — same kernel, wider
+    # clock, so the throttle path actually exercises.
+    return sb.fraud_alerts(
+        ev, "user_id", "seq", "ts_ms", "amount", window_ms=86_400_000
+    )
+
+
+def q_cdc_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 window form: lag-diff of events.props JSON per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return sb.cdc_lag_diff(ev, "user_id", "event_id", "props")
+
+
+def q_cdc_diff_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 full rule (no-change records freeze state) via kernel replay."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("seq"), F.col("props").alias("value")
+    )
+    return sb.cdc_diff_batch(ev, "user_id", "seq", "value")
+
+
+SPECS = [
+    QuerySpec(
+        "stateful_running_count",
+        q_running_count,
+        oracle="""
+        SELECT user_id, event_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY event_id) AS clicks
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "stateful_event_history",
+        q_event_history,
+        oracle="""
+        SELECT user_id, event_id,
+               string_agg(event_type, ',') OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS history
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "stateful_fraud_candidates",
+        q_fraud_candidates,
+        oracle="""
+        SELECT user_id, event_id,
+               count(CASE WHEN value > 100 THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS n_high_10min,
+               count(CASE WHEN value > 100 THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) >= 3 AS would_alert
+        FROM events
+        """,
+    ),
+    QuerySpec("stateful_fraud_alerts", q_fraud_alerts, oracle=None),
+    QuerySpec(
+        "stateful_cdc_lag_diff",
+        q_cdc_lag_diff,
+        oracle="""
+        WITH lagged AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, event_id AS seq, props,
+                   lag(props) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_props
+            FROM events
+        ),
+        pairs AS (
+            SELECT key, seq, props, prev_props,
+                   unnest(list_distinct(list_cat(json_keys(props), json_keys(prev_props))))
+                       AS field
+            FROM lagged WHERE prev_props IS NOT NULL
+        )
+        SELECT key, seq, field,
+               CASE WHEN json_extract_string(prev_props, '$.' || field) IS NULL THEN 'ADDED'
+                    WHEN json_extract_string(props, '$.' || field) IS NULL THEN 'REMOVED'
+                    WHEN json_extract_string(props, '$.' || field)
+                         <> json_extract_string(prev_props, '$.' || field) THEN 'MODIFIED'
+               END AS action,
+               json_extract_string(prev_props, '$.' || field) AS old_value,
+               json_extract_string(props, '$.' || field) AS new_value
+        FROM pairs
+        WHERE CASE WHEN json_extract_string(prev_props, '$.' || field) IS NULL THEN 'ADDED'
+                   WHEN json_extract_string(props, '$.' || field) IS NULL THEN 'REMOVED'
+                   WHEN json_extract_string(props, '$.' || field)
+                        <> json_extract_string(prev_props, '$.' || field) THEN 'MODIFIED'
+              END IS NOT NULL
+        """,
+    ),
+    QuerySpec("stateful_cdc_diff_full", q_cdc_diff_full, oracle=None),
+]

@@ -36,6 +36,18 @@ def get_spark(
     Safe to call repeatedly — Spark returns the existing session; conf
     set here only applies on first creation.
     """
+    # Python workers (pandas UDFs, transformWithStateInPandas drivers)
+    # are separate processes that must import this package. Locally
+    # that's PYTHONPATH; on a real cluster you'd ship a wheel via
+    # --py-files / spark.submit.pyFiles instead. Must be set before the
+    # JVM starts — child workers inherit the JVM's environment.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

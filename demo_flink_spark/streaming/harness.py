@@ -1,0 +1,104 @@
+"""Run a keyed stateful operator over a bounded DataFrame through a
+REAL Structured Streaming query (file source → stateful op → memory
+sink).
+
+This is how the golden fixture tests (FIXTURES.md F3-F6) exercise the
+exact production code path — state store, Arrow transfer, micro-batch
+execution — rather than a pure-Python simulation. Multi-batch replay
+proves state survives micro-batch boundaries.
+
+API selection: prefers `transformWithStateInPandas` (Spark 4.1,
+Flink-parity ValueState/ListState handles) when its protobuf runtime
+dep is importable; otherwise falls back to `applyInPandasWithState`
+(no extra deps). Both run the same kernels and pass the same goldens.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from demo_flink_spark.streaming.stateful_ops import StatefulOp
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf at runtime."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_stateful(
+    spark: SparkSession,
+    source: DataFrame,
+    key_cols: list[str],
+    op: StatefulOp,
+    n_batches: int = 1,
+    batch_col: str | None = None,
+) -> DataFrame:
+    """Execute `op` over `source` as a streaming query; return the
+    fully-materialized result as a batch DataFrame.
+
+    With n_batches > 1, `batch_col` (an int column 0..n_batches-1)
+    splits the input into separate source files picked up one per
+    trigger (maxFilesPerTrigger=1) — each becomes its own micro-batch,
+    so state must carry across batch boundaries.
+    """
+    stage = tempfile.mkdtemp(prefix="stateful_src_")
+    if n_batches > 1:
+        if batch_col is None:
+            raise ValueError("batch_col required when n_batches > 1")
+        for b in range(n_batches):
+            (
+                source.filter(f"{batch_col} = {b}")
+                .drop(batch_col)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(stage)
+            )
+        schema = source.drop(batch_col).schema
+    else:
+        source.coalesce(1).write.mode("overwrite").parquet(stage)
+        schema = source.schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    grouped = stream.groupBy(*key_cols)
+    if tws_available() and op.processor_factory is not None:
+        transformed = grouped.transformWithStateInPandas(
+            statefulProcessor=op.processor_factory(),
+            outputStructType=op.output_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+    else:
+        transformed = grouped.applyInPandasWithState(
+            op.fn,
+            outputStructType=op.output_schema,
+            stateStructType=op.state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    query = (
+        transformed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
