@@ -1,0 +1,396 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (the whole point at 100 TB):
+- **Exact dedup** hashes first (`xxhash64` of canonical text) so the
+  shuffle carries 8-byte keys, not documents.
+- **n-gram Jaccard** uses an inverted-index join (explode shingles →
+  self-join on shingle → count per pair), NEVER an all-pairs cross
+  join: cost is Σ posting-list², not n². Frequent-shingle skew is the
+  known hazard — cap posting lists (drop shingles appearing in > p%
+  of docs, standard df-cut) before the join.
+- **MinHash LSH** banding turns near-dup search into an equi-join on
+  (band_idx, band_hash) — the classic sub-quadratic path; candidates
+  are then verified with exact Jaccard so false positives never
+  surface.
+- **SimHash** banding over 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒
+  at least one of 4 chunks equal) — again an equi-join, then popcount
+  verification via `bit_count(a ^ b)`.
+- Everything except the SimHash bit-fold is built-in column
+  expressions — JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from demo_flink_spark.operators.wordcount import normalize_text
+
+
+def _canonical(col: Column) -> Column:
+    """Normalized, whitespace-collapsed text — the exact-dup key."""
+    return F.trim(F.regexp_replace(normalize_text(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: canonical doc per identical normalized text.
+
+    groupBy the 64-bit content hash (collision-safe enough for dedup;
+    at 100 TB add a length column to the key); canonical = min doc_id.
+    Emits one row per distinct content with its duplicate count.
+    """
+    return (
+        docs.select(
+            "doc_id", F.xxhash64(_canonical(F.col(text_col))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (Arrow-batched).
+
+    Semantics: normalize (lowercase, strip non-[a-z\\s], collapse
+    whitespace), split on single spaces, emit tokens[i..i+n-1] joined
+    by a space for every window position, distinct, order-preserving.
+
+    Implementation note: this was first written as pure column
+    expressions (`transform(sequence(...), slice+array_join)`), but
+    Catalyst evaluates higher-order functions interpreted, not
+    codegen'd — ~12 s for 5k docs. The mapInPandas version is <1 s
+    and still a narrow Arrow-batched pass, so it scales the same way.
+    """
+    import re
+
+    non_alpha = re.compile(r"[^a-z\s]")
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = ws.sub(" ", non_alpha.sub("", (text or "").lower())).strip().split(" ")
+                if toks == [""]:
+                    toks = []
+                k = max(len(toks) - n, 0)
+                seen: dict[str, None] = {}
+                for i in range(k + 1):
+                    seen[" ".join(toks[i : i + n])] = None
+                out.append(list(seen))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], out_col: out})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, f"doc_id long, {out_col} array<string>"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above threshold,
+    via inverted-index join (no cross join anywhere).
+
+    |A∩B| from the shingle self-join; |A∪B| = |A|+|B|−|A∩B|.
+    `max_df` drops shingles present in more than that many docs (skew
+    cap — a stopword-ish shingle otherwise produces a quadratic
+    posting list at scale).
+
+    The shingle set feeds three plan branches (posting a-side, b-side,
+    sizes); without persistence Spark recomputes the generation
+    expression per branch — 3× the dominant cost. Persisted here
+    (memory+disk); at 100 TB materialize to a temp parquet instead.
+    """
+    sh = shingles(docs, text_col, n).persist()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        rare = (
+            posting.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        posting = posting.join(F.broadcast(rare), "shingle")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, n_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per doc: sig[h] = min over shingles of
+    xxhash64(seed_h, shingle). Pure expressions, one narrow pass."""
+    sh = shingles(docs, text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda x, s=s: F.xxhash64(F.lit(s), x))
+            )
+            for s in range(n_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("signature"), "shingles")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with exact Jaccard.
+
+    Banding: 16 bands × 4 rows → candidate iff some band matches
+    (s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5). Candidates come from an
+    equi-join on (band_idx, band_hash) — sub-quadratic; verification
+    recomputes exact Jaccard on the shingle sets so the output has no
+    false positives (LSH misses stay missed: documented recall trade).
+    """
+    rows = n_hashes // bands
+    # persist: signatures+shingles feed the band explode AND both sides
+    # of the verification join — recomputing 64 minhashes 3× dominates
+    # otherwise.
+    sigs = minhash_signatures(docs, text_col, n, n_hashes).persist()
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.array_join(
+                    F.transform(
+                        F.slice("signature", b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        candidates.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+@F.pandas_udf(LongType())
+def _simhash64(token_lists: pd.Series) -> pd.Series:
+    """64-bit SimHash from token lists (Arrow-batched, numpy bit-fold).
+
+    Per-token 64-bit hash = first 8 bytes of blake2b (stable across
+    runs/machines, unlike Python's salted hash()); bit j of the
+    fingerprint = majority vote of token-hash bit j. Token hashes are
+    memoized per batch (corpora repeat tokens heavily) and the 64-bit
+    unpack/vote runs as one numpy broadcast per document.
+    """
+    import numpy as np
+
+    memo: dict[str, int] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def token_hash(t: str) -> int:
+        h = memo.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            memo[t] = h
+        return h
+
+    def simhash(tokens) -> int:
+        if tokens is None or len(tokens) == 0:
+            return 0
+        hs = np.array([token_hash(t) for t in tokens], dtype=np.uint64)
+        bits = (hs[:, None] >> shifts) & np.uint64(1)  # (n_tokens, 64)
+        votes = 2 * bits.astype(np.int64).sum(axis=0) - len(hs)
+        v = int(((votes > 0).astype(np.uint64) << shifts).sum())
+        # two's-complement into signed int64 for Spark LongType
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return token_lists.map(simhash)
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint per document."""
+    tokens = F.split(_canonical(F.col(text_col)), " ")
+    return docs.select("doc_id", _simhash64(tokens).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k, found via
+    chunk-banding, verified with bit_count(a XOR b) — equi-join, no
+    cross join.
+
+    Pigeonhole guarantee: splitting 64 bits into C chunks finds every
+    pair with d ≤ C−1 (d bit-flips can't touch all C chunks). The
+    chunk count adapts to `max_hamming`: smallest of {4, 8, 16, 32}
+    with C > max_hamming. More chunks = wider candidate net = more
+    verification work — the standard recall/cost dial.
+    """
+    n_chunks = next((c for c in (4, 8, 16, 32) if c > max_hamming), 32)
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    # persist: fingerprints feed both sides of the chunk self-join
+    fp = simhash_fingerprints(docs, text_col).persist()
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), width * c)
+            .bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, accumulated in
+    double, left-to-right (deterministic, engine-portable)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, vec_col: str = "embedding", threshold: float = 0.9
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ threshold.
+
+    Broadcast-GEMM shape: the full (normalized) corpus matrix is
+    broadcast to every partition; each partition multiplies its slice
+    against it with numpy (BLAS) and emits only the ≥-threshold pairs.
+    No join, no 2M-row pair materialization — each task is one dgemm.
+
+    At 100 TB the single broadcast matrix no longer fits; the same
+    kernel then runs per block-pair (grid-partition both sides,
+    cogroup the blocks — cost n²/B² per task) or, cheaper, over
+    SRP-LSH candidates only (`operators.similarity`), trading exact
+    recall for the s-curve guarantee.
+    """
+    import numpy as np
+
+    sc = emb.sparkSession.sparkContext
+    local = emb.select("vec_id", vec_col).toPandas()
+    ids = local["vec_id"].to_numpy()
+    mat = np.array(list(local[vec_col]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = sc.broadcast((ids, mat))
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            ids_a = pdf["vec_id"].to_numpy()
+            ma = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+            sims = ma @ b_mat.T
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ids_a[ia] < b_ids[ib]
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[ia[keep]],
+                    "id_b": b_ids[ib[keep]],
+                    "cos": np.round(sims[ia[keep], ib[keep]], 6),
+                }
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(
+        block, "id_a long, id_b long, cos double"
+    )

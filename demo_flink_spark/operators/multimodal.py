@@ -1,0 +1,164 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata (north-star extension).
+
+The container has no image/audio libraries, so the DECODE step is
+stubbed (clearly marked) behind an import-try with a deterministic
+fake decoder — but every piece of Spark plumbing is real and tested:
+
+- **Schema**: media is `binary` payload + a typed metadata struct
+  (mime, width, height, duration_ms). Binary stays opaque to Catalyst;
+  metadata columns are prunable/filterable like any other — filter on
+  `media.meta.mime` never touches payload bytes.
+- **Partitioning**: decode is CPU-bound and payload sizes are skewed,
+  so `decoded_*` repartitions by a payload-hash before the UDF —
+  even work distribution at 1000 executors, no hot partition from
+  ingest order.
+- **Batch shape**: `mapInPandas` streams Arrow batches (bounded by
+  spark.sql.execution.arrow.maxRecordsPerBatch) — memory stays flat no
+  matter the partition size, unlike applyInPandas-per-group which
+  materializes whole groups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # decode libs are optional; the container ships neither
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+MEDIA_META = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic binary payload + metadata per doc.
+
+    Stands in for a real ingest (s3 object bytes / parquet binary
+    column); payload = UTF-8 of the text, metadata derived from
+    doc_id — deterministic so tests and oracle runs are stable.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").cast(BinaryType()).alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+            .otherwise(F.lit("video/mp4"))
+            .alias("mime"),
+            (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+            (F.col("doc_id") * 40 + 1000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> float:
+    """STUB decode: deterministic 'mean luma' from payload bytes.
+
+    A real deployment replaces this with PIL/libav decoding; the
+    surrounding plumbing (schema, batching, partitioning) is identical.
+    """
+    if not payload:
+        return 0.0
+    return sum(payload[:1024]) / min(len(payload), 1024) / 255.0
+
+
+def decoded_media_stats(media: DataFrame) -> DataFrame:
+    """Decode payloads → per-media stats via Arrow-batched mapInPandas.
+
+    Repartitions on payload hash first: decode cost follows payload
+    bytes, and ingest order usually clusters large payloads — the
+    hash spread keeps 1000 executors evenly busy.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if HAS_PIL:
+                # Real decode path would go here (PIL.Image.open on
+                # BytesIO payloads). Not reachable in this container.
+                raise NotImplementedError("real image decode not wired yet")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": pdf["payload"].map(len),
+                    "width": pd.array(
+                        [m["width"] for m in pdf["meta"]], dtype="int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in pdf["meta"]], dtype="int32"
+                    ),
+                    "mean_luma": pdf["payload"].map(_fake_decode),
+                }
+            )
+
+    return media.repartition(F.xxhash64("payload")).mapInPandas(
+        decode, DECODED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """STUB frame sampler: split payload into n 'frames' (1 → N rows).
+
+    Real video sampling would seek keyframes; the Spark shape — a
+    generator per input row, bounded output — is what matters: at
+    scale this is `mapInPandas` yielding multiple rows per input, so
+    frame explosion never materializes per-group."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                size = max(len(payload) // n_frames, 1)
+                for i in range(min(n_frames, len(payload))):
+                    chunk = payload[i * size : (i + 1) * size]
+                    if chunk:
+                        rows.append((int(doc_id), i, len(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes"]
+            ).astype({"frame_idx": "int32"})
+
+    return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)

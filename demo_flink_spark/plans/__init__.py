@@ -18,6 +18,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # at driver time with a clear traceback instead of at package import.
     from demo_flink_spark.plans import (
         dedup,
+        multimodal,
         relational,
         similarity,
         stateful,
@@ -26,7 +27,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, windows, stateful, text, dedup, similarity):
+    for mod in (relational, windows, stateful, text, dedup, similarity, multimodal):
         for spec in mod.SPECS:
             if spec.name in out:
                 raise ValueError(f"duplicate query name: {spec.name}")

@@ -1,3 +1,114 @@
-"""Placeholder plan module — filled in as operators land."""
+"""Declared queries: deduplication family (north-star extension).
 
-SPECS: list = []
+Hash-based variants (minhash, simhash) are engine-specific (DuckDB has
+no xxhash64/blake2b) → rows-only checks + dedicated pytest goldens;
+the exact variants (canonical-text dedup, n-gram Jaccard, embedding
+cosine) carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import dedup as dd
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+# DuckDB twin of operators.dedup._canonical (lowercase → strip
+# non-[a-z\s] → collapse whitespace → trim).
+_CANON = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).select("canonical_id", "n_dups")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_fingerprints(docs)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=7)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(emb, threshold=0.3)
+
+
+SPECS = [
+    QuerySpec(
+        "dedup_exact",
+        q_exact_dedup,
+        oracle=f"""
+        SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+        FROM (SELECT doc_id, {_CANON} AS canon FROM documents)
+        GROUP BY canon
+        """,
+    ),
+    QuerySpec(
+        "dedup_ngram_jaccard",
+        q_ngram_jaccard,
+        oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(string_split({_CANON}, ' ')) - 3, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(string_split({_CANON}, ' '), i + 1, i + 3), ' ')
+                   )) AS shingles
+            FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM posting a JOIN posting b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+        SELECT doc_a, doc_b, n_common,
+               round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+                   AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+        """,
+    ),
+    QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=None),
+    QuerySpec("dedup_simhash_fingerprints", q_simhash_fingerprints, oracle=None),
+    QuerySpec("dedup_simhash_pairs", q_simhash_pairs, oracle=None),
+    QuerySpec(
+        "dedup_embedding_cosine",
+        q_embedding_neardup,
+        oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        """,
+    ),
+]

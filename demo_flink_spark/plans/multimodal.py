@@ -1,0 +1,53 @@
+"""Declared queries: multimodal column plumbing (north-star extension).
+
+The decode internals are stubbed (no media libs in the container) but
+deterministic, so the metadata-derived half of the decode output gets
+a full DuckDB oracle; the byte-level stats (mean_luma, frame split)
+are Python-side → rows-only checks + pytest goldens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from demo_flink_spark.operators import multimodal as mm
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.attach_fake_media(load_table(spark, sf_dir, "documents"))
+
+
+def q_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.decoded_media_stats(_media(spark, sf_dir)).select(
+        "doc_id", "mime", "n_bytes", "width", "height"
+    )
+
+
+def q_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.decoded_media_stats(_media(spark, sf_dir))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.frame_sample(_media(spark, sf_dir), n_frames=4)
+
+
+SPECS = [
+    QuerySpec(
+        "multimodal_decode_meta",
+        q_decode_meta,
+        oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+               CAST(doc_id % 480 + 32 AS INTEGER) AS height
+        FROM documents
+        """,
+    ),
+    QuerySpec("multimodal_decode_stats", q_decode_stats, oracle=None),
+    QuerySpec("multimodal_frame_sample", q_frame_sample, oracle=None),
+]

@@ -1,0 +1,94 @@
+"""Golden + property tests for dedup and similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import dedup as dd
+from demo_flink_spark.operators import similarity as sim
+
+DOCS = [
+    # 0/1: exact duplicates after normalization (case+punct differ)
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "the QUICK brown fox, jumps over the lazy dog!!"),
+    # 2: near-dup of 0 (one word changed)
+    (2, "the quick brown fox jumps over the sleepy dog"),
+    # 3: unrelated
+    (3, "spark engines shuffle data between executors every stage"),
+    # 4: near-dup of 3
+    (4, "spark engines shuffle data between executors each stage"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_merges_normalized_duplicates(spark):
+    out = {r["canonical_id"]: r["n_dups"] for r in dd.exact_dedup(_docs_df(spark)).collect()}
+    assert out[0] == 2          # docs 0 and 1 collapse
+    assert sum(out.values()) == 5
+
+
+def test_ngram_jaccard_finds_neardups(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(_docs_df(spark), n=2, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical shingle sets
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) in pairs
+    assert (0, 3) not in pairs  # unrelated docs
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    """Verified-LSH output must be a subset of exact Jaccard pairs at
+    the same threshold (no false positives), and on this fixture the
+    near-identical pairs must be recalled."""
+    docs = _docs_df(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_pairs(docs, n=2, threshold=0.3).collect()
+    }
+    assert lsh <= exact
+    assert (0, 1) in lsh  # identical docs always collide in every band
+
+
+def test_simhash_identical_and_neardup(spark):
+    docs = _docs_df(spark)
+    fp = {r["doc_id"]: r["simhash"] for r in dd.simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]  # normalized-identical => same fingerprint
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_pairs(docs, max_hamming=7).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # one-word change: small hamming distance
+
+
+def test_srp_lsh_recall_vs_bruteforce(spark):
+    """ANN recall@5 against the exact baseline on real embeddings."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_srp_lsh(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"SRP-LSH recall@5 too low: {recall}"
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, v array<float>")
+    got = df.select(F.round(dd.cosine(F.col("v"), F.col("v")), 9).alias("c")).first()["c"]
+    assert got == 1.0

@@ -1,0 +1,48 @@
+"""Tests for the multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+from demo_flink_spark.operators import multimodal as mm
+
+
+def _media(spark):
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    return mm.attach_fake_media(docs)
+
+
+def test_media_schema_is_binary_plus_typed_meta(spark):
+    media = _media(spark)
+    dt = dict(media.dtypes)
+    assert dt["payload"] == "binary"
+    assert dt["meta"].startswith("struct<mime:string,width:int,height:int")
+
+
+def test_decode_stats_deterministic(spark):
+    out = {r["doc_id"]: r for r in mm.decoded_media_stats(_media(spark)).collect()}
+    assert out[0]["mime"] == "image/png" and out[1]["mime"] == "audio/wav"
+    assert out[0]["n_bytes"] == 3 and out[1]["n_bytes"] == 11
+    # fake luma: mean of byte values / 255
+    assert abs(out[0]["mean_luma"] - (ord("a") + ord("b") + ord("c")) / 3 / 255) < 1e-9
+    assert out[2]["mean_luma"] == 0.0  # empty payload guarded
+
+
+def test_frame_sample_bounded_output(spark):
+    rows = mm.frame_sample(_media(spark), n_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 4  # 11 bytes -> 4 frames
+    assert sum(r["frame_bytes"] for r in by_doc[1]) >= 8
+    assert 2 not in by_doc  # empty payload -> no frames
+    assert len(by_doc[0]) <= 4
+
+
+def test_metadata_filter_prunes_without_decode(spark):
+    # Filtering on meta.mime must not require the payload column:
+    # project meta-only and check the analyzed plan reads no payload.
+    media = _media(spark)
+    filtered = media.filter("meta.mime = 'image/png'").select("doc_id", "meta.width")
+    assert "payload" not in filtered.columns
+    assert filtered.count() == 1
