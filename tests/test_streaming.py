@@ -1,0 +1,190 @@
+"""Streaming semantics tests (FIXTURES.md F2, SURVEY §2.5/§3.2).
+
+The F2 watermark/lateness scenario runs through a REAL multi-batch
+Structured Streaming query: update-mode window agg re-fires for
+late-but-allowed records (W4) and drops too-late ones; the LateRouter
+side output (W5) diverts exactly the too-late rows.
+"""
+
+from __future__ import annotations
+
+import socket
+import tempfile
+import threading
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from demo_flink_spark.sources.streams import file_stream, socket_lines
+from demo_flink_spark.streaming.late_data import LateRouter
+from demo_flink_spark.streaming.windows import (
+    streaming_dedup,
+    windowed_count_stream,
+)
+
+# FIXTURES.md F2: (batch, ts_ms, word). Batch splits chosen so Spark's
+# between-batch watermark reproduces Flink's per-record timing: seq5
+# (9000,a) shares a batch with seq4 so the watermark (lagging one
+# batch) still admits it -> re-fire; seq7 (9500,a) comes after the
+# 30000 batch -> watermark 20000 -> dropped/diverted.
+F2 = [
+    (0, 1000, "a"),
+    (0, 12000, "b"),
+    (0, 8000, "a"),
+    (1, 21000, "c"),
+    (1, 9000, "a"),
+    (2, 30000, "d"),
+    (3, 9500, "a"),
+]
+
+
+def _write_batches(spark, rows, schema="b int, ts_ms long, word string"):
+    stage = tempfile.mkdtemp(prefix="stream_src_")
+    df = spark.createDataFrame(rows, schema)
+    n_batches = df.select(F.max("b")).first()[0] + 1
+    for b in range(n_batches):
+        df.filter(F.col("b") == b).drop("b").coalesce(1).write.mode("append").parquet(
+            stage
+        )
+    return stage, df.drop("b").schema
+
+
+def _with_ts(stream):
+    return stream.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+
+
+def test_allowed_lateness_refire_and_silent_drop(spark):
+    stage, schema = _write_batches(spark, F2)
+    stream = _with_ts(file_stream(spark, stage, schema))
+    counts = windowed_count_stream(
+        stream, ts_col="ts", key_col="word", watermark_delay="10 seconds"
+    )
+    name = f"wmtest_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    emissions = [
+        (str(r["window_start"]), r["word"], r["cnt"]) for r in rows
+    ]
+    a_counts = [c for ws, w, c in emissions if w == "a"]
+    # W4 re-fire: a=2 emitted first, then corrected to a=3 by seq5.
+    assert 2 in a_counts and 3 in a_counts
+    # W5 silent drop: seq7 (9500) never produces a=4.
+    assert 4 not in a_counts
+    final = {}
+    for ws, w, c in emissions:  # update mode: later emission wins
+        final[(ws, w)] = c
+    assert final[("1970-01-01 00:00:00", "a")] == 3
+    assert final[("1970-01-01 00:00:10", "b")] == 1
+    assert final[("1970-01-01 00:00:20", "c")] == 1
+    assert final[("1970-01-01 00:00:30", "d")] == 1
+
+
+def test_late_router_side_output(spark):
+    stage, schema = _write_batches(spark, F2)
+    stream = _with_ts(file_stream(spark, stage, schema))
+    on_time_rows, late_rows = [], []
+    router = LateRouter(
+        ts_col="ts",
+        delay_ms=15_000,
+        on_time=lambda df, _bid: on_time_rows.extend(
+            (r["ts_ms"], r["word"]) for r in df.collect()
+        ),
+        on_late=lambda df, _bid: late_rows.extend(
+            (r["ts_ms"], r["word"]) for r in df.collect()
+        ),
+    )
+    q = (
+        stream.writeStream.foreachBatch(router)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # FIXTURES F2 golden: late output = exactly (9500, a).
+    assert late_rows == [(9500, "a")]
+    assert (9000, "a") in on_time_rows  # late-but-allowed stays on time
+    assert len(on_time_rows) == 6
+
+
+def test_streaming_dedup(spark):
+    rows = [
+        (0, 1000, "x"),
+        (0, 1000, "x"),  # dup inside one batch
+        (1, 1000, "x"),  # dup across batches (within watermark state)
+        (1, 2000, "y"),
+    ]
+    stage, schema = _write_batches(spark, rows)
+    stream = _with_ts(file_stream(spark, stage, schema))
+    deduped = streaming_dedup(stream, ["word"], ts_col="ts")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r["ts_ms"], r["word"]) for r in spark.table(name).collect())
+    assert got == [(1000, "x"), (2000, "y")]
+
+
+def test_socket_source_wordcount(spark):
+    """S1 parity: live socket server → socket source → rolling count."""
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(b"hello world\nhello spark\n")
+            time.sleep(8)  # keep the socket open while Spark reads
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    lines = socket_lines(spark, "127.0.0.1", port)
+    counts = (
+        lines.select(F.explode(F.split("value", " ")).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    name = f"sock_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            got = {r["word"]: r["count"] for r in spark.table(name).collect()}
+            if got.get("hello") == 2:
+                break
+            time.sleep(1)
+        assert got.get("hello") == 2 and got.get("world") == 1
+    finally:
+        q.stop()
+        server.close()
