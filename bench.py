@@ -28,6 +28,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:])
 
+    # Warm up the JVM + parquet footer caches so the first measured
+    # query isn't charged ~5 s of session startup.
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
     qs = e.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():

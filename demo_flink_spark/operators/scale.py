@@ -1,0 +1,93 @@
+"""Scale utilities: hot-key salting and streaming observability.
+
+SURVEY §7.5 hard items for the 100 TB design goal. AQE's skew-join
+splitting handles *join* skew automatically; aggregation skew on a hot
+key (one user/trade id with 10⁹ events) still serializes into one
+reducer — salting splits it into S partial aggregates + one tiny
+final combine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting.
+
+    Phase 1 groups by (key, salt) where salt = crc32(whole row cols) %
+    n_salts — a hot key fans out over n_salts reducers. Phase 2
+    re-groups by key alone to combine partials. Only works for
+    decomposable aggregates; `aggs` maps output name → phase-1
+    aggregate, and the phase-2 combine is chosen by convention:
+    sum→sum, count→sum, min→min, max→max.
+
+    (Map-side partial aggregation already does this for most cases;
+    salting matters when the DISTINCT key count per partition is so
+    low that hash-agg degenerates — the classic hot-key shape.)
+    """
+    salt = (F.crc32(F.concat_ws("\x00", *[F.col(c) for c in df.columns])) % n_salts).alias(
+        "_salt"
+    )
+    phase1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt")
+    partial = phase1.agg(
+        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
+    )
+    combines = []
+    for name in aggs:
+        p = F.col(f"_p_{name}")
+        lowered = name.lower()
+        if lowered.startswith("min"):
+            combines.append(F.min(p).alias(name))
+        elif lowered.startswith("max"):
+            combines.append(F.max(p).alias(name))
+        else:  # sums and counts both combine by summing partials
+            combines.append(F.sum(p).alias(name))
+    return partial.groupBy(*key_cols).agg(*combines)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, explode the small.
+
+    big gets salt = random-ish (crc32 of all cols) % S; small is
+    replicated S times with every salt value — so a hot key's rows
+    spread over S tasks instead of one. Use when AQE's skew split
+    isn't available (e.g. stream-static joins). Small side grows S×:
+    only for dimension-sized right sides.
+    """
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "_salt",
+        (F.crc32(F.concat_ws("\x00", *[F.col(c) for c in big.columns])) % n_salts).cast(
+            "int"
+        ),
+    )
+    return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
+
+
+def observed_watermark(query: StreamingQuery) -> str | None:
+    """Current event-time watermark of a running query (SURVEY §2.5 W8).
+
+    The reference prints `ctx.timerService().currentWatermark()` per
+    element (`EventTimeWordCountDebug.java:77-84`); Spark exposes the
+    same quantity per micro-batch in query progress.
+    """
+    progress = query.lastProgress
+    if not progress:
+        return None
+    return (progress.get("eventTime") or {}).get("watermark")

@@ -422,6 +422,72 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map function family (SURVEY §2.9 ext): construction,
+    size, membership, sort, slice, keys/values/element access."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array(F.col("event_type"), F.lit("x"), F.col("event_type"))
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(arr).cast("long").alias("arr_size"),
+        F.array_contains(arr, "click").alias("has_click"),
+        F.array_join(F.sort_array(F.array_distinct(arr)), "|").alias("sorted_arr"),
+        F.array_join(F.slice(arr, 1, 2), "|").alias("first_two"),
+        F.array_join(F.map_keys(m), "|").alias("prop_keys"),
+        F.array_join(F.map_values(m), "|").alias("prop_values"),
+        F.element_at(m, "k").cast("long").alias("k_elem"),
+    )
+
+
+def q_distinct_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct + dropDuplicates (SURVEY §2.7 ext): distinct projection
+    and keep-one-row-per-key dedup (earliest event per user+type)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_per = (
+        ev.select("user_id", "event_type", "event_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return first_per
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch twin (SURVEY §2.3 ext).
+
+    The streaming form joins a stream against a broadcast dimension —
+    identical plan shape here: events (fact) ⨝ broadcast(customer dim)
+    on user_id→custkey. Verified oracle-side; the streaming wiring is
+    the same `join` on a readStream DataFrame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dsum(F.col("value")), 6).alias("sum_value"),
+        )
+    )
+
+
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx percentile (t-digest-style sketch) next to the exact
+    percentile — sketches differ across engines → rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_median"),
+    )
+
+
 def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key global sort with explicit null placement + limit.
 
@@ -726,6 +792,45 @@ SPECS = [
         FROM events
         """,
     ),
+    QuerySpec(
+        "scalar_array_map",
+        q_scalar_array_map,
+        oracle="""
+        SELECT event_id,
+               CAST(3 AS BIGINT) AS arr_size,
+               event_type = 'click' AS has_click,
+               array_to_string(list_sort(list_distinct([event_type, 'x', event_type])), '|')
+                   AS sorted_arr,
+               array_to_string([event_type, 'x'], '|') AS first_two,
+               'k' AS prop_keys,
+               json_extract_string(props, '$.k') AS prop_values,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_elem
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "distinct_dropdup",
+        q_distinct_dropdup,
+        oracle="""
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY event_id) AS rk
+            FROM events
+        ) WHERE rk = 1
+        """,
+    ),
+    QuerySpec(
+        "stream_static_join",
+        q_stream_static_join,
+        oracle=f"""
+        SELECT c_mktsegment, event_type, count(*) AS n,
+               round({_DSUM.format(e='value')}, 6) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+        """,
+    ),
+    QuerySpec("percentile_approx", q_percentile_approx, oracle=None),
     QuerySpec(
         "orderby_limit",
         q_orderby_limit,
