@@ -108,25 +108,40 @@ def json_diff(old: dict, new: dict) -> list[tuple[str, str, str | None, str | No
     return out
 
 
-def cdc_step(
-    prev_raw: str | None, raw: str
-) -> tuple[str | None, list[tuple[str, str, str | None, str | None]]]:
-    """One CDC step: returns (new_state_raw, diffs).
+def cdc_step_parsed(
+    prev: tuple[str, dict] | None, raw: str
+) -> tuple[tuple[str, dict] | None, list[tuple[str, str, str | None, str | None]]]:
+    """One CDC step carrying the parsed previous record.
 
-    First occurrence → store silently (state=raw, no diffs). No-change
-    record → diffs empty AND state unchanged (returns prev_raw).
-    Malformed JSON records are skipped (state unchanged).
+    `prev` is (raw_json, parsed_dict) or None. Returns the (possibly
+    unchanged) state and the field diffs. Carrying the parse avoids
+    re-deserializing the state on every record — the hot-path cost in
+    the batch replay. Semantics identical to the reference
+    (`TradeChangeDetectionJob.java:82-113`): first occurrence stores
+    silently; no-change records do NOT update state; malformed or
+    non-object records are skipped.
     """
     try:
         new = json.loads(raw)
     except (ValueError, TypeError):
-        return prev_raw, []
+        return prev, []
     if not isinstance(new, dict):
-        return prev_raw, []
-    if prev_raw is None:
-        return raw, []
-    old = json.loads(prev_raw)
-    diffs = json_diff(old, new)
+        return prev, []
+    if prev is None:
+        return (raw, new), []
+    diffs = json_diff(prev[1], new)
     if not diffs:
-        return prev_raw, []  # state NOT updated on no-change
-    return raw, diffs
+        return prev, []  # state NOT updated on no-change
+    return (raw, new), diffs
+
+
+def cdc_step(
+    prev_raw: str | None, raw: str
+) -> tuple[str | None, list[tuple[str, str, str | None, str | None]]]:
+    """One CDC step over raw-string state (the durable-state form used
+    by the streaming processor, whose ValueState holds the raw JSON).
+    Returns (new_state_raw, diffs). See `cdc_step_parsed`.
+    """
+    prev = (prev_raw, json.loads(prev_raw)) if prev_raw is not None else None
+    new_state, diffs = cdc_step_parsed(prev, raw)
+    return (new_state[0] if new_state else None), diffs

@@ -24,7 +24,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from demo_flink_spark.functions.state_kernels import FraudState, cdc_step, fraud_step
+from demo_flink_spark.functions.state_kernels import FraudState, cdc_step_parsed, fraud_step
 
 
 def _epoch_ms(ts_col: str) -> Column:
@@ -175,7 +175,7 @@ def cdc_diff_batch(df: DataFrame, key_col: str, seq_col: str, json_col: str) -> 
         prev = None
         rows = []
         for k, seq, raw in zip(pdf[key_col], pdf[seq_col], pdf[json_col]):
-            prev, diffs = cdc_step(prev, str(raw))
+            prev, diffs = cdc_step_parsed(prev, str(raw))
             for fname, action, old_v, new_v in diffs:
                 rows.append((str(k), int(seq), fname, action, old_v, new_v))
         return pd.DataFrame(

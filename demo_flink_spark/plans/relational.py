@@ -488,6 +488,43 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface (SURVEY §2.3/§2.4 ext): CTE + scalar subquery.
+
+    Catalyst rewrites the scalar subquery into a one-row broadcast —
+    no per-row re-execution.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        WITH rich AS (
+            SELECT * FROM customer_sq
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq)
+        )
+        SELECT c_nationkey, count(*) AS n_rich,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6)
+                   AS total_bal
+        FROM rich GROUP BY c_nationkey
+        """
+    )
+
+
+def q_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (rewritten to a left-semi join by Catalyst)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq2")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders_sq
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer_sq2 WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderstatus
+        """
+    )
+
+
 def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key global sort with explicit null placement + limit.
 
@@ -831,6 +868,32 @@ SPECS = [
         """,
     ),
     QuerySpec("percentile_approx", q_percentile_approx, oracle=None),
+    QuerySpec(
+        "sql_cte_scalar_subquery",
+        q_sql_cte_scalar_subquery,
+        oracle="""
+        WITH rich AS (
+            SELECT * FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        )
+        SELECT c_nationkey, count(*) AS n_rich,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6)
+                   AS total_bal
+        FROM rich GROUP BY c_nationkey
+        """,
+    ),
+    QuerySpec(
+        "sql_in_subquery",
+        q_sql_in_subquery,
+        oracle="""
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderstatus
+        """,
+    ),
     QuerySpec(
         "orderby_limit",
         q_orderby_limit,

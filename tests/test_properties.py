@@ -1,0 +1,91 @@
+"""Property-based tests (SURVEY §5.2.4): the CDC diff is an algebra.
+
+Pure-kernel properties run without Spark — hypothesis generates random
+JSON objects and checks the diff laws the reference implies.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demo_flink_spark.functions.state_kernels import (
+    ADDED,
+    MODIFIED,
+    REMOVED,
+    cdc_step_parsed,
+    json_diff,
+)
+
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=8),
+)
+json_objs = st.dictionaries(st.text(min_size=1, max_size=6), scalars, max_size=8)
+
+
+@given(json_objs)
+def test_diff_reflexive(a):
+    assert json_diff(a, a) == []
+
+
+@given(json_objs, json_objs)
+@settings(max_examples=200)
+def test_diff_partitions_fields(a, b):
+    diffs = json_diff(a, b)
+    by_action = {}
+    for field, action, old, new in diffs:
+        by_action.setdefault(action, set()).add(field)
+    assert by_action.get(ADDED, set()) == set(b) - set(a)
+    assert by_action.get(REMOVED, set()) == set(a) - set(b)
+    # MODIFIED ⊆ intersection, and every diffed field appears exactly once
+    assert by_action.get(MODIFIED, set()) <= (set(a) & set(b))
+    assert len(diffs) == len({f for f, *_ in diffs})
+
+
+@given(json_objs, json_objs)
+@settings(max_examples=200)
+def test_diff_antisymmetric(a, b):
+    """diff(b,a) is diff(a,b) with ADDED/REMOVED swapped and old/new
+    values exchanged on MODIFIED."""
+    fwd = {f: (act, old, new) for f, act, old, new in json_diff(a, b)}
+    bwd = {f: (act, old, new) for f, act, old, new in json_diff(b, a)}
+    assert set(fwd) == set(bwd)
+    flip = {ADDED: REMOVED, REMOVED: ADDED, MODIFIED: MODIFIED}
+    for f, (act, old, new) in fwd.items():
+        b_act, b_old, b_new = bwd[f]
+        assert b_act == flip[act]
+        assert (b_old, b_new) == (new, old)
+
+
+@given(json_objs, json_objs)
+@settings(max_examples=200)
+def test_diff_values_roundtrip(a, b):
+    """Canonical old/new values parse back to the original values."""
+    for field, action, old, new in json_diff(a, b):
+        if old is not None:
+            assert json.loads(old) == a[field]
+        if new is not None:
+            assert json.loads(new) == b[field]
+
+
+@given(st.lists(json_objs, min_size=1, max_size=6))
+@settings(max_examples=100)
+def test_cdc_state_is_last_changed_record(objs):
+    """After any record sequence, CDC state equals the last record that
+    produced a diff (or the first record) — the no-change freeze law."""
+    prev, expected = None, None
+    for obj in objs:
+        raw = json.dumps(obj)
+        new_prev, diffs = cdc_step_parsed(prev, raw)
+        if expected is None:
+            expected = obj  # first occurrence always stored
+        elif diffs:
+            expected = obj
+        prev = new_prev
+        assert prev is not None and prev[1] == expected

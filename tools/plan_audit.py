@@ -1,0 +1,75 @@
+"""Physical-plan audit: assert the scale-critical plan properties.
+
+Run: python tools/plan_audit.py [sf_dir]
+
+For each audited query this checks the properties the operator
+docstrings claim (broadcast joins for dims, pushed filters, pruned
+scans, no cartesian products) against the ACTUAL optimized plan —
+if Catalyst stops picking the intended strategy, this fails before a
+benchmark regression does.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    # query name -> (must_contain, must_not_contain)
+    "q1_pricing_summary": (
+        ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"],
+        ["CartesianProduct"],
+    ),
+    "q3_shipping_priority": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
+    "q5_local_supplier_volume": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q4_order_priority": (["LeftSemi"], ["CartesianProduct"]),
+    "join_anti": (["LeftAnti"], ["CartesianProduct"]),
+    "stream_static_join": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    "join_theta": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "dedup_ngram_jaccard": ([], ["CartesianProduct"]),
+    "dedup_minhash_lsh": ([], ["CartesianProduct"]),
+    "similarity_topk_bruteforce": (
+        ["BroadcastNestedLoopJoin"],  # intended: broadcast the query side
+        [],
+    ),
+    "topk_per_group": (["Window"], ["CartesianProduct"]),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from demo_flink_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    failures = 0
+    for name, (need, forbid) in CHECKS.items():
+        plan = plan_of(qs[name](spark, sf_dir))
+        problems = [f"missing: {frag}" for frag in need if frag not in plan]
+        problems += [f"forbidden: {frag}" for frag in forbid if frag in plan]
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"OK    {name}")
+    print(f"\n{len(CHECKS) - failures} ok, {failures} failed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
