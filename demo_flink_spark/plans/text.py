@@ -47,6 +47,25 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
+def q_parse_csv_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 T2: parse a "ts,word" line into (long, string) with
+    trim — `EventTimeWordCountDebug.java:37-42` — demonstrated by
+    round-tripping synthesized lines from events."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat_ws(
+            ",", F.unix_millis("ts").cast("string"), F.concat(F.lit(" "), "event_type")
+        ).alias("line"),
+    )
+    parts = F.split(F.col("line"), ",")
+    return lines.select(
+        "event_id",
+        F.trim(parts.getItem(0)).cast("long").alias("ts_ms"),
+        F.trim(parts.getItem(1)).alias("word"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "word_count",
@@ -121,6 +140,20 @@ SPECS = [
         "doc_fingerprint",
         q_fingerprint,
         oracle=None,  # hash function is Spark-internal (xxhash64); rows-only check
+    ),
+    QuerySpec(
+        "parse_csv_line",
+        q_parse_csv_line,
+        oracle="""
+        SELECT event_id,
+               CAST(trim(string_split(line, ',')[1]) AS BIGINT) AS ts_ms,
+               trim(string_split(line, ',')[2]) AS word
+        FROM (
+            SELECT event_id,
+                   concat(CAST(epoch_ms(ts) AS VARCHAR), ',', ' ', event_type) AS line
+            FROM events
+        )
+        """,
     ),
     QuerySpec(
         "tf_idf_top3",
