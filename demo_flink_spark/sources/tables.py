@@ -11,6 +11,8 @@ declarative (`spark.read.parquet`) and Catalyst prunes them.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,6 +32,40 @@ TABLES = (
 )
 
 
+def ensure_session(spark: SparkSession) -> None:
+    """Make ANY SparkSession able to run the engine's queries.
+
+    The driver harness builds its own session, so the engine can't rely
+    on `demo_flink_spark.session.get_spark` having configured it. This
+    sets the runtime-settable requirements idempotently:
+
+    - `nanosAsLong`: events.parquet stores TIMESTAMP(NANOS);
+    - session timezone UTC: timestamp values must canonicalize the
+      same way DuckDB's (naive, UTC-semantics) timestamps do;
+    - Arrow on: every pandas-based operator assumes Arrow transfer;
+    - ships the package source via `addPyFile` so Python workers can
+      unpickle module-level functions even when the driver process
+      never exported PYTHONPATH (worker sys.path includes shipped
+      pyfiles; static-conf PYTHONPATH can't be set post-JVM-start).
+    """
+    if getattr(spark, "_dfs_session_ready", False):
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        zip_base = os.path.join(
+            tempfile.mkdtemp(prefix="dfs_pyfiles_"), "demo_flink_spark"
+        )
+        zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                       os.path.basename(pkg_dir))
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — best-effort; PYTHONPATH may already cover it
+        pass
+    spark._dfs_session_ready = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Columns/filters prune at the scan.
 
@@ -40,6 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
