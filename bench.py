@@ -3,10 +3,9 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
 line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count + a write-free collect of
-a bounded head) so the timing covers the full plan, not just
-planning. Run with `python bench.py`; select a subset with
-`python bench.py q1 q2`.
+Each query is executed to completion via count() — an action that
+runs the whole plan without materializing results on the driver. Run
+with `python bench.py`; select a subset with `python bench.py q1 q2`.
 """
 
 from __future__ import annotations
@@ -42,10 +41,9 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            # Force full execution without driver-side materialization
-            # of large results: count() runs the whole plan.
-            n = df.count()
+            # count() forces full execution without driver-side
+            # materialization of large results.
+            fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0

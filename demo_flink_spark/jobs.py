@@ -27,7 +27,7 @@ from demo_flink_spark.operators.wordcount import (
     STOPWORDS,
     normalize_text,
 )
-from demo_flink_spark.sources.streams import kafka_stream, socket_lines
+from demo_flink_spark.sources.streams import socket_lines
 from demo_flink_spark.streaming.harness import run_stateful
 from demo_flink_spark.streaming.stateful_ops import (
     CDC_DETECTOR,
@@ -119,11 +119,27 @@ def trade_change_detection(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    raw = kafka_stream(spark, bootstrap_servers, topic)
+    from demo_flink_spark.sources.streams import kafka_available
+
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "Kafka connector not on classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 via --packages"
+        )
+    # Read raw (not value-only): the Kafka offset is the per-partition
+    # arrival order, which the CDC kernel needs as its seq column.
+    # (monotonically_increasing_id is rejected on streaming DataFrames.)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
     keyed = raw.select(
-        F.get_json_object("value", "$.id").alias("trade_id"),
-        F.monotonically_increasing_id().alias("seq"),
-        "value",
+        F.get_json_object(F.col("value").cast("string"), "$.id").alias("trade_id"),
+        F.col("offset").alias("seq"),
+        F.col("value").cast("string").alias("value"),
     )
     return keyed.groupBy("trade_id").applyInPandasWithState(
         CDC_DETECTOR.fn,

@@ -112,11 +112,14 @@ def ngram_jaccard_pairs(
     posting list at scale).
 
     The shingle set feeds three plan branches (posting a-side, b-side,
-    sizes); without persistence Spark recomputes the generation
-    expression per branch — 3× the dominant cost. Persisted here
-    (memory+disk); at 100 TB materialize to a temp parquet instead.
+    sizes); without materialization Spark recomputes the generation
+    per branch — 3× the dominant cost. `localCheckpoint` computes it
+    once and, unlike `persist`, its storage is released by the
+    ContextCleaner when the DataFrame is garbage collected (persist
+    pins the plan in the CacheManager for the session's lifetime). At
+    100 TB materialize to a temp parquet instead.
     """
-    sh = shingles(docs, text_col, n).persist()
+    sh = shingles(docs, text_col, n).localCheckpoint()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
@@ -187,10 +190,10 @@ def minhash_lsh_pairs(
     false positives (LSH misses stay missed: documented recall trade).
     """
     rows = n_hashes // bands
-    # persist: signatures+shingles feed the band explode AND both sides
-    # of the verification join — recomputing 64 minhashes 3× dominates
-    # otherwise.
-    sigs = minhash_signatures(docs, text_col, n, n_hashes).persist()
+    # localCheckpoint: signatures+shingles feed the band explode AND
+    # both sides of the verification join — recomputing 64 minhashes 3×
+    # dominates otherwise (storage is GC-released, unlike persist).
+    sigs = minhash_signatures(docs, text_col, n, n_hashes).localCheckpoint()
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -293,11 +296,17 @@ def simhash_pairs(
     with C > max_hamming. More chunks = wider candidate net = more
     verification work — the standard recall/cost dial.
     """
-    n_chunks = next((c for c in (4, 8, 16, 32) if c > max_hamming), 32)
+    if not 0 <= max_hamming < 32:
+        raise ValueError(
+            f"max_hamming must be in [0, 31] (got {max_hamming}): the 32-chunk "
+            "banding ceiling only guarantees completeness up to distance 31"
+        )
+    n_chunks = next(c for c in (4, 8, 16, 32) if c > max_hamming)
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    # persist: fingerprints feed both sides of the chunk self-join
-    fp = simhash_fingerprints(docs, text_col).persist()
+    # localCheckpoint: fingerprints feed both sides of the chunk
+    # self-join (storage GC-released, unlike persist)
+    fp = simhash_fingerprints(docs, text_col).localCheckpoint()
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), width * c)

@@ -34,10 +34,14 @@ def salted_agg(
     (Map-side partial aggregation already does this for most cases;
     salting matters when the DISTINCT key count per partition is so
     low that hash-agg degenerates — the classic hot-key shape.)
+
+    Salt = row position (monotonically_increasing_id % S), NOT row
+    content: a hot key made of identical rows would hash to a single
+    salt and re-serialize into one reducer. Position spreads evenly
+    regardless of content, and the salt never affects results — only
+    partitioning.
     """
-    salt = (F.crc32(F.concat_ws("\x00", *[F.col(c) for c in df.columns])) % n_salts).alias(
-        "_salt"
-    )
+    salt = (F.monotonically_increasing_id() % n_salts).cast("int").alias("_salt")
     phase1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt")
     partial = phase1.agg(
         *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
@@ -63,19 +67,18 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the big side, explode the small.
 
-    big gets salt = random-ish (crc32 of all cols) % S; small is
-    replicated S times with every salt value — so a hot key's rows
-    spread over S tasks instead of one. Use when AQE's skew split
-    isn't available (e.g. stream-static joins). Small side grows S×:
-    only for dimension-sized right sides.
+    big gets salt = row position % S (content-independent — identical
+    hot rows still spread); small is replicated S times with every
+    salt value — so a hot key's rows spread over S tasks instead of
+    one. Use when AQE's skew split isn't available (e.g. stream-static
+    joins). Small side grows S×: only for dimension-sized right sides.
     """
-    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
-    small_rep = small.select("*", salts)
+    small_rep = small.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+    )
     big_salted = big.withColumn(
-        "_salt",
-        (F.crc32(F.concat_ws("\x00", *[F.col(c) for c in big.columns])) % n_salts).cast(
-            "int"
-        ),
+        "_salt", (F.monotonically_increasing_id() % n_salts).cast("int")
     )
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
 

@@ -25,10 +25,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from demo_flink_spark.functions.state_kernels import FraudState, cdc_step_parsed, fraud_step
-
-
-def _epoch_ms(ts_col: str) -> Column:
-    return F.unix_timestamp(ts_col) * 1000 + F.date_format(ts_col, "SSS").cast("long")
+from demo_flink_spark.functions.time import epoch_ms
 
 
 def running_count(
@@ -67,6 +64,7 @@ def fraud_candidates(
     key_col: str,
     ts_col: str,
     amount_col: str,
+    id_col: str = "event_id",
     threshold: float = 100.0,
     window_ms: int = 600_000,
     min_count: int = 3,
@@ -78,7 +76,7 @@ def fraud_candidates(
     `count(when(amount>θ)) over (range between 600000 preceding)` on
     epoch millis — SURVEY §2.6's documented oracle shape for ST1.
     """
-    ts_ms = _epoch_ms(ts_col).alias("ts_ms")
+    ts_ms = epoch_ms(ts_col).alias("ts_ms")
     w = (
         Window.partitionBy(key_col)
         .orderBy("ts_ms")
@@ -86,21 +84,11 @@ def fraud_candidates(
     )
     high = F.when(F.col(amount_col) > threshold, 1)
     return (
-        df.select(key_col, "event_id", ts_ms, amount_col)
+        df.select(key_col, id_col, ts_ms, amount_col)
         .withColumn("n_high_10min", F.count(high).over(w))
         .withColumn("would_alert", F.col("n_high_10min") >= min_count)
-        .select(key_col, "event_id", "n_high_10min", "would_alert")
+        .select(key_col, id_col, "n_high_10min", "would_alert")
     )
-
-
-FRAUD_ALERTS_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("seq", LongType()),
-        StructField("ts_ms", LongType()),
-        StructField("tracked", IntegerType()),
-    ]
-)
 
 
 def fraud_alerts(
@@ -122,7 +110,19 @@ def fraud_alerts(
     keys: the per-row work is O(1) amortized, so even a hot key is a
     sequential scan, and salting can't apply (the rule is inherently
     per-key sequential).
+
+    Output columns: (key_col, seq, ts_ms, tracked) — the key keeps the
+    caller's name and type.
     """
+    key_field = df.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("seq", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("tracked", IntegerType()),
+        ]
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col)
@@ -143,9 +143,9 @@ def fraud_alerts(
             )
             if fired:
                 rows.append((k, int(seq), int(ts), count))
-        return pd.DataFrame(rows, columns=["user_id", "seq", "ts_ms", "tracked"])
+        return pd.DataFrame(rows, columns=[key_col, "seq", "ts_ms", "tracked"])
 
-    return df.groupBy(key_col).applyInPandas(run, FRAUD_ALERTS_SCHEMA)
+    return df.groupBy(key_col).applyInPandas(run, out_schema)
 
 
 CDC_BATCH_SCHEMA = StructType(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from demo_flink_spark.functions.time import epoch_ms
 from demo_flink_spark.operators.relational import (
     davg,
     dstddev_samp,
@@ -340,9 +341,7 @@ def q_window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle shape). RANGE BETWEEN 600000 PRECEDING on epoch millis.
     """
     ev = load_table(spark, sf_dir, "events")
-    ts_ms = (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")).alias(
-        "ts_ms"
-    )
+    ts_ms = epoch_ms("ts").alias("ts_ms")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_ms")

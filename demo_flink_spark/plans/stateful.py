@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from demo_flink_spark.functions.time import epoch_ms
 from demo_flink_spark.operators import stateful_batch as sb
 from demo_flink_spark.plans.spec import QuerySpec
 from demo_flink_spark.sources import load_table
@@ -45,9 +46,7 @@ def q_fraud_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("event_id").alias("seq"),
-        (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("long")).alias(
-            "ts_ms"
-        ),
+        epoch_ms("ts").alias("ts_ms"),
         F.col("value").alias("amount"),
     )
     # 1-day window (vs the reference's 10 min): the synthetic events are

@@ -32,6 +32,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from demo_flink_spark.functions.time import epoch_ms
+
 
 class LateRouter:
     """foreachBatch callable splitting each micro-batch into
@@ -57,10 +59,7 @@ class LateRouter:
         return self.max_seen_ms - self.delay_ms
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        ts_ms = (
-            F.unix_timestamp(self.ts_col) * 1000
-            + F.date_format(self.ts_col, "SSS").cast("long")
-        )
+        ts_ms = epoch_ms(self.ts_col)
         batch_df = batch_df.withColumn("_ts_ms", ts_ms).persist()
         try:
             wm = self.watermark_ms()

@@ -90,9 +90,11 @@ def streaming_dedup(
     ts_col: str = "ts",
     watermark_delay: str = "10 seconds",
 ) -> DataFrame:
-    """Streaming exact dedup: first occurrence wins, state bounded by
-    the watermark (`dropDuplicates` keeps keys only until the watermark
-    passes — without it, state grows forever)."""
-    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates(
-        [*key_cols, ts_col]
+    """Streaming exact dedup on the KEY: first occurrence wins, even
+    when re-deliveries carry different timestamps; state is evicted
+    once the watermark passes (`dropDuplicatesWithinWatermark`), so a
+    key can reappear after the watermark window — the bounded-state
+    trade every streaming dedup makes."""
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
     )
