@@ -74,6 +74,39 @@ def test_diff_values_roundtrip(a, b):
             assert json.loads(new) == b[field]
 
 
+txs = st.lists(
+    st.tuples(
+        st.floats(min_value=0, max_value=1000, allow_nan=False),
+        st.integers(min_value=0, max_value=10**7),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(txs)
+@settings(max_examples=200)
+def test_fraud_alert_invariants(seq):
+    """For any tx sequence (sorted by time): every alert sees ≥3
+    tracked txs, and consecutive alerts are > window_ms apart (the
+    throttle law, `FraudDetectorExample.java:108-112`)."""
+    from demo_flink_spark.functions.state_kernels import (
+        FRAUD_WINDOW_MS,
+        FraudState,
+        fraud_step,
+    )
+
+    state = FraudState()
+    alert_times = []
+    for amount, ts in sorted(seq, key=lambda t: t[1]):
+        count, fired = fraud_step(state, amount, ts)
+        if fired:
+            assert count >= 3
+            alert_times.append(ts)
+    for a, b in zip(alert_times, alert_times[1:]):
+        assert b - a > FRAUD_WINDOW_MS
+
+
 @given(st.lists(json_objs, min_size=1, max_size=6))
 @settings(max_examples=100)
 def test_cdc_state_is_last_changed_record(objs):
