@@ -24,12 +24,11 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase aggregation with key salting.
 
-    Phase 1 groups by (key, salt) where salt = crc32(whole row cols) %
-    n_salts — a hot key fans out over n_salts reducers. Phase 2
-    re-groups by key alone to combine partials. Only works for
-    decomposable aggregates; `aggs` maps output name → phase-1
-    aggregate, and the phase-2 combine is chosen by convention:
-    sum→sum, count→sum, min→min, max→max.
+    Phase 1 groups by (key, salt) — a hot key fans out over n_salts
+    reducers. Phase 2 re-groups by key alone to combine partials. Only
+    works for decomposable aggregates; `aggs` maps output name →
+    phase-1 aggregate, and the phase-2 combine is chosen by
+    convention: sum→sum, count→sum, min→min, max→max.
 
     (Map-side partial aggregation already does this for most cases;
     salting matters when the DISTINCT key count per partition is so
@@ -64,6 +63,7 @@ def salted_join(
     small: DataFrame,
     key: str,
     n_salts: int = 16,
+    salt_expr: Column | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the big side, explode the small.
 
@@ -72,14 +72,29 @@ def salted_join(
     salt value — so a hot key's rows spread over S tasks instead of
     one. Use when AQE's skew split isn't available (e.g. stream-static
     joins). Small side grows S×: only for dimension-sized right sides.
+
+    Streaming callers MUST pass `salt_expr`: Spark rejects
+    `monotonically_increasing_id()` on streaming DataFrames at query
+    start (StreamingQueryException, non-time-based expression). A good
+    streaming salt is a per-record source ordinal that identical rows
+    don't share — e.g. `pmod(col("offset"), n_salts)` for Kafka, or a
+    sequence column carried by the source. Content hashes are NOT a
+    good salt: a hot key made of identical rows would collapse back
+    into one reducer.
     """
+    if salt_expr is None:
+        if big.isStreaming:
+            raise ValueError(
+                "salted_join on a streaming DataFrame needs an explicit "
+                "salt_expr (e.g. pmod(col('offset'), n_salts) for Kafka): "
+                "monotonically_increasing_id() is rejected on streams"
+            )
+        salt_expr = (F.monotonically_increasing_id() % n_salts).cast("int")
     small_rep = small.select(
         "*",
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
     )
-    big_salted = big.withColumn(
-        "_salt", (F.monotonically_increasing_id() % n_salts).cast("int")
-    )
+    big_salted = big.withColumn("_salt", salt_expr.cast("int"))
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
 
 

@@ -30,7 +30,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    # df-cut ON in the shipped query (VERDICT r1 item 3): drop shingles
+    # present in more than max(1% of docs, 100) documents before the
+    # posting-list self-join — the skew cap the operator documents as
+    # mandatory at scale. The count() is a parquet-metadata read.
+    max_df = max(int(0.01 * docs.count()), 100)
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +81,19 @@ SPECS = [
                    )) AS shingles
             FROM documents
         ),
-        posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        posting_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        -- mirror of the Spark query's df-cut: shingles in more than
+        -- max(1% of docs, 100) documents are dropped from the posting
+        -- list (sizes below stay full-set, exactly like the operator)
+        rare AS (
+            SELECT shingle FROM posting_all GROUP BY shingle
+            HAVING count(*) <= greatest(
+                CAST(floor(0.01 * (SELECT count(*) FROM documents)) AS BIGINT), 100)
+        ),
+        posting AS (
+            SELECT doc_id, shingle FROM posting_all
+            WHERE shingle IN (SELECT shingle FROM rare)
+        ),
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM posting a JOIN posting b
