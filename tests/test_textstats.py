@@ -45,3 +45,22 @@ def test_fingerprint_invariant_to_case_and_punct(spark):
     got = {r["doc_id"]: r["fingerprint"] for r in textstats.doc_fingerprint(docs).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_lang_id_cjk_scripts(spark):
+    # non-Latin scripts must route by codepoint range, not bigram vote
+    # (hanzi has zero latin bigrams; r1 mislabeled it 'de')
+    docs = spark.createDataFrame(
+        [
+            (1, "今天天气很好我们去公园", "zh"),  # hanzi
+            (2, "今日はいい天気ですね", "ja"),  # kanji+kana
+            (3, "오늘 날씨가 좋습니다", "ko"),  # hangul
+            (4, "the weather in the north then there is rather thin", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in textstats.lang_id_ngram(docs).collect()}
+    assert got[1] == "zh"
+    assert got[2] == "ja"
+    assert got[3] == "ko"
+    assert got[4] == "en"
