@@ -15,7 +15,29 @@ Reference parity:
 from __future__ import annotations
 
 import json
+from collections.abc import Iterator
 from dataclasses import dataclass, field
+
+import pandas as pd
+
+
+def iter_sorted(pdfs: Iterator[pd.DataFrame], seq_col: str = "seq"):
+    """Deterministic in-batch order: concatenate ALL chunks, sort by seq.
+
+    The reference pins parallelism to 1 so arrival order is list order
+    (`FraudDetectorExample.java:44`); we sort on the explicit seq
+    column instead, which stays deterministic under any partitioning.
+
+    Shared by BOTH state APIs. Concatenating before sorting matters:
+    one key's rows in a micro-batch can span multiple Arrow chunks
+    (spark.sql.execution.arrow.maxRecordsPerBatch), and sorting each
+    chunk independently would step the kernel in nondeterministic
+    cross-chunk order.
+    """
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        return iter(())
+    return pd.concat(frames).sort_values(seq_col).itertuples(index=False)
 
 # ---------------------------------------------------------------------------
 # ST1 — fraud detector (`FraudDetectorExample.java:71-121`)

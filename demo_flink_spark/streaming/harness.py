@@ -15,7 +15,9 @@ dep is importable; otherwise falls back to `applyInPandasWithState`
 
 from __future__ import annotations
 
+import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +56,14 @@ def run_stateful(
     if n_batches > 1:
         if batch_col is None:
             raise ValueError("batch_col required when n_batches > 1")
+        # FileStreamSource orders new files by modification time, with
+        # ties broken by path — and paths contain random UUID part
+        # names, so same-mtime-tick writes could replay out of order.
+        # Stamp each batch's files with an explicit, strictly
+        # increasing mtime so trigger order is guaranteed regardless
+        # of filesystem timestamp granularity (ADVICE r1).
+        base = time.time() - n_batches - 1
+        stamped: set[str] = set()
         for b in range(n_batches):
             (
                 source.filter(f"{batch_col} = {b}")
@@ -62,6 +72,10 @@ def run_stateful(
                 .write.mode("append")
                 .parquet(stage)
             )
+            for fname in os.listdir(stage):
+                if fname.endswith(".parquet") and fname not in stamped:
+                    os.utime(os.path.join(stage, fname), (base + b, base + b))
+                    stamped.add(fname)
         schema = source.drop(batch_col).schema
     else:
         source.coalesce(1).write.mode("overwrite").parquet(stage)

@@ -46,6 +46,7 @@ from demo_flink_spark.functions.state_kernels import (
     FraudState,
     cdc_step,
     fraud_step,
+    iter_sorted,
 )
 
 # ---------------------------------------------------------------------------
@@ -77,11 +78,10 @@ class RunningCounter(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         n = self._count.get()[0] if self._count.exists() else 0
         out_seq, out_n = [], []
-        for batch in rows:
-            for seq in batch.sort_values("seq")["seq"]:
-                n += 1
-                out_seq.append(int(seq))
-                out_n.append(n)
+        for row in iter_sorted(rows):
+            n += 1
+            out_seq.append(int(row.seq))
+            out_n.append(n)
         self._count.update((n,))
         yield pd.DataFrame(
             {"user_id": key[0], "seq": out_seq, "clicks": out_n}
@@ -120,12 +120,11 @@ class EventListAccumulator(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         history = [r[0] for r in self._events.get()]
         out_seq, out_hist = [], []
-        for batch in rows:
-            for _, row in batch.sort_values("seq").iterrows():
-                history.append(str(row["event"]))
-                out_seq.append(int(row["seq"]))
-                out_hist.append(",".join(history))
-                self._events.appendValue((str(row["event"]),))
+        for row in iter_sorted(rows):
+            history.append(str(row.event))
+            out_seq.append(int(row.seq))
+            out_hist.append(",".join(history))
+            self._events.appendValue((str(row.event),))
         yield pd.DataFrame(
             {"user_id": key[0], "seq": out_seq, "history": out_hist}
         )
@@ -174,15 +173,12 @@ class FraudDetector(StatefulProcessor):
             else None,
         )
         out = {"seq": [], "ts_ms": [], "tracked": []}
-        for batch in rows:
-            for _, row in batch.sort_values("seq").iterrows():
-                count, fired = fraud_step(
-                    state, float(row["amount"]), int(row["ts_ms"])
-                )
-                if fired:
-                    out["seq"].append(int(row["seq"]))
-                    out["ts_ms"].append(int(row["ts_ms"]))
-                    out["tracked"].append(count)
+        for row in iter_sorted(rows):
+            count, fired = fraud_step(state, float(row.amount), int(row.ts_ms))
+            if fired:
+                out["seq"].append(int(row.seq))
+                out["ts_ms"].append(int(row.ts_ms))
+                out["tracked"].append(count)
         self._recent.put([(t,) for t in state.recent_ts])
         if state.last_alert_ms is not None:
             self._last_alert.update((state.last_alert_ms,))
@@ -241,15 +237,14 @@ class TradeChangeDetector(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         prev = self._prev.get()[0] if self._prev.exists() else None
         out = {"seq": [], "field": [], "action": [], "old": [], "new": []}
-        for batch in rows:
-            for _, row in batch.sort_values("seq").iterrows():
-                prev, diffs = cdc_step(prev, str(row["value"]))
-                for fname, action, old_v, new_v in diffs:
-                    out["seq"].append(int(row["seq"]))
-                    out["field"].append(fname)
-                    out["action"].append(action)
-                    out["old"].append(old_v)
-                    out["new"].append(new_v)
+        for row in iter_sorted(rows):
+            prev, diffs = cdc_step(prev, str(row.value))
+            for fname, action, old_v, new_v in diffs:
+                out["seq"].append(int(row.seq))
+                out["field"].append(fname)
+                out["action"].append(action)
+                out["old"].append(old_v)
+                out["new"].append(new_v)
         if prev is not None:
             self._prev.update((prev,))
         yield pd.DataFrame(

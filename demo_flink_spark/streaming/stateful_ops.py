@@ -27,6 +27,7 @@ from demo_flink_spark.functions.state_kernels import (
     FraudState,
     cdc_step,
     fraud_step,
+    iter_sorted,
 )
 from demo_flink_spark.streaming import processors as _tws
 
@@ -47,17 +48,8 @@ class StatefulOp:
     processor_factory: Callable[[], Any] | None = None
 
 
-def _iter_sorted(pdfs: Iterator[pd.DataFrame], seq_col: str = "seq"):
-    """Deterministic in-batch order: concatenate and sort by seq.
-
-    The reference pins parallelism to 1 so arrival order is list order
-    (`FraudDetectorExample.java:44`); we sort on the explicit seq
-    column instead, which stays deterministic under any partitioning.
-    """
-    frames = [pdf for pdf in pdfs if len(pdf)]
-    if not frames:
-        return iter(())
-    return pd.concat(frames).sort_values(seq_col).itertuples(index=False)
+# Deterministic in-batch ordering shared with streaming.processors.
+_iter_sorted = iter_sorted
 
 
 # --- ST4: running counter (`UserClickCounter.java:39-61`) -------------------

@@ -178,3 +178,76 @@ def test_json_diff_type_sensitive():
 @pytest.mark.parametrize("a", [{}, {"x": 1}, {"x": 1, "y": [1, {"z": None}]}])
 def test_json_diff_identity(a):
     assert json_diff(a, a) == []
+
+
+# --- cross-chunk ordering (ADVICE r1, medium) -------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeListState:
+    def __init__(self):
+        self._items = []
+
+    def get(self):
+        return list(self._items)
+
+    def put(self, items):
+        self._items = list(items)
+
+    def appendValue(self, v):
+        self._items.append(v)
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema):
+        return _FakeValueState()
+
+    def getListState(self, name, schema):
+        return _FakeListState()
+
+
+def test_processor_sorts_across_arrow_chunks():
+    # One key's micro-batch rows arriving as MULTIPLE Arrow chunks must
+    # be stepped in global seq order, not chunk-local order. Chunk A
+    # holds the LATER seqs; per-chunk sorting would count them first.
+    import pandas as pd
+
+    from demo_flink_spark.streaming.processors import RunningCounter
+
+    proc = RunningCounter()
+    proc.init(_FakeHandle())
+    chunk_late = pd.DataFrame({"seq": [5, 7, 6]})
+    chunk_early = pd.DataFrame({"seq": [2, 1, 3]})
+    [out] = list(
+        proc.handleInputRows(("u1",), iter([chunk_late, chunk_early]), None)
+    )
+    assert out["seq"].tolist() == [1, 2, 3, 5, 6, 7]
+    assert out["clicks"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_event_list_processor_cross_chunk_history():
+    import pandas as pd
+
+    from demo_flink_spark.streaming.processors import EventListAccumulator
+
+    proc = EventListAccumulator()
+    proc.init(_FakeHandle())
+    chunk_late = pd.DataFrame({"seq": [2], "event": ["b"]})
+    chunk_early = pd.DataFrame({"seq": [1], "event": ["a"]})
+    [out] = list(
+        proc.handleInputRows(("u1",), iter([chunk_late, chunk_early]), None)
+    )
+    assert out["history"].tolist() == ["a", "a,b"]
