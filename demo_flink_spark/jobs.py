@@ -126,9 +126,15 @@ def trade_change_detection(
             "Kafka connector not on classpath; add "
             "org.apache.spark:spark-sql-kafka-0-10_2.13 via --packages"
         )
-    # Read raw (not value-only): the Kafka offset is the per-partition
+    # Read raw (not value-only): Kafka (partition, offset) is the
     # arrival order, which the CDC kernel needs as its seq column.
     # (monotonically_increasing_id is rejected on streaming DataFrames.)
+    # seq = partition << 42 | offset keeps seq unique across partitions
+    # (a bare offset collides between partitions of a multi-partition
+    # topic). NOTE: per-key total order still requires the producer to
+    # key-partition — records of one trade_id spread across partitions
+    # have no cross-partition arrival order, in Kafka or in the
+    # reference job (which implicitly assumes keyed production too).
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -138,7 +144,8 @@ def trade_change_detection(
     )
     keyed = raw.select(
         F.get_json_object(F.col("value").cast("string"), "$.id").alias("trade_id"),
-        F.col("offset").alias("seq"),
+        (F.shiftleft(F.col("partition").cast("long"), 42) + F.col("offset"))
+        .alias("seq"),
         F.col("value").cast("string").alias("value"),
     )
     return keyed.groupBy("trade_id").applyInPandasWithState(

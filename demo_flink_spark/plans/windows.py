@@ -52,6 +52,29 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_processing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: processing-time tumbling window (`WindowWordCount.java:9`
+    imports TumblingProcessingTimeWindows).
+
+    Processing time = when the record reaches the operator, not its
+    event timestamp. In production streaming that's a
+    `current_timestamp()` stamp at arrival — no watermark, windows
+    close on the wall clock. For a deterministic, oracle-checkable
+    twin we stamp an explicit arrival timestamp (steady 25 ms
+    inter-arrival in event_id order, epoch 2024-01-01) and window on
+    it; the operator shape — stamp → window() → agg, event-time column
+    ignored — is exactly the processing-time pipeline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arrival = F.timestamp_millis(F.lit(1704067200000) + F.col("event_id") * 25)
+    w = F.window(arrival, "10 seconds")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
 def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 5-minute inactivity gap per user.
 
@@ -112,6 +135,16 @@ SPECS = [
         )
         SELECT window_start, event_type, count(*) AS cnt
         FROM assigned GROUP BY 1, 2
+        """,
+    ),
+    QuerySpec(
+        "window_processing_time_10s",
+        q_processing_time,
+        oracle="""
+        SELECT time_bucket(INTERVAL '10 seconds',
+                           epoch_ms(1704067200000 + event_id * 25)) AS window_start,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
         """,
     ),
     QuerySpec(
