@@ -105,11 +105,16 @@ def fraud_alerts(
     (prune + threshold + 10-min alert throttle) via applyInPandas.
 
     The throttle makes each alert depend on the previous alert — not
-    expressible as a frame — so this is a grouped-map Pandas UDF: one
-    shuffle on the key, then a linear in-memory pass per key. Skewed
-    keys: the per-row work is O(1) amortized, so even a hot key is a
-    sequential scan, and salting can't apply (the rule is inherently
-    per-key sequential).
+    expressible as a frame — so the replay is a sort-merge pass: one
+    shuffle on the key, sort within partitions by (key, seq), then ONE
+    `mapInPandas` generator per partition that steps the kernel and
+    resets state on key change. State carries across Arrow chunks, so
+    memory stays flat no matter the key size — unlike grouped-map
+    `applyInPandas`, which materializes a whole key's rows in one task
+    (a 10⁹-event hot key would be an OOM, and 10⁵ small keys pay a
+    per-group pandas/Arrow round-trip that dominated round 1's bench).
+    A hot key is still a sequential scan (the rule is inherently
+    per-key sequential; salting can't apply), but a streaming one.
 
     Output columns: (key_col, seq, ts_ms, tracked) — the key keeps the
     caller's name and type.
@@ -124,28 +129,34 @@ def fraud_alerts(
         ]
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq_col)
+    def run(pdfs):
+        cur_key = object()  # sentinel unequal to any real key
         state = FraudState()
-        rows = []
-        # itertuples over the three needed columns: ~10x faster than
-        # iterrows — this loop is the per-key hot path.
-        for k, seq, ts, amount in zip(
-            pdf[key_col], pdf[seq_col], pdf[ts_ms_col], pdf[amount_col]
-        ):
-            count, fired = fraud_step(
-                state,
-                float(amount),
-                int(ts),
-                threshold=threshold,
-                window_ms=window_ms,
-                min_count=min_count,
-            )
-            if fired:
-                rows.append((k, int(seq), int(ts), count))
-        return pd.DataFrame(rows, columns=[key_col, "seq", "ts_ms", "tracked"])
+        for pdf in pdfs:
+            rows = []
+            for k, seq, ts, amount in zip(
+                pdf[key_col], pdf[seq_col], pdf[ts_ms_col], pdf[amount_col]
+            ):
+                if k != cur_key:
+                    cur_key, state = k, FraudState()
+                count, fired = fraud_step(
+                    state,
+                    float(amount),
+                    int(ts),
+                    threshold=threshold,
+                    window_ms=window_ms,
+                    min_count=min_count,
+                )
+                if fired:
+                    rows.append((k, int(seq), int(ts), count))
+            yield pd.DataFrame(rows, columns=[key_col, "seq", "ts_ms", "tracked"])
 
-    return df.groupBy(key_col).applyInPandas(run, out_schema)
+    return (
+        df.select(key_col, seq_col, ts_ms_col, amount_col)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, seq_col)
+        .mapInPandas(run, out_schema)
+    )
 
 
 CDC_BATCH_SCHEMA = StructType(
@@ -166,23 +177,35 @@ def cdc_diff_batch(df: DataFrame, key_col: str, seq_col: str, json_col: str) -> 
     Not a plain lag() diff: the reference does NOT update state on a
     no-change record (`TradeChangeDetectionJob.java:109-111`), so the
     comparison baseline is "last record that produced a diff", which
-    lag() can't express. applyInPandas replays the same kernel the
-    streaming processor uses.
+    lag() can't express. The replay steps the same kernel the
+    streaming processor uses, as a sort-merge `mapInPandas` pass
+    (shuffle on key → sort within partitions → one streaming generator
+    per partition, state reset on key change) — flat memory on hot
+    keys and no per-group pandas round-trip; see `fraud_alerts`.
     """
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq_col)
+    def run(pdfs):
+        cur_key = object()
         prev = None
-        rows = []
-        for k, seq, raw in zip(pdf[key_col], pdf[seq_col], pdf[json_col]):
-            prev, diffs = cdc_step_parsed(prev, str(raw))
-            for fname, action, old_v, new_v in diffs:
-                rows.append((str(k), int(seq), fname, action, old_v, new_v))
-        return pd.DataFrame(
-            rows, columns=["key", "seq", "field", "action", "old_value", "new_value"]
-        )
+        for pdf in pdfs:
+            rows = []
+            for k, seq, raw in zip(pdf[key_col], pdf[seq_col], pdf[json_col]):
+                if k != cur_key:
+                    cur_key, prev = k, None
+                prev, diffs = cdc_step_parsed(prev, str(raw))
+                for fname, action, old_v, new_v in diffs:
+                    rows.append((str(k), int(seq), fname, action, old_v, new_v))
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "seq", "field", "action", "old_value", "new_value"],
+            )
 
-    return df.groupBy(key_col).applyInPandas(run, CDC_BATCH_SCHEMA)
+    return (
+        df.select(key_col, seq_col, json_col)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, seq_col)
+        .mapInPandas(run, CDC_BATCH_SCHEMA)
+    )
 
 
 def cdc_lag_diff(df: DataFrame, key_col: str, seq_col: str, json_col: str) -> DataFrame:
