@@ -32,11 +32,21 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for tbl in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).count()
+    # spawn the Python workers + Arrow serialization path once, so the
+    # first pandas-backed query isn't charged worker startup
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     qs = e.queries()
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    # Fixed name order: registry order changes between rounds (driver
+    # concerns), and whichever query runs first absorbs one-time
+    # codegen/JIT warm-up — sorted order keeps per-query times
+    # comparable round over round.
+    for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         t0 = time.time()

@@ -123,13 +123,17 @@ def ngram_jaccard_pairs(
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
-        rare = (
+        # Broadcast the HOT set (df > cut) and anti-join: hot shingles
+        # are few by definition (that's why they're dropped), while the
+        # rare set is ~the whole vocabulary — broadcasting the rare
+        # side doubled this query's bench time in round 2.
+        hot = (
             posting.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        posting = posting.join(F.broadcast(rare), "shingle")
+        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
     a = posting.alias("a")
     b = posting.alias("b")
     common = (
