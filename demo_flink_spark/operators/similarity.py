@@ -110,6 +110,125 @@ def srp_bucketize(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 1024,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means over a hash-picked
+    sample, trained driver-side.
+
+    Sample = the `sample_size` vectors with the smallest xxhash64 of
+    their id — deterministic across runs/partitionings, unlike
+    `df.sample`. Lloyd iterations run in numpy on the driver (the
+    sample is KB-MB scale regardless of corpus size — this is how
+    FAISS trains IVF too: quantizer on a sample, never the corpus).
+    Vectors are L2-normalized so nearest-centroid-by-dot ≈ cosine cell.
+    Empty cells re-seed from the farthest sample points.
+    """
+    sample = (
+        corpus.select("vec_id", vec_col)
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .toPandas()
+    )
+    mat = np.array(list(sample[vec_col]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+            else:  # re-seed empty cell from the worst-served point
+                worst = np.argmin(np.max(mat @ cents.T, axis=1))
+                cents[c] = mat[worst]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    id_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cell) rows: each vector's `nprobe` nearest centroid cells.
+
+    One Arrow-batched numpy pass — (batch × dim) @ (dim × cells) per
+    batch; the centroid matrix rides in the closure (KBs). Corpus
+    vectors use nprobe=1 (each indexed once); queries probe several
+    cells to trade compute for recall.
+    """
+    cents = centroids.T  # (dim, cells)
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cents  # (n, cells)
+            top = np.argsort(-sims, axis=1)[:, :nprobe]  # (n, nprobe)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "cell": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell int"
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF (inverted-file)
+    index: corpus partitioned into coarse centroid cells, queries probe
+    their `nprobe` nearest cells, exact cosine re-ranks within cells.
+
+    The scale path ANN engines actually ship (FAISS IVF-Flat shape):
+    candidates per query ≈ nprobe/n_cells of the corpus, recall is the
+    probability the true neighbor's cell is probed — tunable with
+    nprobe (the pytest measures recall vs brute force). All distributed
+    work is an equi-join on `cell` + per-candidate cosine; only the
+    KB-scale quantizer training touches the driver.
+    """
+    cents = ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    ca = ivf_assign(corpus.select("vec_id", vec_col), vec_col, cents, "vec_id", 1)
+    qa = ivf_assign(
+        queries.select("query_id", vec_col), vec_col, cents, "query_id", nprobe
+    )
+    candidates = (
+        qa.join(ca, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(
+            F.broadcast(queries.select("query_id", F.col(vec_col).alias("qvec"))),
+            "query_id",
+        )
+        .join(corpus.select("vec_id", F.col(vec_col).alias("cvec")), "vec_id")
+        .withColumn("_cos_raw", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    return _topk_neighbors(scored, k)
+
+
 def cosine_topk_srp_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,204 @@
+"""Temporal join & rollup operators (engine extensions, SURVEY §2.3/§2.5
+lineage): as-of join, bucketed range join, multi-granularity rollup.
+
+The reference has no temporal joins (its only keyed-time logic is the
+stateful operators); these are the standard time-series operators a
+100 TB analytics engine needs, built scale-first:
+
+- **as-of join** is ONE shuffle + sort (union both sides, per-key
+  last-non-null window), never a range-condition join — Spark executes
+  inequality joins as broadcast-nested-loop, which is quadratic and
+  non-startable on two big sides.
+- **range join** buckets time so the pairing is an equi-join on
+  (key, bucket): only one side explodes (×3), each qualifying pair is
+  found exactly once, and the precise predicate filters after the
+  hash join. This is the standard OSS rewrite of the range-join-hint
+  optimization.
+- **multi-granularity rollup** aggregates the raw table ONCE at the
+  finest grain, then re-aggregates coarser grains from the fine
+  aggregate — the continuous-aggregate/hypertable pattern: at 100 TB
+  the raw scan dominates, so every grain after the first is nearly
+  free (the hourly table is ~|buckets×keys| rows, not |events|).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from demo_flink_spark.functions.time import epoch_ms
+from demo_flink_spark.operators.relational import dsum  # noqa: F401 (re-export habit)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Left as-of join: for each left row, the values of the latest
+    right row with right.ts <= left.ts for the same key (NULLs when no
+    right row precedes). DuckDB twin: `ASOF LEFT JOIN ... ON l.key =
+    r.key AND l.ts >= r.ts`.
+
+    Shape: union both sides with a side marker, one window pass per
+    key ordered by (ts, side) — right rows sort before left rows at
+    equal ts, so an exactly-simultaneous right row IS visible (the
+    at-or-before contract) — carrying each value column forward with
+    `last(..., ignorenulls=True)`, then keep only left rows. One
+    shuffle on the key; no inequality join, no per-key explosion:
+    cost is sort(|L|+|R|) however large both sides are.
+    """
+    left_other = [c for c in left.columns if c not in (key, left_ts)]
+    lhs = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_other],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
+            for c in value_cols
+        ],
+    )
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_other
+        ],
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        key,
+        F.col("_ts").alias(left_ts),
+        *left_other,
+        *[f"asof_{c}" for c in value_cols],
+    )
+
+
+def range_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_ms: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """All (left, right) pairs with the same key whose timestamps are
+    within `window_ms` of each other, as an equi-join.
+
+    The left side is tagged with three covering bucket ids
+    (floor(ts/w) − 1, floor, +1); the right side with its single
+    bucket. A qualifying pair's buckets differ by at most 1, and each
+    (left, right) pair meets on exactly ONE bucket value (the right
+    row's own bucket), so the equi-join finds every pair exactly once
+    — no distinct needed. The precise |Δt| ≤ w predicate then filters
+    hash-join output. Cost: 3× explosion of one side + one shuffle,
+    vs. a broadcast-nested-loop (quadratic, one side must fit in
+    memory) for the naive inequality join.
+
+    Output: left columns (original names) + right columns prefixed
+    `r_` + `delta_ms` (left ts − right ts, may be negative).
+    """
+    lb = left.withColumn("_l_ms", epoch_ms(left_ts)).select(
+        "*",
+        F.explode(
+            F.array(
+                (F.floor(F.col("_l_ms") / window_ms) - 1).cast("long"),
+                F.floor(F.col("_l_ms") / window_ms).cast("long"),
+                (F.floor(F.col("_l_ms") / window_ms) + 1).cast("long"),
+            )
+        ).alias("_bucket"),
+    )
+    rb = (
+        right.select(
+            F.col(key).alias("_r_key"),
+            *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+        )
+        .withColumn("_r_ms", epoch_ms(f"r_{right_ts}"))
+        .withColumn("_bucket", F.floor(F.col("_r_ms") / window_ms).cast("long"))
+    )
+    return (
+        lb.join(rb, (F.col(key) == F.col("_r_key")) & (lb["_bucket"] == rb["_bucket"]))
+        .filter(F.abs(F.col("_l_ms") - F.col("_r_ms")) <= window_ms)
+        .withColumn("delta_ms", F.col("_l_ms") - F.col("_r_ms"))
+        .drop("_bucket", "_r_key", "_l_ms", "_r_ms")
+    )
+
+
+def rollup_time_multi(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    grains: Sequence[str] = ("1 hour", "1 day"),
+) -> DataFrame:
+    """Continuous-aggregate-style multi-granularity rollup.
+
+    Aggregates the raw table once at the finest grain, then derives
+    each coarser grain FROM the previous aggregate (sums of sums,
+    counts of counts — decimal-exact so re-aggregation is lossless).
+    Output: (granularity, window_start, key, cnt, sum_value) unioned
+    across grains. `grains` must be coarsening multiples (hour→day→…)
+    so every coarse bucket is a whole number of fine buckets.
+    """
+    fine, *coarser = grains
+    agg = (
+        events.select(
+            F.window(ts_col, fine).start.alias("window_start"),
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("decimal(38,6)").alias("_v"),
+        )
+        .groupBy("window_start", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_v").alias("_sum"))
+    )
+    out = agg.select(
+        F.lit(fine).alias("granularity"), "window_start", "key", "cnt", "_sum"
+    )
+    prev = agg
+    for grain in coarser:
+        prev = (
+            prev.select(
+                F.window("window_start", grain).start.alias("window_start"),
+                "key",
+                "cnt",
+                "_sum",
+            )
+            .groupBy("window_start", "key")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("_sum").alias("_sum"))
+        )
+        out = out.unionByName(
+            prev.select(
+                F.lit(grain).alias("granularity"),
+                "window_start",
+                "key",
+                "cnt",
+                "_sum",
+            )
+        )
+    return out.select(
+        "granularity",
+        "window_start",
+        "key",
+        "cnt",
+        F.round(F.col("_sum").cast("double"), 6).alias("sum_value"),
+    )

@@ -22,6 +22,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         relational,
         similarity,
         stateful,
+        temporal,
         text,
         windows,
     )
@@ -33,7 +34,16 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # driver caps or truncates, the never-yet-checked queries must come
     # first so CORRECTNESS_r02 gains them rather than re-proving the
     # long-green relational rows.
-    for mod in (dedup, similarity, multimodal, relational, windows, stateful, text):
+    for mod in (
+        temporal,
+        dedup,
+        similarity,
+        multimodal,
+        relational,
+        windows,
+        stateful,
+        text,
+    ):
         for spec in mod.SPECS:
             if spec.name in out:
                 raise ValueError(f"duplicate query name: {spec.name}")

@@ -39,6 +39,11 @@ def q_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_srp_lsh(emb, _queries_df(spark, sf_dir), k=_K)
 
 
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf(emb, _queries_df(spark, sf_dir), k=_K)
+
+
 SPECS = [
     QuerySpec(
         "similarity_topk_bruteforce",
@@ -64,4 +69,7 @@ SPECS = [
         """,
     ),
     QuerySpec("similarity_topk_srp_lsh", q_topk_srp_lsh, oracle=None),
+    # centroid training is seed/hash-dependent -> rows-only check +
+    # measured-recall pytest vs brute force (tests/test_dedup_similarity.py)
+    QuerySpec("similarity_topk_ivf", q_topk_ivf, oracle=None),
 ]

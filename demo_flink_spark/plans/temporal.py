@@ -1,0 +1,107 @@
+"""Declared queries: temporal joins & rollups over `events`.
+
+as-of join and range join carry full DuckDB oracles (DuckDB has native
+ASOF JOIN; the range join's twin is a plain inequality join — fine at
+oracle scale, which is exactly the asymmetry the bucketed Spark
+implementation exists to avoid at 100 TB). The multi-granularity
+rollup oracle mirrors the hourly→daily re-aggregation structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import temporal as tp
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the user's most recent purchase value at-or-
+    before the click (NULL when no purchase precedes)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return tp.asof_join(clicks, purchases, key="user_id", value_cols=["value"])
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(error, click) pairs of the same user within ±5 minutes."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = tp.range_join_window(errors, clicks, key="user_id", window_ms=300_000)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("r_event_id").alias("click_event_id"),
+        F.col("delta_ms").cast("long").alias("delta_ms"),
+    )
+
+
+def q_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day continuous-aggregate rollup of value by event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return tp.rollup_time_multi(
+        ev, "ts", "event_type", "value", grains=("1 hour", "1 day")
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "asof_join_last_purchase",
+        q_asof_join,
+        oracle="""
+        WITH l AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT l.user_id, l.event_id, l.ts, r.value AS asof_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+    ),
+    QuerySpec(
+        "range_join_error_click_5m",
+        q_range_join,
+        oracle="""
+        SELECT l.user_id, l.event_id, r.event_id AS click_event_id,
+               epoch_ms(l.ts) - epoch_ms(r.ts) AS delta_ms
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'error' AND r.event_type = 'click'
+         AND abs(epoch_ms(l.ts) - epoch_ms(r.ts)) <= 300000
+        """,
+    ),
+    QuerySpec(
+        "rollup_time_hour_day",
+        q_rollup_multi,
+        oracle="""
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type AS key, count(*) AS cnt,
+                   SUM(CAST(value AS DECIMAL(38,6))) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        daily AS (
+            SELECT time_bucket(INTERVAL '1 day', window_start) AS window_start,
+                   key, SUM(cnt) AS cnt, SUM(s) AS s
+            FROM hourly GROUP BY 1, 2
+        )
+        SELECT '1 hour' AS granularity, window_start, key, cnt,
+               round(CAST(s AS DOUBLE), 6) AS sum_value FROM hourly
+        UNION ALL
+        SELECT '1 day', window_start, key, cnt,
+               round(CAST(s AS DOUBLE), 6) FROM daily
+        """,
+    ),
+]

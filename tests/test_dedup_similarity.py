@@ -92,3 +92,31 @@ def test_cosine_self_similarity(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, v array<float>")
     got = df.select(F.round(dd.cosine(F.col("v"), F.col("v")), 9).alias("c")).first()["c"]
     assert got == 1.0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF-Flat recall@5 against the exact baseline on real embeddings."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall}"
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = sim.ivf_centroids(emb, n_cells=8, sample_size=128)
+    c2 = sim.ivf_centroids(emb, n_cells=8, sample_size=128)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)

@@ -1,0 +1,70 @@
+"""Semantics tests for the temporal operators (as-of / range / rollup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import temporal as tp
+
+
+def _ts(s):
+    return F.to_timestamp(F.lit(s))
+
+
+def test_asof_join_at_or_before_semantics(spark):
+    # right row exactly at the left ts IS visible (at-or-before);
+    # later right rows are not; keys with no prior right row get NULL
+    left = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:10:00"),
+            (1, 101, "2024-01-01 00:20:00"),
+            (2, 200, "2024-01-01 00:05:00"),
+        ],
+        "user_id long, event_id long, ts_s string",
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 10.0),  # simultaneous with event 100
+            (1, "2024-01-01 00:15:00", 20.0),
+            (2, "2024-01-01 00:30:00", 99.0),  # after key 2's only click
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in tp.asof_join(left, right, "user_id", value_cols=["value"]).collect()
+    }
+    assert got == {100: 10.0, 101: 20.0, 200: None}
+
+
+def test_range_join_window_exact_and_no_dupes(spark):
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:10:00")],
+        "user_id long, event_id long, ts_s string",
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 2, "2024-01-01 00:05:00"),  # exactly -300s: included
+            (1, 3, "2024-01-01 00:15:00"),  # exactly +300s: included
+            (1, 4, "2024-01-01 00:15:00.001"),  # 1ms past: excluded
+            (1, 5, "2024-01-01 00:10:30"),  # same bucket: included once
+        ],
+        "user_id long, event_id long, ts_s string",
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    rows = tp.range_join_window(left, right, "user_id", 300_000).collect()
+    pairs = sorted((r["event_id"], r["r_event_id"], r["delta_ms"]) for r in rows)
+    assert pairs == [(1, 2, 300000), (1, 3, -300000), (1, 5, -30000)]
+
+
+def test_rollup_reaggregation_consistency(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))) \
+        if dict(ev.dtypes)["ts"] == "bigint" else ev
+    out = tp.rollup_time_multi(ev, "ts", "event_type", "value").collect()
+    hourly = [r for r in out if r["granularity"] == "1 hour"]
+    daily = [r for r in out if r["granularity"] == "1 day"]
+    # daily counts must equal the sum of their hourly constituents
+    assert sum(r["cnt"] for r in daily) == sum(r["cnt"] for r in hourly)
+    assert abs(
+        sum(r["sum_value"] for r in daily) - sum(r["sum_value"] for r in hourly)
+    ) < 1e-6
