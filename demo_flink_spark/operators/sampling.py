@@ -1,0 +1,57 @@
+"""Deterministic sampling & split assignment for training pipelines
+(north-star extension).
+
+Train/val/test assignment at 100 TB must be a pure function of the
+record id — never `rand()` (non-reproducible across retries/replans:
+Spark recomputes lost partitions, and a recomputed rand() draws new
+numbers) and never `df.sample` (partitioning-dependent). The standard
+trick: hash the id, threshold the hash. md5 is used (not xxhash64)
+because every engine agrees on its hex output — the DuckDB oracles
+match byte for byte, and so would any other system auditing the split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_bucket(id_col: Column, salt: str) -> Column:
+    """First two hex chars of md5(salt || id) — 256 equal buckets,
+    engine-portable (lexicographic comparison on hex text)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 2)
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    salt: str = "v1",
+) -> DataFrame:
+    """Assign train/val/test deterministically by id hash.
+
+    Thresholds are expressed as hex-prefix cut points over the 256
+    md5 buckets, so the split is stable under any partitioning, retry,
+    or engine. Changing `salt` re-rolls the assignment (e.g. per
+    experiment) without touching the data. Narrow, shuffle-free.
+    """
+    t_cut = int(round(train_frac * 256))
+    v_cut = t_cut + int(round(val_frac * 256))
+    bucket = _md5_bucket(F.col(id_col), salt)
+    split = (
+        F.when(bucket < F.lit(f"{t_cut:02x}"), "train")
+        .when(bucket < F.lit(f"{v_cut:02x}"), "val")
+        .otherwise("test")
+    )
+    return df.select(F.col(id_col), split.alias("split"))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "v1"
+) -> DataFrame:
+    """Deterministic ~`fraction` sample by id hash (same md5-bucket
+    mechanics as `dataset_split`); reproducible across runs, engines,
+    and partitionings, unlike `df.sample`."""
+    cut = int(round(fraction * 256))
+    return df.filter(_md5_bucket(F.col(id_col), salt) < F.lit(f"{cut:02x}"))

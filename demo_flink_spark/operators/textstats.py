@@ -39,6 +39,27 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single
+# non-alnum marks — the GPT-2-style split shape reduced to a subset
+# whose semantics are identical in Java regex and DuckDB's RE2, so the
+# count is oracle-checkable. A real tokenizer's token count correlates
+# ~1:1.3 with this at the corpus level; for budget/billing estimates
+# that's the quantity pipelines actually need.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Per-document BPE-ish token estimate (JVM regexp_count, no UDF),
+    alongside the whitespace count for calibration."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality signals: stopword / punctuation / distinct ratios.
 

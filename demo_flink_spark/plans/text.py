@@ -31,6 +31,16 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count_bpe(load_table(spark, sf_dir, "documents"))
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from demo_flink_spark.operators.sampling import dataset_split
+
+    return dataset_split(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -187,6 +197,33 @@ SPECS = [
         )
         SELECT doc_id, word, tfidf, rk
         FROM scored WHERE rk <= 3
+        """,
+    ),
+    QuerySpec(
+        "token_count_bpe",
+        q_token_count_bpe,
+        oracle=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS n_bpe_tokens,
+               len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0))
+                   AS n_ws_tokens
+        FROM documents
+        """,
+    ),
+    QuerySpec(
+        # deterministic md5-threshold split (operators/sampling.py):
+        # train < 0xcd (205/256 ~ 80%), val < 0xe7 (+26/256 ~ 10%)
+        "dataset_split_assign",
+        q_dataset_split,
+        oracle="""
+        SELECT doc_id,
+               CASE WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                    WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e7'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
         """,
     ),
 ]

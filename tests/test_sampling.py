@@ -1,0 +1,35 @@
+"""Tests for deterministic sampling / split assignment."""
+
+from __future__ import annotations
+
+from demo_flink_spark.operators.sampling import dataset_split, hash_sample
+
+
+def test_split_deterministic_and_complete(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(docs.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    assert len(a) == docs.count()  # every doc assigned exactly once
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    frac_val = sum(1 for s in a.values() if s == "val") / n
+    assert 0.7 < frac_train < 0.9
+    assert 0.04 < frac_val < 0.17
+
+
+def test_split_salt_rerolls(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs, salt="v1").collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(docs, salt="v2").collect()}
+    assert a != b
+
+
+def test_hash_sample_is_subset_and_stable(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    bigger = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5).collect()}
+    assert s1 == s2
+    assert s1 <= bigger  # threshold growth only adds rows
+    assert 0.1 < len(s1) / docs.count() < 0.35
