@@ -45,6 +45,28 @@ CHECKS = {
         [],
     ),
     "topk_per_group": (["Window"], ["CartesianProduct"]),
+    # as-of join: one window pass, NEVER an inequality join (BNL)
+    "asof_join_last_purchase": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # range join: covering-bucket equi-join, precise filter after —
+    # the whole point is avoiding the BNL a raw range predicate gets
+    "range_join_error_click_5m": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # block-pair grid GEMM: distributed shuffle+group, no cartesian
+    "dedup_embedding_cosine": (
+        ["FlatMapGroupsInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # IVF: cell equi-join for candidates, no all-pairs anywhere
+    "similarity_topk_ivf": ([], ["CartesianProduct"]),
+    # sort-merge kernel replay: mapInPandas after a single exchange,
+    # not per-group FlatMapGroupsInPandas
+    "stateful_cdc_diff_full": (["MapInPandas"], ["FlatMapGroupsInPandas"]),
+    "stateful_fraud_alerts": (["MapInPandas"], ["FlatMapGroupsInPandas"]),
 }
 
 
