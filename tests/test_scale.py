@@ -90,3 +90,33 @@ def test_observed_watermark(spark):
         q.stop()
     # watermark = max event time (60s) − delay (10s) = 50s
     assert wm is not None and wm.startswith("1970-01-01T00:00:50")
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    # pay the shuffle at write time, join shuffle-free forever after —
+    # the bucketing contract write_bucketed documents
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.scale import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(
+        spark.read.parquet(f"{sf}/orders.parquet"), "tb_orders", "o_orderkey", 8
+    )
+    write_bucketed(
+        spark.read.parquet(f"{sf}/lineitem.parquet"), "tb_lineitem", "l_orderkey", 8
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("tb_orders").join(
+            spark.table("tb_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == spark.read.parquet(f"{sf}/lineitem.parquet").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS tb_orders")
+        spark.sql("DROP TABLE IF EXISTS tb_lineitem")
