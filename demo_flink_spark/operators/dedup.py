@@ -161,20 +161,97 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3, n_hashes: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int | None = None,
 ) -> DataFrame:
-    """MinHash signature per doc: sig[h] = min over shingles of
-    xxhash64(seed_h, shingle). Pure expressions, one narrow pass."""
+    """MinHash signature (and optional LSH band hashes) per doc, one
+    Arrow-batched numpy pass.
+
+    sig[h] = min over shingles of π_h(H(shingle)) where H = first 8
+    bytes of blake2b (stable across runs/engines) and π_h(x) =
+    (a_h·x + b_h) mod 2⁶¹−1 — the classic affine permutation family,
+    seeded deterministically. Shingle hashes are memoized per batch
+    (corpora repeat shingles heavily) and all `n_hashes` permutations
+    apply as one (n_shingles × 1)·(1 × n_hashes) numpy broadcast.
+    With `bands`, each band's rows are FNV-folded into one int64 in
+    the same pass (output column `bands`, array<long>).
+
+    Was 64 interpreted `transform(...xxhash64)` column expressions
+    plus 16 more for banding — Catalyst evaluates higher-order
+    functions uncodegen'd, which made signature+band hashing the
+    dominant cost of minhash_lsh_pairs (same lesson as `shingles`);
+    the numpy pass is a narrow map, no shuffle, and scales identically.
+    """
+    import numpy as np
+
     sh = shingles(docs, text_col, n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda x, s=s: F.xxhash64(F.lit(s), x))
-            )
-            for s in range(n_hashes)
-        ]
-    )
-    return sh.select("doc_id", sig.alias("signature"), "shingles")
+    p = np.uint64((1 << 61) - 1)  # Mersenne prime, keeps products exact-ish
+    rng = np.random.RandomState(0xD5A7)
+    a = rng.randint(1, 1 << 61, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 61, size=n_hashes, dtype=np.uint64)
+    empty_sig = (b % p).astype(np.int64)  # doc with no shingles
+    fnv = np.uint64(1099511628211)
+
+    def band_fold(sig_i64: "np.ndarray") -> list[int]:
+        # (bands, rows) FNV-style fold across each band's rows, then
+        # mix in the band index so identical bands in different slots
+        # never collide
+        rows = n_hashes // bands
+        acc = np.full(bands, 14695981039346656037, dtype=np.uint64)
+        chunk = sig_i64.astype(np.uint64).reshape(bands, rows)
+        for r in range(rows):
+            acc = (acc ^ chunk[:, r]) * fnv
+        acc = (acc ^ np.arange(bands, dtype=np.uint64)) * fnv
+        return acc.astype(np.int64).tolist()
+
+    out_schema = "doc_id long, signature array<long>, shingles array<string>"
+    if bands is not None:
+        out_schema += ", bands array<long>"
+
+    def sign(batches):
+        memo: dict[str, int] = {}
+
+        def shingle_hash(s: str) -> int:
+            h = memo.get(s)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+                memo[s] = h
+            return h
+
+        for pdf in batches:
+            sigs, band_col = [], []
+            for shingle_list in pdf["shingles"]:
+                if shingle_list is None or len(shingle_list) == 0:
+                    sig = empty_sig
+                else:
+                    hs = np.array(
+                        [shingle_hash(s) for s in shingle_list], dtype=np.uint64
+                    )
+                    # uint64 multiply wraps mod 2^64, then mod p — a
+                    # fixed, fully deterministic mixing (bias from the
+                    # double-mod is irrelevant: any deterministic
+                    # permutation family works)
+                    sig = ((hs[:, None] * a[None, :] + b[None, :]) % p).min(
+                        axis=0
+                    ).astype(np.int64)
+                sigs.append(sig.tolist())
+                if bands is not None:
+                    band_col.append(band_fold(sig))
+            out = {
+                "doc_id": pdf["doc_id"],
+                "signature": sigs,
+                "shingles": pdf["shingles"],
+            }
+            if bands is not None:
+                out["bands"] = band_col
+            yield pd.DataFrame(out)
+
+    return sh.mapInPandas(sign, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -193,28 +270,14 @@ def minhash_lsh_pairs(
     recomputes exact Jaccard on the shingle sets so the output has no
     false positives (LSH misses stay missed: documented recall trade).
     """
-    rows = n_hashes // bands
     # localCheckpoint: signatures+shingles feed the band explode AND
     # both sides of the verification join — recomputing 64 minhashes 3×
     # dominates otherwise (storage is GC-released, unlike persist).
-    sigs = minhash_signatures(docs, text_col, n, n_hashes).localCheckpoint()
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.array_join(
-                    F.transform(
-                        F.slice("signature", b * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
+    sigs = minhash_signatures(
+        docs, text_col, n, n_hashes, bands=bands
+    ).localCheckpoint()
     banded = sigs.select(
-        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
