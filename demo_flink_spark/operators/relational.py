@@ -49,6 +49,36 @@ def dstddev_samp(expr: Column) -> Column:
     return F.when(n > 1, F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))))
 
 
+def dcovar_samp(x: Column, y: Column) -> Column:
+    """Deterministic sample covariance from exact decimal sums.
+
+    (Σxy − ΣxΣy/n) / (n−1), with Σxy/Σx/Σy accumulated in decimal so
+    the result is partition-order independent (plain `covar_samp`
+    streams doubles and drifts run to run). The same formula written in
+    ANSI SQL with the same decimal casts is the DuckDB twin.
+    """
+    n = F.count(x)
+    sx, sy = dsum(x), dsum(y)
+    sxy = F.sum((x * y).cast("decimal(38,10)")).cast("double")
+    return F.when(n > 1, (sxy - sx * sy / n) / (n - F.lit(1)))
+
+
+def dcorr(x: Column, y: Column) -> Column:
+    """Deterministic Pearson correlation from exact decimal sums.
+
+    (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²)). Every sum is
+    decimal-exact; the final expression is straight-line double math —
+    bit-identical across engines and partitionings.
+    """
+    n = F.count(x)
+    sx, sy = dsum(x), dsum(y)
+    sxy = F.sum((x * y).cast("decimal(38,10)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,10)")).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,10)")).cast("double")
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return F.when(denom > 0, (n * sxy - sx * sy) / denom)
+
+
 def top_k_per_group(
     df: DataFrame,
     part_cols: Sequence[str],

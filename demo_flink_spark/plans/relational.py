@@ -540,6 +540,169 @@ def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + global agg, the pushdown showcase.
+
+    All three predicates and the 2-column projection reach the parquet
+    scan (PushedFilters); the aggregate is a single partial+final pair
+    with a 1-row exchange. At 100 TB this is I/O bound by exactly the
+    row groups the predicates can't skip — no shuffle, no join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * F.col("l_discount")), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returns, top-20 customers.
+
+    lineitem(R-flag)⨝orders is the one shuffle (the returnflag filter
+    pushes into the scan); customer and nation are broadcast. Top-20
+    via TakeOrderedAndProject — no global sort materialization.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(dsum(revenue), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: customers with any order above a quantity
+    threshold (HAVING subquery as a semi-join).
+
+    The inner aggregate shuffles lineitem once on orderkey; the
+    surviving keys (rare) broadcast back against orders. Same shape
+    TPC-H kit plans choose at scale.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(dsum(F.col("l_quantity")), 6).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type.
+
+    `pivot` with an explicit value list — Catalyst compiles it to a
+    single aggregate with one count per (day, type) pair, no second
+    pass to discover the pivot domain. Explicit values are mandatory
+    at scale: the two-phase form collects the domain to the driver.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+        .select("day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES])
+    )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregates to long (measure, value)
+    rows via `DataFrame.unpivot` — the inverse of the pivot above."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(dsum(F.col("l_extendedprice")), 6).alias("sum_price"),
+        F.round(dsum(F.col("l_discount")), 6).alias("sum_discount"),
+        F.round(dsum(F.col("l_tax")), 6).alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_price", "sum_discount", "sum_tax"],
+        "measure",
+        "value",
+    )
+
+
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / regression slope per group.
+
+    Built from decimal-exact sums (operators.relational.dcorr) so the
+    result is partition-order independent — plain `corr()` over
+    doubles hashes differently run to run and can never match another
+    engine bit-for-bit.
+    """
+    from demo_flink_spark.operators.relational import dcorr, dcovar_samp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(dcorr(x, y), 6).alias("corr_qty_price"),
+        F.round(dcovar_samp(x, y), 6).alias("covar_qty_price"),
+        F.round(dcovar_samp(x, y) / (dstddev_samp(x) * dstddev_samp(x)), 6).alias(
+            "regr_slope"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram / binning of order totals.
+
+    Bucketing is a pure projection (no UDF) followed by one hash
+    aggregate — the 100 TB shape for any histogram: map-side partials
+    reduce the exchange to |buckets| rows per task.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
 SPECS = [
     QuerySpec(
         "q1_pricing_summary",
@@ -901,6 +1064,132 @@ SPECS = [
         FROM orders
         ORDER BY o_totalprice DESC, o_orderdate ASC NULLS LAST, o_orderkey ASC
         LIMIT 25
+        """,
+    ),
+    QuerySpec(
+        "q6_forecast_revenue",
+        q6_forecast_revenue,
+        oracle=f"""
+        SELECT round({_DSUM.format(e='l_extendedprice * l_discount')}, 6) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    ),
+    QuerySpec(
+        "q10_returned_items",
+        q10_returned_items,
+        oracle=f"""
+        SELECT c_custkey, c_name, n_name,
+               round({_DSUM.format(e='l_extendedprice * (1 - l_discount)')}, 6)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "q18_large_volume",
+        q18_large_volume,
+        oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   round({_DSUM.format(e='l_quantity')}, 6) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING round({_DSUM.format(e='l_quantity')}, 6) > 250
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "pivot_event_daily",
+        q_pivot_event_daily,
+        oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               count(*) FILTER (event_type = 'click') AS n_click,
+               count(*) FILTER (event_type = 'error') AS n_error,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup') AS n_signup,
+               count(*) FILTER (event_type = 'view') AS n_view
+        FROM events
+        GROUP BY day
+        """,
+    ),
+    QuerySpec(
+        "unpivot_measures",
+        q_unpivot_measures,
+        oracle=f"""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   round({_DSUM.format(e='l_extendedprice')}, 6) AS sum_price,
+                   round({_DSUM.format(e='l_discount')}, 6) AS sum_discount,
+                   round({_DSUM.format(e='l_tax')}, 6) AS sum_tax
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_discount', sum_discount FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_tax', sum_tax FROM wide
+        """,
+    ),
+    QuerySpec(
+        "agg_corr_covar",
+        q_agg_corr,
+        # SQL twin of dcorr/dcovar_samp (operators/relational.py):
+        # identical decimal-exact sums, identical final double math.
+        oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10)))
+                        AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+                        AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                 AS DECIMAL(38,10))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS corr_qty_price,
+               round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+               round(((sxy - sx * sy / n) / (n - 1))
+                     / (sqrt((sxx - sx * sx / n) / (n - 1))
+                        * sqrt((sxx - sx * sx / n) / (n - 1))), 6) AS regr_slope,
+               n
+        FROM s
+        """,
+    ),
+    QuerySpec(
+        "histogram_totalprice",
+        q_histogram_totalprice,
+        oracle="""
+        SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice), 6) AS lo,
+               round(max(o_totalprice), 6) AS hi
+        FROM orders
+        GROUP BY bucket
         """,
     ),
 ]
