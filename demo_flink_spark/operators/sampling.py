@@ -47,6 +47,32 @@ def dataset_split(
     return df.select(F.col(id_col), split.alias("split"))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.5,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep ~fractions[stratum] of
+    each stratum by id hash.
+
+    The `sampleBy` shape without its two failure modes at scale:
+    rand()-based draws change under partition recompute, and exact
+    stratified sampling needs a per-stratum count pass. Here the keep
+    decision is a pure row-local function of (stratum, id) — one
+    narrow filter, reproducible on any engine that has md5.
+    """
+    bucket = _md5_bucket(F.col(id_col), salt)
+    thr: Column = F.lit(f"{int(round(default_frac * 256)):02x}")
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(f"{int(round(frac * 256)):02x}")
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
 def hash_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = "v1"
 ) -> DataFrame:

@@ -60,6 +60,95 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Gopher-style repetition quality signals, per document.
+
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram occurrences — high values flag boilerplate/spam.
+    - ``dup_ngram_frac``: fraction of word n-gram occurrences that are
+      repeats of an earlier n-gram in the same doc (n=5 default).
+
+    Pure array expressions per row — no UDF, no shuffle, scales as a
+    narrow map over the corpus. The inner bigram count is O(d·b) per
+    doc (d = distinct bigrams), fine for document-sized rows; for
+    book-length rows switch to the explode+groupBy form.
+    """
+    def grams(width: int):
+        # sequence(a, b) counts DOWN when a > b, so guard short docs.
+        return F.when(
+            F.size(F.col("toks")) >= width,
+            F.expr(
+                f"transform(sequence(0, size(toks) - {width}), "
+                f"i -> concat_ws(' ', slice(toks, i + 1, {width})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    docs = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("toks")
+    ).select("doc_id", grams(2).alias("bg"), grams(n).alias("ng"))
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bg")),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.when(
+                F.size("bg") > 0, top_bigram / F.size("bg").cast("double")
+            ).otherwise(0.0),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                F.size("ng") > 0,
+                (F.size("ng") - F.size(F.array_distinct("ng")))
+                / F.size("ng").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
+
+
+# Alternation-free patterns with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) — no backrefs, no lookaround, so
+# leftmost-first and leftmost-longest agree.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email addresses and phone numbers from a text column.
+
+    JVM `regexp_replace` end to end (global by default) — no UDF, no
+    shuffle; at 100 TB this is a pure map stage. Emits per-row match
+    counts plus the scrubbed text so downstream stages can filter on
+    redaction density.
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long")
+    scrubbed_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    n_phone = F.regexp_count(scrubbed_email, F.lit(PHONE_PATTERN)).cast("long")
+    scrubbed = F.regexp_replace(scrubbed_email, PHONE_PATTERN, "<PHONE>")
+    return df.withColumn("n_emails", n_email).withColumn(
+        "n_phones", n_phone
+    ).withColumn(text_col, scrubbed)
+
+
+def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Split a URL column into host / path / one query param via the
+    built-in `parse_url` (JVM, codegen'd) — the workhorse for
+    domain-level corpus curation (per-domain quotas, blocklists)."""
+    u = F.col(url_col)
+    return df.select(
+        "*",
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality signals: stopword / punctuation / distinct ratios.
 

@@ -57,6 +57,60 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction demonstrated on deterministically synthesized PII:
+    the corpus text carries no emails/phones, so both the Spark query
+    and the oracle append the same doc_id-derived contact string, then
+    Spark redacts via regexp and the result is compared by md5."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(docs).select(
+        "doc_id", "n_emails", "n_phones", F.md5("text").alias("scrub_md5")
+    )
+
+
+def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url differential test: assemble a URL from row fields,
+    split it with the built-in, and let the oracle derive the same
+    parts directly from the fields."""
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    return textstats.url_parts(urls).select("doc_id", "host", "path", "q_lang")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from demo_flink_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.25, "zh": 0.75}, default_frac=0.5,
+        salt="strat",
+    ).select("doc_id", "lang")
+
+
 def q_parse_csv_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.2 T2: parse a "ts,word" line into (long, string) with
     trim — `EventTimeWordCountDebug.java:37-42` — demonstrated by
@@ -209,6 +263,91 @@ SPECS = [
                len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0))
                    AS n_ws_tokens
         FROM documents
+        """,
+    ),
+    QuerySpec(
+        "repetition_signals",
+        q_repetition_signals,
+        oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> length(w) > 0) AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+                   list_transform(generate_series(1, len(toks) - 4),
+                                  i -> concat_ws(' ', toks[i], toks[i + 1],
+                                                 toks[i + 2], toks[i + 3],
+                                                 toks[i + 4])) AS ng
+            FROM tok
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(bg) > 0 THEN
+                   list_max(list_transform(list_distinct(bg),
+                            x -> len(list_filter(bg, y -> y = x))))
+                   / CAST(len(bg) AS DOUBLE) ELSE 0.0 END, 6)
+                   AS top_bigram_frac,
+               round(CASE WHEN len(ng) > 0 THEN
+                   (len(ng) - len(list_distinct(ng)))
+                   / CAST(len(ng) AS DOUBLE) ELSE 0.0 END, 6)
+                   AS dup_ngram_frac
+        FROM g
+        """,
+    ),
+    QuerySpec(
+        "pii_scrub",
+        q_pii_scrub,
+        oracle=rf"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or call +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' now' AS text
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '{textstats.EMAIL_PATTERN}')) AS n_emails,
+                   regexp_replace(text, '{textstats.EMAIL_PATTERN}',
+                                  '<EMAIL>', 'g') AS t1
+            FROM synth
+        )
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(t1, '{textstats.PHONE_PATTERN}'))
+                   AS n_phones,
+               md5(regexp_replace(t1, '{textstats.PHONE_PATTERN}',
+                                  '<PHONE>', 'g')) AS scrub_md5
+        FROM e
+        """,
+    ),
+    QuerySpec(
+        "url_extract",
+        q_url_extract,
+        oracle="""
+        SELECT doc_id,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               lang AS q_lang
+        FROM documents
+        """,
+    ),
+    QuerySpec(
+        # per-stratum md5-threshold keep: en 25% (hex < '40'),
+        # zh 75% (< 'c0'), others 50% (< '80') — salt 'strat'
+        "stratified_sample_by_lang",
+        q_stratified_sample,
+        oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'c0'
+                        ELSE '80' END
         """,
     ),
     QuerySpec(

@@ -33,3 +33,24 @@ def test_hash_sample_is_subset_and_stable(spark):
     assert s1 == s2
     assert s1 <= bigger  # threshold growth only adds rows
     assert 0.1 < len(s1) / docs.count() < 0.35
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    kept = stratified_sample(
+        df, "lang", "doc_id", {"en": 0.25, "zh": 0.75}, salt="t"
+    )
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 2000 - 0.25) < 0.05
+    assert abs(counts["zh"] / 2000 - 0.75) < 0.05
+    again = stratified_sample(df, "lang", "doc_id", {"en": 0.25, "zh": 0.75}, salt="t")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

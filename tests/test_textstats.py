@@ -64,3 +64,42 @@ def test_lang_id_cjk_scripts(spark):
     assert got[2] == "ja"
     assert got[3] == "ko"
     assert got[4] == "en"
+
+
+def test_repetition_signals_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab,ba,ab,ba,ab → top 3/5
+            (2, "x x x x x x"),   # one distinct bigram; 5-grams all equal
+            (3, "one two three"),  # too short for 5-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_signals(docs).collect()}
+    assert got[1]["top_bigram_frac"] == 0.6
+    assert got[1]["dup_ngram_frac"] == 0.0  # both 5-grams distinct
+    assert got[2]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_ngram_frac"] == 0.5  # 2 occurrences, 1 distinct
+    assert got[3]["dup_ngram_frac"] == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.user+tag@sub.example.org or +1-555-0100 today")],
+        "doc_id long, text string",
+    )
+    row = textstats.pii_scrub(df).first()
+    assert row["n_emails"] == 1 and row["n_phones"] == 1
+    assert "<EMAIL>" in row["text"] and "<PHONE>" in row["text"]
+    assert "example.org" not in row["text"] and "555" not in row["text"]
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [(1, "https://docs.example.com/a/b?lang=de&v=2")],
+        "doc_id long, url string",
+    )
+    row = textstats.url_parts(df).first()
+    assert row["host"] == "docs.example.com"
+    assert row["path"] == "/a/b"
+    assert row["q_lang"] == "de"
