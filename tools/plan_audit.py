@@ -67,6 +67,33 @@ CHECKS = {
     # not per-group FlatMapGroupsInPandas
     "stateful_cdc_diff_full": (["MapInPandas"], ["FlatMapGroupsInPandas"]),
     "stateful_fraud_alerts": (["MapInPandas"], ["FlatMapGroupsInPandas"]),
+    # Q6: every predicate must reach the scan; no join, no shuffle
+    # beyond the 1-row final agg exchange
+    "q6_forecast_revenue": (
+        [
+            "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+            "IsNotNull(l_quantity)",
+        ],
+        ["Join", "CartesianProduct"],
+    ),
+    # Q10/Q18: dims broadcast, single fact-fact shuffle, top-k via
+    # TakeOrderedAndProject (no global sort)
+    "q10_returned_items": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
+    "q18_large_volume": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # pivot with explicit values = ONE aggregate pair, no extra pass
+    "pivot_event_daily": (["HashAggregate"], ["CartesianProduct"]),
+    # per-row map stages: narrow, zero exchanges
+    "repetition_signals": ([], ["Exchange"]),
+    "pii_scrub": ([], ["Exchange"]),
+    "url_extract": ([], ["Exchange"]),
+    "stratified_sample_by_lang": ([], ["Exchange"]),
+    "histogram_totalprice": (["HashAggregate"], ["Exchange hashpartitioning(o_"]),
 }
 
 
