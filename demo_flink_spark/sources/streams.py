@@ -96,6 +96,75 @@ def console_sink(df: DataFrame, mode: str = "update", label: str | None = None):
     return writer.start()
 
 
+def rate_stream(
+    spark: SparkSession, rows_per_second: int = 100, partitions: int | None = None
+) -> DataFrame:
+    """Built-in load-generator source: (timestamp, value) rows.
+
+    The perf-testing twin of the reference's in-memory element source —
+    unbounded, deterministic row values, parallelism via
+    `numPartitions`. Use for sink/backpressure testing without Kafka.
+    """
+    reader = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+    )
+    if partitions is not None:
+        reader = reader.option("numPartitions", partitions)
+    return reader.load()
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Exactly-once streaming file sink.
+
+    Spark's file sink commits each micro-batch atomically through the
+    checkpoint's write-ahead metadata log — a reader listing the
+    directory through Spark sees only committed files, so replays
+    after failure never double-count (the Flink
+    StreamingFileSink/checkpoint contract, which the reference's
+    print-sink demos skip entirely). Append mode only, by design:
+    files are immutable at scale.
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_sink(df: DataFrame, fn, checkpoint_dir: str, **trigger):
+    """ForeachBatch sink: `fn(batch_df, batch_id)` per micro-batch.
+
+    The idiomatic escape hatch for sinks Spark lacks (JDBC upsert,
+    MERGE INTO, multi-table fan-out). `batch_id` is stable across
+    replays of the same epoch — an idempotent `fn` keyed on it gives
+    effectively-once semantics.
+    """
+    writer = df.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def memory_sink(df: DataFrame, name: str, mode: str = "append"):
+    """In-memory table sink (driver-resident) for tests/debugging —
+    query results with `spark.table(name)`. Never for production size."""
+    return (
+        df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    )
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,

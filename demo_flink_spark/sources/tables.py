@@ -85,6 +85,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-partitioned parquet write — the batch sink for 100 TB.
+
+    Readers filtering on `partition_cols` prune whole directories
+    (PartitionFilters in the scan, zero I/O for skipped partitions).
+    Guard against the classic small-files failure: without care, every
+    task writes one file per partition value it holds (tasks ×
+    partitions files). Repartitioning by the partition columns first
+    bounds each output partition to `files_per_partition` writers;
+    raise it for hot partitions so files land near the 128-512 MB
+    sweet spot (placement-only randomness — data content is unchanged
+    under recompute).
+    """
+    from pyspark.sql import functions as F
+
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        keys.append(F.floor(F.rand(seed=7) * files_per_partition))
+    df.repartition(*keys).write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def csv_table(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> DataFrame:
+    """CSV scan with an explicit schema — never `inferSchema` at scale
+    (it is a full extra pass over the data before the query starts)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .csv(path)
+    )
+
+
+def json_table(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines scan with an explicit schema (same no-infer rule);
+    malformed rows land in `_corrupt_record` instead of failing the job
+    when the schema includes it."""
+    return spark.read.schema(schema).json(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() queries."""
     for name in TABLES:
