@@ -503,3 +503,75 @@ def embedding_neardup_pairs(
     return tagged.groupBy("pid").applyInPandas(
         gemm, "id_a long, id_b long, cos double"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of a pair graph by min-label propagation:
+    (node, component) with component = min node id in the component.
+
+    Each iteration is one equi-join + one min-aggregate; convergence
+    takes O(graph diameter) rounds. Near-dup components are near-
+    cliques (diameter ≤ ~3), so 3-4 rounds settle real corpora, and
+    `localCheckpoint` truncates lineage so the plan doesn't grow per
+    round. For adversarial long-chain graphs switch to the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce"), which is O(log²) rounds.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    sym = sym.union(sym.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.t == labels.node)
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.s, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup pairs into a keep/drop decision per document:
+    (id, canonical_id, is_kept) where canonical = min id per component
+    and docs in no pair keep themselves.
+
+    This is the step that turns pair detection into an actual deduped
+    corpus: downstream filters on `is_kept`. Components are tiny
+    relative to the corpus, so the final join broadcasts them.
+    """
+    comp = connected_components(pairs)
+    return docs.select(id_col).join(
+        F.broadcast(comp), docs[id_col] == comp.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("comp", F.col(id_col)).alias("canonical_id"),
+        (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
+    )

@@ -23,55 +23,9 @@ _CANON = (
 )
 
 
-def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.exact_dedup(docs).select("canonical_id", "n_dups")
-
-
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # df-cut ON in the shipped query (VERDICT r1 item 3): drop shingles
-    # present in more than max(1% of docs, 100) documents before the
-    # posting-list self-join — the skew cap the operator documents as
-    # mandatory at scale. The count() is a parquet-metadata read.
-    max_df = max(int(0.01 * docs.count()), 100)
-    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
-
-
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
-
-
-def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_fingerprints(docs)
-
-
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=7)
-
-
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dd.embedding_neardup_pairs(emb, threshold=0.3)
-
-
-SPECS = [
-    QuerySpec(
-        "dedup_exact",
-        q_exact_dedup,
-        oracle=f"""
-        SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
-        FROM (SELECT doc_id, {_CANON} AS canon FROM documents)
-        GROUP BY canon
-        """,
-    ),
-    QuerySpec(
-        "dedup_ngram_jaccard",
-        q_ngram_jaccard,
-        oracle=f"""
+# Oracle for the n-gram Jaccard pair finder (shared by the pair query
+# and the cluster query, which embeds it as a CTE).
+_NGRAM_PAIRS_SQL = f"""
         WITH sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
@@ -108,6 +62,95 @@ SPECS = [
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).select("canonical_id", "n_dups")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # df-cut ON in the shipped query (VERDICT r1 item 3): drop shingles
+    # present in more than max(1% of docs, 100) documents before the
+    # posting-list self-join — the skew cap the operator documents as
+    # mandatory at scale. The count() is a parquet-metadata read.
+    max_df = max(int(0.01 * docs.count()), 100)
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair detection → duplicate clusters → keep/drop list: the full
+    dedup pipeline ending in the `is_kept` filter a corpus build
+    actually consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = max(int(0.01 * docs.count()), 100)
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+    return dd.dedup_keep_list(docs, pairs)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_fingerprints(docs)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=7)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(emb, threshold=0.3)
+
+
+SPECS = [
+    QuerySpec(
+        "dedup_exact",
+        q_exact_dedup,
+        oracle=f"""
+        SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+        FROM (SELECT doc_id, {_CANON} AS canon FROM documents)
+        GROUP BY canon
+        """,
+    ),
+    QuerySpec(
+        "dedup_ngram_jaccard",
+        q_ngram_jaccard,
+        oracle=_NGRAM_PAIRS_SQL,
+    ),
+    QuerySpec(
+        "dedup_clusters_ngram",
+        q_dedup_clusters,
+        # pair SQL reused verbatim; components via transitive closure
+        # (fine at oracle scale — the engine side uses label
+        # propagation, which is the scalable form)
+        oracle=f"""
+        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT s, t FROM edges
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+            WHERE e.t <> r.s
+        ),
+        comp AS (
+            SELECT s AS node, least(s, min(t)) AS c FROM reach GROUP BY s
+        )
+        SELECT d.doc_id,
+               coalesce(c.c, d.doc_id) AS canonical_id,
+               coalesce(c.c, d.doc_id) = d.doc_id AS is_kept
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
     ),
     QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=None),

@@ -120,3 +120,25 @@ def test_ivf_centroids_deterministic(spark):
     c2 = sim.ivf_centroids(emb, n_cells=8, sample_size=128)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (1-2-3-4) must collapse to one component even
+    though no single pair spans it; 10-11 is a separate component."""
+    from demo_flink_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_list_keeps_one_per_cluster(spark):
+    from demo_flink_spark.operators.dedup import dedup_keep_list
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in dedup_keep_list(docs, pairs).collect()}
+    assert [rows[i]["canonical_id"] for i in range(1, 7)] == [1, 1, 3, 4, 1, 6]
+    assert sorted(i for i in rows if rows[i]["is_kept"]) == [1, 3, 4, 6]
