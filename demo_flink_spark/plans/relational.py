@@ -703,6 +703,37 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe aggregation: the salted two-phase groupBy from
+    `operators.scale`, proven semantics-preserving by the plain
+    GROUP BY oracle.
+
+    events has only 5 event types — the exact degenerate-cardinality
+    shape where one reducer per key serializes a 100 TB aggregation.
+    Phase-1 partials stay decimal so the two-phase sum is bit-equal to
+    the one-phase sum regardless of salt count or partitioning.
+    """
+    from demo_flink_spark.operators.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(38,6)")),
+            "max_value": F.max("value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "q1_pricing_summary",
@@ -1178,6 +1209,19 @@ SPECS = [
                         * sqrt((sxx - sx * sx / n) / (n - 1))), 6) AS regr_slope,
                n
         FROM s
+        """,
+    ),
+    QuerySpec(
+        "salted_agg_events",
+        q_salted_agg_events,
+        oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+                   AS sum_value,
+               round(max(value), 6) AS max_value
+        FROM events
+        GROUP BY event_type
         """,
     ),
     QuerySpec(

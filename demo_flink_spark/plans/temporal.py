@@ -56,7 +56,44 @@ def q_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event log: per
+    customer, each order becomes a validity interval
+    [valid_from, valid_to) closed by the next order, open-ended for
+    the latest (`is_current`).
+
+    One window pass over a single shuffle on the key — the standard
+    way to rebuild SCD2 history at scale (no self-join). Determinism:
+    the window order includes the unique o_orderkey tiebreaker.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "scd2_orders",
+        q_scd2_orders,
+        oracle="""
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               lead(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+    ),
     QuerySpec(
         "asof_join_last_purchase",
         q_asof_join,
