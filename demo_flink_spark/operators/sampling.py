@@ -73,6 +73,29 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight: Column, salt: str = "v1"
+) -> DataFrame:
+    """Keep each row with probability ≈ `weight` (a [0,1] column, e.g.
+    a quality score) — deterministically, as a pure function of the id.
+
+    Importance sampling for corpus curation ("keep high-quality docs
+    with p=0.9, low-quality with p=0.1") without rand()'s
+    recompute-instability. The md5 bucket is decoded to an integer via
+    hex-char position so the exact comparison is expressible in any
+    engine (no hex→int builtin needed).
+    """
+    def hexpos(i: int) -> Column:
+        return F.expr(
+            f"instr('0123456789abcdef', substring("
+            f"md5(concat('{salt}', cast({id_col} as string))), {i}, 1)) - 1"
+        )
+
+    bucket = hexpos(1) * 16 + hexpos(2)
+    p = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.filter(bucket < p * 256)
+
+
 def hash_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = "v1"
 ) -> DataFrame:

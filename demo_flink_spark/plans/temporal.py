@@ -81,7 +81,61 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: per-stage user counts and the
+    strictly-ordered conversion count.
+
+    One hash aggregate over (user, conditional-min timestamps) — the
+    scalable funnel shape: no self-joins, no per-stage scans; stage
+    ordering is checked on the aggregated row. `count_if`-style
+    conditional aggregation keeps it a single shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").cast("long").alias("n_viewed"),
+        F.count(
+            F.when(F.col("t_view") < F.col("t_click"), 1)
+        ).cast("long").alias("n_clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).cast("long").alias("n_converted"),
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "funnel_conversion",
+        q_funnel_conversion,
+        oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) FILTER (event_type = 'view') AS t_view,
+                   min(ts) FILTER (event_type = 'click') AS t_click,
+                   min(ts) FILTER (event_type = 'purchase') AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT count(t_view) AS n_viewed,
+               count(CASE WHEN t_view < t_click THEN 1 END)
+                   AS n_clicked_after_view,
+               count(CASE WHEN t_view < t_click AND t_click < t_purchase
+                          THEN 1 END) AS n_converted
+        FROM per_user
+        """,
+    ),
     QuerySpec(
         "scd2_orders",
         q_scd2_orders,

@@ -111,6 +111,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted retention: longer docs kept with higher
+    probability (length as the stand-in quality signal), decided
+    deterministically per doc_id."""
+    from demo_flink_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") / F.lit(500.0), F.lit(0.95))
+    return weighted_sample(docs, "doc_id", weight, salt="wq").select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_parse_csv_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.2 T2: parse a "ts,word" line into (long, string) with
     trim — `EventTimeWordCountDebug.java:37-42` — demonstrated by
@@ -348,6 +361,22 @@ SPECS = [
         WHERE substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 2) <
               CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'c0'
                         ELSE '80' END
+        """,
+    ),
+    QuerySpec(
+        # md5 bucket decoded via hex-char position (portable hex→int);
+        # weight = min(n_chars/500, 0.95)
+        "weighted_sample_quality",
+        q_weighted_sample,
+        oracle="""
+        SELECT doc_id, n_chars
+        FROM documents
+        WHERE (strpos('0123456789abcdef',
+                      substring(md5('wq' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              * 16 +
+              strpos('0123456789abcdef',
+                     substring(md5('wq' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              < least(n_chars / 500.0, 0.95) * 256
         """,
     ),
     QuerySpec(
