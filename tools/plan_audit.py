@@ -94,6 +94,11 @@ CHECKS = {
     "url_extract": ([], ["Exchange"]),
     "stratified_sample_by_lang": ([], ["Exchange"]),
     "histogram_totalprice": (["HashAggregate"], ["Exchange hashpartitioning(o_"]),
+    # funnel: conditional aggs, ONE shuffle on user_id, no self-joins
+    "funnel_conversion": (["HashAggregate"], ["Join", "CartesianProduct"]),
+    # SCD2: single window pass, never a self-join
+    "scd2_orders": (["Window"], ["Join", "CartesianProduct"]),
+    "weighted_sample_quality": ([], ["Exchange"]),
 }
 
 
