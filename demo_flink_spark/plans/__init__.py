@@ -24,6 +24,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         stateful,
         temporal,
         text,
+        tpch_ext,
         windows,
     )
 
@@ -35,6 +36,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # first so CORRECTNESS_r02 gains them rather than re-proving the
     # long-green relational rows.
     for mod in (
+        tpch_ext,
         temporal,
         dedup,
         similarity,

@@ -99,6 +99,26 @@ CHECKS = {
     # SCD2: single window pass, never a self-join
     "scd2_orders": (["Window"], ["Join", "CartesianProduct"]),
     "weighted_sample_quality": ([], ["Exchange"]),
+    # TPC-H ext: dims ride broadcast, facts shuffle once, no cartesian
+    "q7_volume_shipping": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q8_market_share": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q9_product_profit": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q13_customer_distribution": (["HashAggregate"], ["CartesianProduct"]),
+    # Q14/Q17/Q19: rare part set must broadcast, never sort-merge
+    "q14_promo_effect": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "q16_supplier_count": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q17_small_quantity": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "q19_disjunctive_revenue": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "q22_global_sales_opportunity": ([], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
