@@ -1,0 +1,162 @@
+"""Corpus-pipeline operators: benchmark contamination and sequence
+packing.
+
+Two operations every large-scale training-data build runs after dedup
+and quality filtering:
+
+- **contamination check** — flag corpus documents that share word
+  n-grams with an evaluation benchmark, so eval data can be held out
+  of training. The benchmark is small by construction (thousands of
+  prompts), so its distinct shingle set broadcasts and the check is a
+  broadcast semi-join per posting row: one narrow pass + one
+  per-doc-id aggregation, no self-join of the corpus.
+
+- **sequence packing** — assign documents, in a deterministic order,
+  to fixed token-budget bins for training-batch construction. The
+  running total needs a GLOBAL prefix sum; a naive
+  `Window.orderBy(...)` with no partition key collapses the whole
+  table onto one task. `global_cumsum` implements the textbook
+  distributed prefix sum instead: range-partition by the order key,
+  local cumsum per partition, then add per-partition offsets computed
+  from the (tiny, |partitions|-row) partial-sum table shipped back as
+  a broadcast join. Every stage is parallel; the only serial work is
+  the |partitions|-row offset scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from demo_flink_spark.operators.dedup import shingles
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-document benchmark n-gram overlap.
+
+    Returns (doc_id, n_shingles, n_contaminated, contamination_rate,
+    is_contaminated). A document with no shingles (shorter than n
+    words) has rate 0.0.
+
+    Scale shape: the corpus side is shingled in one Arrow-batched
+    narrow pass, exploded, and semi-joined against the broadcast
+    benchmark shingle set — the exchange carries only (doc_id) rows
+    that actually hit. No corpus self-join exists; cost is linear in
+    corpus shingles. The benchmark set must fit in a broadcast
+    (true for real eval suites; guard upstream if not).
+    """
+    sh = shingles(docs, text_col, n).localCheckpoint()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    bench_set = (
+        shingles(benchmark, text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        posting.join(F.broadcast(bench_set), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    rate = F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1))
+    return (
+        sizes.join(hits, "doc_id", "left_outer")
+        .na.fill(0, ["n_contaminated"])
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(rate, 6).alias("contamination_rate"),
+            (rate >= threshold).alias("is_contaminated"),
+        )
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of `value_col` in `order_col`
+    order (order key must be unique).
+
+    Three stages, all parallel:
+      1. range-partition on the order key (partitions hold disjoint,
+         ordered key ranges),
+      2. within-partition cumsum via a partition-local window,
+      3. per-partition totals (|partitions| rows) get their own
+         exclusive cumsum on a single task — trivially small — and
+         join back as a broadcast to shift each partition.
+
+    This is the scalable replacement for `Window.orderBy` with no
+    partitionBy, which Spark executes on ONE task (it even warns:
+    "No Partition Defined for Window operation").
+
+    `num_partitions` pins the range-partition fan-out; leave None in
+    production (AQE sizes it from the data — at test scale it may
+    legitimately coalesce to one partition, which stays correct).
+    """
+    if num_partitions is None:
+        part = df.repartitionByRange(F.col(order_col))
+    else:
+        part = df.repartitionByRange(num_partitions, F.col(order_col))
+    part = part.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    # |partitions|-row side: exclusive prefix over partition totals.
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_part_total"))
+        .withColumn("_offset", F.sum("_part_total").over(w_off) - F.col("_part_total"))
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_count: Column,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous fixed-budget packing: walk documents in `order_col`
+    order, assign bin = exclusive_cumsum(tokens) / budget.
+
+    Each bin holds consecutive documents and at most `budget` tokens
+    before the document that crosses the boundary (which still joins
+    the bin it started in, so a bin overflows by at most one document
+    — the standard greedy-contiguous packing used when document order
+    must be preserved). Deterministic given the order key; no driver
+    loop, no single-task window (see `global_cumsum`).
+    """
+    toks = docs.select(order_col, token_count.cast("long").alias("n_tokens"))
+    cum = global_cumsum(toks, order_col, "n_tokens", out_col="cum_tokens")
+    return cum.select(
+        order_col,
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget)
+        .cast("long")
+        .alias("bin_id"),
+    )

@@ -19,6 +19,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     from demo_flink_spark.plans import (
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         stateful,
@@ -36,6 +37,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # first so CORRECTNESS_r02 gains them rather than re-proving the
     # long-green relational rows.
     for mod in (
+        pipeline,
         tpch_ext,
         temporal,
         dedup,

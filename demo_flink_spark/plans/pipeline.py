@@ -1,0 +1,104 @@
+"""Declared queries: corpus-pipeline stages (contamination check and
+sequence packing) over `documents`.
+
+Both stages run AFTER dedup/quality filtering in a real corpus build;
+here they are standalone oracle-checked queries. The benchmark for the
+contamination check is a deterministic md5-bucket subset of the corpus
+itself (every engine can reproduce it), which guarantees non-trivial
+overlap: benchmark members score ~1.0, near-duplicates of them score
+partial rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import pipeline as pl
+from demo_flink_spark.operators.textstats import _tokens
+from demo_flink_spark.plans.dedup import _CANON
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+# DuckDB twin of operators.dedup.shingles at n=3 (identical to the
+# ngram-jaccard oracle's sh CTE — hash-verified in round 1).
+_SHINGLES_SQL = f"""
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(string_split({_CANON}, ' ')) - 3, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(string_split({_CANON}, ' '), i + 1, i + 3), ' ')
+                   )) AS shingles
+            FROM documents
+        )
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    )
+    return pl.contamination_flags(docs, bench, n=3, threshold=0.2)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.pack_sequences(
+        docs, budget=2048, token_count=F.size(_tokens(F.col("text")))
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "contamination_bench_overlap",
+        q_contamination,
+        oracle=f"""
+        WITH {_SHINGLES_SQL},
+        bench AS (
+            SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        ),
+        posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        hits AS (
+            SELECT doc_id, count(*) AS n_contaminated
+            FROM posting
+            WHERE shingle IN (SELECT shingle FROM bench)
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+               CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               round(coalesce(h.n_contaminated, 0)
+                     / CAST(greatest(len(s.shingles), 1) AS DOUBLE), 6)
+                   AS contamination_rate,
+               coalesce(h.n_contaminated, 0)
+                   / CAST(greatest(len(s.shingles), 1) AS DOUBLE) >= 0.2
+                   AS is_contaminated
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+        """,
+    ),
+    QuerySpec(
+        "sequence_packing",
+        q_sequence_packing,
+        oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                        w -> length(w) > 0)) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_tokens
+            FROM tok
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+        FROM cum
+        """,
+    ),
+]

@@ -1,0 +1,82 @@
+"""Semantics tests for operators/pipeline.py (contamination check,
+distributed prefix sum, sequence packing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import pipeline as pl
+from tests.conftest import SF_DIR
+
+
+def test_global_cumsum_matches_single_task_window(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+    )
+    got = {
+        r.k: r.cum
+        for r in pl.global_cumsum(df, "k", "v", out_col="cum").collect()
+    }
+    # naive single-task reference
+    rows = sorted((r.k, r.v) for r in df.collect())
+    acc = 0
+    for k, v in rows:
+        acc += v
+        assert got[k] == acc
+
+
+def test_global_cumsum_correct_across_forced_partitions(spark):
+    # pin 8 range partitions (AQE coalesces tiny data to 1 otherwise)
+    # and confirm the offset arithmetic stitches them correctly
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5 + 1).alias("v")
+    )
+    out = pl.global_cumsum(df, "k", "v", out_col="cum", num_partitions=8)
+    got = {r.k: r.cum for r in out.collect()}
+    acc = 0
+    for k in range(1000):
+        acc += k % 5 + 1
+        assert got[k] == acc
+
+
+def test_pack_sequences_bins_are_contiguous_and_budgeted(spark):
+    from demo_flink_spark.operators.textstats import _tokens
+    from demo_flink_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    budget = 512
+    out = pl.pack_sequences(
+        docs, budget=budget, token_count=F.size(_tokens(F.col("text")))
+    ).collect()
+    out.sort(key=lambda r: r.doc_id)
+    # bin ids are non-decreasing in doc order (contiguous packing)
+    bins = [r.bin_id for r in out]
+    assert bins == sorted(bins)
+    # every bin except possibly via its last (straddling) doc fits the
+    # budget: tokens before the last doc of the bin are < budget
+    per_bin: dict[int, list] = {}
+    for r in out:
+        per_bin.setdefault(r.bin_id, []).append(r)
+    for rows in per_bin.values():
+        head = sum(r.n_tokens for r in rows[:-1])
+        assert head < budget
+
+
+def test_contamination_benchmark_members_fully_flagged(spark):
+    from demo_flink_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    )
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    assert bench_ids  # split must be non-trivial
+    out = pl.contamination_flags(docs, bench, n=3, threshold=0.2).collect()
+    by_id = {r.doc_id: r for r in out}
+    for bid in bench_ids:
+        r = by_id[bid]
+        # a benchmark member's shingles are all in the benchmark set
+        assert r.n_contaminated == r.n_shingles
+        assert r.is_contaminated or r.n_shingles == 0
+    # and the corpus is not all flagged (the check discriminates)
+    assert sum(1 for r in out if not r.is_contaminated) > 0

@@ -119,6 +119,15 @@ CHECKS = {
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "q22_global_sales_opportunity": ([], ["CartesianProduct", "SortMergeJoin"]),
+    # contamination: benchmark shingle set rides broadcast; the corpus
+    # is never self-joined
+    "contamination_bench_overlap": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # packing: partition-local windows + broadcast offsets; the only
+    # unpartitioned window runs on the |partitions|-row totals side
+    "sequence_packing": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
 }
 
 
