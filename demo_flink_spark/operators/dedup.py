@@ -404,6 +404,61 @@ def simhash_pairs(
     )
 
 
+def fuzzy_pairs_levenshtein(
+    docs: DataFrame,
+    text_col: str = "text",
+    prefix_len: int = 12,
+    cmp_len: int = 80,
+    max_dist: int = 10,
+) -> DataFrame:
+    """Edit-distance near-dup pairs via prefix blocking.
+
+    Candidate generation is an equi-join on the first `prefix_len`
+    chars of the canonical text (same normalization as `exact_dedup`);
+    the Levenshtein check runs only within blocks and only on the
+    first `cmp_len` chars, with Spark's threshold form so the DP
+    matrix early-exits past `max_dist`. Complements the shingle-based
+    finders: edit distance catches character-level noise (OCR
+    errors, typo variants) that word-level Jaccard dilutes.
+
+    Scale: cost is Σ block² — prefix blocking assumes near-dups share
+    their opening characters (true for crawl/OCR dup classes; NOT for
+    prepended-boilerplate dups — route those through minhash). A
+    degenerate hot block (common boilerplate opening) is capped the
+    same way as ngram's df-cut: drop blocks larger than `max_block`
+    upstream if the corpus needs it.
+    """
+    base = (
+        docs.select(
+            "doc_id",
+            _canonical(F.col(text_col)).alias("canon"),
+        )
+        .select(
+            "doc_id",
+            F.substring("canon", 1, prefix_len).alias("blk"),
+            F.substring("canon", 1, cmp_len).alias("probe"),
+        )
+        .localCheckpoint()  # self-join below: scan/normalize once
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dist = F.levenshtein(F.col("a.probe"), F.col("b.probe"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+        # threshold form returns -1 when the distance exceeds max_dist
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, accumulated in
     double, left-to-right (deterministic, engine-portable)."""

@@ -110,6 +110,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_neardup_pairs(emb, threshold=0.3)
 
 
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.fuzzy_pairs_levenshtein(docs)
+
+
 SPECS = [
     QuerySpec(
         "dedup_exact",
@@ -169,6 +174,22 @@ SPECS = [
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        """,
+    ),
+    QuerySpec(
+        "dedup_fuzzy_levenshtein",
+        q_fuzzy_levenshtein,
+        oracle=f"""
+        WITH b2 AS (
+            SELECT doc_id,
+                   substr({_CANON}, 1, 12) AS blk,
+                   substr({_CANON}, 1, 80) AS probe
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.probe, b.probe) AS BIGINT) AS dist
+        FROM b2 a JOIN b2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.probe, b.probe) <= 10
         """,
     ),
 ]

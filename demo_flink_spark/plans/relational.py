@@ -487,6 +487,25 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (p50/p90/p99) per event type — the
+    audit-grade twin of `percentile_approx`, oracle-checkable because
+    both Spark `percentile` and DuckDB `quantile_cont` sort the group
+    and interpolate linearly at p·(n−1).
+
+    Exact percentile materializes each group's values — at 100 TB use
+    the sketch; this query exists to BOUND the sketch's error on
+    samples and for final-report numbers where exactness is required.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_sql_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL surface (SURVEY §2.3/§2.4 ext): CTE + scalar subquery.
 
@@ -1061,6 +1080,19 @@ SPECS = [
         """,
     ),
     QuerySpec("percentile_approx", q_percentile_approx, oracle=None),
+    QuerySpec(
+        "percentile_exact",
+        q_percentile_exact,
+        oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        """,
+    ),
     QuerySpec(
         "sql_cte_scalar_subquery",
         q_sql_cte_scalar_subquery,

@@ -142,3 +142,26 @@ def test_dedup_keep_list_keeps_one_per_cluster(spark):
     rows = {r["doc_id"]: r for r in dedup_keep_list(docs, pairs).collect()}
     assert [rows[i]["canonical_id"] for i in range(1, 7)] == [1, 1, 3, 4, 1, 6]
     assert sorted(i for i in rows if rows[i]["is_kept"]) == [1, 3, 4, 6]
+
+
+def test_fuzzy_levenshtein_catches_typo_variants(spark):
+    from demo_flink_spark.operators.dedup import fuzzy_pairs_levenshtein
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dogs"),  # 1 edit
+            (3, "the quick brown cat sleeps under the busy log"),  # many edits
+            (4, "completely different text about something else"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in fuzzy_pairs_levenshtein(docs, max_dist=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    # same prefix block but past the distance cap -> excluded
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # different block -> never a candidate
+    assert all(4 not in p for p in pairs)

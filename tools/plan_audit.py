@@ -128,6 +128,14 @@ CHECKS = {
     # packing: partition-local windows + broadcast offsets; the only
     # unpartitioned window runs on the |partitions|-row totals side
     "sequence_packing": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # fuzzy dedup: prefix-block equi-join — the inequality and the
+    # edit distance must be post-join filters, never a BNL join
+    "dedup_fuzzy_levenshtein": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # exact percentile: sort-based agg still gets map-side partials
+    "percentile_exact": (["ObjectHashAggregate"], ["CartesianProduct"]),
 }
 
 
