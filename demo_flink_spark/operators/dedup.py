@@ -589,23 +589,20 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        new_comp = F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp")))
+        # labels only ever decrease, so "changed" is computable inline —
+        # no second join against the previous labels per round
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.s, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp < F.col("comp")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels
