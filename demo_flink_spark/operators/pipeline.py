@@ -134,6 +134,66 @@ def global_cumsum(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks:
+    (doc_id, chunk_idx, chunk_text, n_chunk_tokens), stride =
+    window − overlap, last partial chunk kept.
+
+    Context-window preparation for embedding/training: each chunk
+    carries `overlap` tokens of left context. A document with no
+    tokens produces no rows.
+
+    One Arrow-batched narrow pass (mapInPandas) — chunking is
+    per-document, embarrassingly parallel, no shuffle. Catalyst
+    higher-order slice/explode would express the same thing but
+    evaluates interpreted (10-40× slower on array-heavy kernels —
+    see `shingles`); the UDF path keeps the whole stage vectorized
+    Python with zero exchanges.
+    """
+    stride = window - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than window")
+
+    def gen(batches):
+        import re  # noqa: PLC0415 — worker-side import
+
+        import pandas as pd  # noqa: PLC0415
+
+        # ASCII \s to match Java/RE2 tokenization (Python's default
+        # str.split() is unicode-whitespace, which oracles can't see)
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids, idxs, texts, counts = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [t for t in ws.split(text or "") if t]
+                for ci, start in enumerate(range(0, len(toks), stride)):
+                    piece = toks[start : start + window]
+                    ids.append(doc_id)
+                    idxs.append(ci)
+                    texts.append(" ".join(piece))
+                    counts.append(len(piece))
+                    if start + window >= len(toks):
+                        break
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "chunk_text": texts,
+                    "n_chunk_tokens": counts,
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen,
+        "doc_id long, chunk_idx long, chunk_text string, n_chunk_tokens long",
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -43,6 +43,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.contamination_flags(docs, bench, n=3, threshold=0.2)
 
 
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.chunk_documents(docs, window=64, overlap=8)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return pl.pack_sequences(
@@ -77,6 +82,36 @@ SPECS = [
                    / CAST(greatest(len(s.shingles), 1) AS DOUBLE) >= 0.2
                    AS is_contaminated
         FROM sh s LEFT JOIN hits h USING (doc_id)
+        """,
+    ),
+    QuerySpec(
+        "doc_chunking_overlap",
+        q_chunking,
+        # window=64, overlap=8 -> stride=56; chunk count for a doc of
+        # L tokens is ceil(max(L-64,0)/56)+1 (0 chunks when L=0) —
+        # the closed form of the operator's emit-until-covered loop.
+        oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               w -> length(w) > 0) AS toks
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, toks,
+                   unnest(range(0,
+                       CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS BIGINT)
+                       + 1)) AS ci
+            FROM tok
+            WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(ci AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(toks, ci * 56 + 1, ci * 56 + 64), ' ')
+                   AS chunk_text,
+               CAST(len(list_slice(toks, ci * 56 + 1, ci * 56 + 64)) AS BIGINT)
+                   AS n_chunk_tokens
+        FROM chunks
         """,
     ),
     QuerySpec(

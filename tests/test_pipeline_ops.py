@@ -80,3 +80,26 @@ def test_contamination_benchmark_members_fully_flagged(spark):
         assert r.is_contaminated or r.n_shingles == 0
     # and the corpus is not all flagged (the check discriminates)
     assert sum(1 for r in out if not r.is_contaminated) > 0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = pl.chunk_documents(docs, window=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 10 tokens, window 4, stride 3 -> ceil(6/3)+1 = 3 chunks
+    c1 = by_doc[1]
+    assert [r.chunk_text for r in c1] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+    # short doc -> one partial chunk; empty doc -> no rows
+    assert [r.chunk_text for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc

@@ -136,6 +136,8 @@ CHECKS = {
     ),
     # exact percentile: sort-based agg still gets map-side partials
     "percentile_exact": (["ObjectHashAggregate"], ["CartesianProduct"]),
+    # chunking: one Arrow-batched narrow pass, zero exchanges
+    "doc_chunking_overlap": (["MapInPandas"], ["Exchange"]),
 }
 
 
