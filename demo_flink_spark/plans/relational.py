@@ -487,6 +487,31 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-style window functions (SURVEY §2.8 ext):
+    percent_rank, cume_dist, nth_value, first/last_value with an
+    explicit full-partition frame.
+
+    Same single-Window-operator discipline as `window_analytics`: all
+    functions share one (partition, order) spec, so the plan carries
+    exactly one sort+window pass after the o_custkey shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first_value("o_totalprice").over(w_full), 6).alias("first_price"),
+        F.round(F.last_value("o_totalprice").over(w_full), 6).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_full), 6).alias(
+            "second_price"
+        ),
+    )
+
+
 def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (p50/p90/p99) per event type — the
     audit-grade twin of `percentile_approx`, oracle-checkable because
@@ -1080,6 +1105,23 @@ SPECS = [
         """,
     ),
     QuerySpec("percentile_approx", q_percentile_approx, oracle=None),
+    QuerySpec(
+        "window_distribution",
+        q_window_distribution,
+        oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               round(first_value(o_totalprice) OVER wf, 6) AS first_price,
+               round(last_value(o_totalprice) OVER wf, 6) AS last_price,
+               round(nth_value(o_totalprice, 2) OVER wf, 6) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        """,
+    ),
     QuerySpec(
         "percentile_exact",
         q_percentile_exact,

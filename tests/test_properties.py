@@ -122,3 +122,35 @@ def test_cdc_state_is_last_changed_record(objs):
             expected = obj
         prev = new_prev
         assert prev is not None and prev[1] == expected
+
+
+# --- chunking arithmetic (operators/pipeline.py::chunk_documents) ---
+# The DuckDB oracle uses the closed form ceil(max(L-w,0)/stride)+1 for
+# the chunk count; the operator walks an emit-until-covered loop. Pin
+# their equivalence over the whole parameter space.
+
+
+@given(
+    st.integers(min_value=0, max_value=2000),
+    st.integers(min_value=2, max_value=128),
+    st.integers(min_value=1, max_value=127),
+)
+@settings(max_examples=300)
+def test_chunk_count_closed_form_matches_loop(n_tokens, window, overlap):
+    import math
+
+    from hypothesis import assume
+
+    assume(overlap < window)
+    stride = window - overlap
+    loop_count = 0
+    for start in range(0, n_tokens, stride):
+        loop_count += 1
+        if start + window >= n_tokens:
+            break
+    closed = (
+        0
+        if n_tokens == 0
+        else math.ceil(max(n_tokens - window, 0) / stride) + 1
+    )
+    assert loop_count == closed

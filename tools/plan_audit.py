@@ -138,6 +138,8 @@ CHECKS = {
     "percentile_exact": (["ObjectHashAggregate"], ["CartesianProduct"]),
     # chunking: one Arrow-batched narrow pass, zero exchanges
     "doc_chunking_overlap": (["MapInPandas"], ["Exchange"]),
+    # both frame specs share one (partition, order) -> ONE Window op
+    "window_distribution": (["Window"], ["CartesianProduct", "Join"]),
 }
 
 
