@@ -728,6 +728,34 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join: events (5 event types — maximal key skew)
+    joined to a per-type dimension through `operators.scale.salted_join`,
+    proven semantics-preserving by the plain-JOIN oracle.
+
+    The big side salts on row position, the 5-row dim replicates 16×,
+    and the join key becomes (event_type, salt) — a hot type's rows
+    spread over 16 tasks instead of one. This is the manual fallback
+    for when AQE skew-split can't apply (stream-static joins,
+    pre-AQE clusters); the oracle proves salt never leaks into
+    results.
+    """
+    from demo_flink_spark.operators.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.round(davg(F.col("value")), 6).alias("type_avg"))
+    )
+    joined = salted_join(ev.select("event_id", "event_type", "value"), dim,
+                         "event_type", n_salts=16)
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("type_avg"), 6).alias("value_vs_type_avg"),
+    )
+
+
 def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram / binning of order totals.
 
@@ -1296,6 +1324,20 @@ SPECS = [
                round(max(value), 6) AS max_value
         FROM events
         GROUP BY event_type
+        """,
+    ),
+    QuerySpec(
+        "salted_join_events",
+        q_salted_join_events,
+        oracle=f"""
+        WITH dim AS (
+            SELECT event_type,
+                   round({_DAVG.format(e='value')}, 6) AS type_avg
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               round(value - type_avg, 6) AS value_vs_type_avg
+        FROM events e JOIN dim USING (event_type)
         """,
     ),
     QuerySpec(

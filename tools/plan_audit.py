@@ -140,6 +140,9 @@ CHECKS = {
     "doc_chunking_overlap": (["MapInPandas"], ["Exchange"]),
     # both frame specs share one (partition, order) -> ONE Window op
     "window_distribution": (["Window"], ["CartesianProduct", "Join"]),
+    # salted join: equi-join on (key, salt), no cartesian from the
+    # dim replication (explode stays a generator, not a join)
+    "salted_join_events": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
