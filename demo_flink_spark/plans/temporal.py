@@ -115,6 +115,56 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix: P(next event | event) per ordered
+    user stream — the Markov-chain view of clickstream paths.
+
+    One shuffle on user_id, one window pass for `lead`, one hash
+    aggregate over at most |types|² groups. Determinism: the order key
+    includes the unique event_id tiebreaker (equal timestamps would
+    otherwise make `lead` partition-order-dependent).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    actives counted per (cohort_day, day_offset).
+
+    Two shuffles total: min-day per user (map-side combined), then the
+    distinct (cohort, offset, user) aggregate. The per-user first-seen
+    day rides the row (no re-join against a cohort table) because the
+    window min over user_id reuses the same partitioning Spark already
+    needs for the distinct count — at 100 TB the cohort table join
+    would be the slower plan.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id")
+    with_cohort = ev.select(
+        "user_id",
+        day.alias("day"),
+    ).withColumn("cohort_day", F.min("day").over(w))
+    return (
+        with_cohort.groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 SPECS = [
     QuerySpec(
         "funnel_conversion",
@@ -134,6 +184,40 @@ SPECS = [
                count(CASE WHEN t_view < t_click AND t_click < t_purchase
                           THEN 1 END) AS n_converted
         FROM per_user
+        """,
+    ),
+    QuerySpec(
+        "transition_matrix",
+        q_transition_matrix,
+        oracle="""
+        WITH pairs AS (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type, next_type, count(*) AS n_transitions
+        FROM pairs
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        """,
+    ),
+    QuerySpec(
+        "cohort_retention",
+        q_cohort_retention,
+        oracle="""
+        WITH d AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   min(date_trunc('day', ts)) OVER (PARTITION BY user_id)
+                       AS cohort_day
+            FROM events
+        )
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM d
+        GROUP BY cohort_day, day_offset
         """,
     ),
     QuerySpec(

@@ -143,6 +143,9 @@ CHECKS = {
     # salted join: equi-join on (key, salt), no cartesian from the
     # dim replication (explode stays a generator, not a join)
     "salted_join_events": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # clickstream analytics: window + agg, never a self-join
+    "transition_matrix": (["Window"], ["Join", "CartesianProduct"]),
+    "cohort_retention": (["Window"], ["Join", "CartesianProduct"]),
 }
 
 
