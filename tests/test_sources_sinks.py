@@ -135,3 +135,24 @@ def test_csv_json_round_trip(spark):
         want = {tuple(r) for r in orders.collect()}
         assert {tuple(r) for r in from_csv.collect()} == want
         assert {tuple(r) for r in from_json.collect()} == want
+
+
+def test_json_table_captures_corrupt_records(spark):
+    # PERMISSIVE read: malformed lines land in _corrupt_record instead
+    # of failing the scan (the behavior json_table documents)
+    from demo_flink_spark.sources.tables import json_table
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "rows.jsonl")
+        with open(path, "w") as f:
+            f.write('{"id": 1, "v": "ok"}\n')
+            f.write("THIS IS NOT JSON\n")
+            f.write('{"id": 2, "v": "also ok"}\n')
+        df = json_table(
+            spark, path, "id long, v string, _corrupt_record string"
+        )
+        rows = df.collect()
+        good = {r.id: r.v for r in rows if r.id is not None}
+        bad = [r._corrupt_record for r in rows if r.id is None]
+        assert good == {1: "ok", 2: "also ok"}
+        assert bad == ["THIS IS NOT JSON"]
