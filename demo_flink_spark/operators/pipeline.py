@@ -109,7 +109,12 @@ def global_cumsum(
         part = df.repartitionByRange(F.col(order_col))
     else:
         part = df.repartitionByRange(num_partitions, F.col(order_col))
-    part = part.withColumn("_pid", F.spark_partition_id())
+    # Materialize the partitioning ONCE: both consumers below (the
+    # local window and the per-partition totals) read `part`, and
+    # spark_partition_id() is nondeterministic — without this pin,
+    # a missed exchange-reuse would let the two branches sample
+    # different range boundaries and mis-stitch the offsets.
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
