@@ -308,6 +308,63 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.unionByName(i).unionByName(e)
 
 
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) variants: UNION ALL / INTERSECT ALL / EXCEPT ALL
+    preserve duplicate multiplicity — semantics the DISTINCT forms in
+    `setops` erase. Counted per (op, key) so the multiplicities
+    themselves are what the oracle hashes."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    u = building.unionAll(auto).withColumn("op", F.lit("union_all"))
+    i = building.intersectAll(auto).withColumn("op", F.lit("intersect_all"))
+    e = building.exceptAll(auto).withColumn("op", F.lit("except_all"))
+    return (
+        u.unionByName(i)
+        .unionByName(e)
+        .groupBy("op", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+def q_scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family (SURVEY §2.9 ext): null-safe equality
+    (<=>), coalesce, nullif, nvl2 — the semantics every CDC/merge
+    pipeline depends on. All pure projections; the lead() introduces
+    real nulls at partition ends."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderstatus").over(w)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").eqNullSafe(nxt).alias("same_as_next"),
+        F.coalesce(nxt, F.lit("END")).alias("next_or_end"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("null_if_open"),
+        F.nvl2(nxt, F.lit("has_next"), F.lit("last")).alias("position_tag"),
+    )
+
+
+def q_scalar_datetime_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/time family (SURVEY §2.9 ext): month arithmetic
+    (with end-of-month clamping), month boundaries, ISO weeks, and
+    formatting — complements `scalar_datetime`'s extraction family."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        # cast back to timestamp: DATE arrives as datetime.date from
+        # Spark but datetime64 from DuckDB — the hash canon differs
+        F.add_months(d, 3).cast("timestamp").alias("plus_3mo"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.weekofyear(d).cast("long").alias("wk"),
+    )
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window functions (SURVEY §2.8 ext): running sum, lag,
     lead, rank, dense_rank, ntile over each customer's order history.
@@ -1133,6 +1190,63 @@ SPECS = [
         """,
     ),
     QuerySpec("percentile_approx", q_percentile_approx, oracle=None),
+    QuerySpec(
+        "setops_all",
+        q_setops_all,
+        oracle="""
+        WITH building AS (
+            SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), auto AS (
+            SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        ), tagged AS (
+            SELECT 'union_all' AS op, c_nationkey
+            FROM (SELECT * FROM building UNION ALL SELECT * FROM auto)
+            UNION ALL
+            SELECT 'intersect_all', c_nationkey
+            FROM (SELECT * FROM building INTERSECT ALL SELECT * FROM auto)
+            UNION ALL
+            SELECT 'except_all', c_nationkey
+            FROM (SELECT * FROM building EXCEPT ALL SELECT * FROM auto)
+        )
+        SELECT op, c_nationkey, count(*) AS multiplicity
+        FROM tagged GROUP BY op, c_nationkey
+        """,
+    ),
+    QuerySpec(
+        "scalar_null_semantics",
+        q_scalar_null_semantics,
+        oracle="""
+        WITH n AS (
+            SELECT o_orderkey, o_orderstatus,
+                   lead(o_orderstatus) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS nxt
+            FROM orders
+        )
+        SELECT o_orderkey,
+               o_orderstatus IS NOT DISTINCT FROM nxt AS same_as_next,
+               coalesce(nxt, 'END') AS next_or_end,
+               nullif(o_orderstatus, 'O') AS null_if_open,
+               CASE WHEN nxt IS NOT NULL THEN 'has_next' ELSE 'last' END
+                   AS position_tag
+        FROM n
+        """,
+    ),
+    QuerySpec(
+        "scalar_datetime_ext",
+        q_scalar_datetime_ext,
+        oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                   AS plus_3mo,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(weekofyear(o_orderdate) AS BIGINT) AS wk
+        FROM orders
+        """,
+    ),
     QuerySpec(
         "window_distribution",
         q_window_distribution,

@@ -146,6 +146,11 @@ CHECKS = {
     # clickstream analytics: window + agg, never a self-join
     "transition_matrix": (["Window"], ["Join", "CartesianProduct"]),
     "cohort_retention": (["Window"], ["Join", "CartesianProduct"]),
+    # scalar families: pure projections (+ one window for lead) —
+    # never a join
+    "scalar_null_semantics": (["Window"], ["Join", "CartesianProduct"]),
+    "scalar_datetime_ext": ([], ["Join", "Exchange hashpartitioning"]),
+    "setops_all": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 
