@@ -48,6 +48,31 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.chunk_documents(docs, window=64, overlap=8)
 
 
+def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering:
+    shuffle_key = md5(salt || id) gives a reproducible pseudo-random
+    permutation on any engine; the global position comes from the
+    distributed prefix sum over ones — NOT row_number() over a global
+    ORDER BY, which Spark executes on a single task.
+
+    Changing the salt string re-deals the permutation (new epoch)
+    without touching the data.
+    """
+    from demo_flink_spark.operators.pipeline import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+        F.lit(1).alias("one"),
+    )
+    return global_cumsum(
+        keyed, "shuffle_key", "one", out_col="shuffle_pos"
+    ).select("doc_id", "shuffle_key", "shuffle_pos")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return pl.pack_sequences(
@@ -112,6 +137,18 @@ SPECS = [
                CAST(len(list_slice(toks, ci * 56 + 1, ci * 56 + 64)) AS BIGINT)
                    AS n_chunk_tokens
         FROM chunks
+        """,
+    ),
+    QuerySpec(
+        "dataset_shuffle_positions",
+        q_dataset_shuffle,
+        oracle="""
+        SELECT doc_id,
+               md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               CAST(row_number() OVER (
+                   ORDER BY md5('shuf1:' || CAST(doc_id AS VARCHAR))
+               ) AS BIGINT) AS shuffle_pos
+        FROM documents
         """,
     ),
     QuerySpec(

@@ -151,6 +151,11 @@ CHECKS = {
     "scalar_null_semantics": (["Window"], ["Join", "CartesianProduct"]),
     "scalar_datetime_ext": ([], ["Join", "Exchange hashpartitioning"]),
     "setops_all": (["HashAggregate"], ["CartesianProduct"]),
+    # global shuffle positions: distributed prefix sum, no global sort
+    "dataset_shuffle_positions": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
 }
 
 
