@@ -66,3 +66,35 @@ def test_stream_static_enrich(spark):
     enriched = stream_static_enrich(events, dim, "key").select("key", "v", "tier")
     got = sorted(tuple(r) for r in _run(enriched).collect())
     assert got == [("u1", "click", "gold"), ("u2", "view", "silver")]
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark):
+    # u1 matches; u2 has no right-side row; the "wm" pair advances the
+    # watermark far past u2's join window so the outer result for u2
+    # (null-extended) can be emitted by the no-data micro-batch.
+    clicks = _stream_of(
+        spark,
+        [(1_000, "u1", "click"), (5_000, "u2", "click"), (200_000, "wm", "click")],
+    )
+    views = _stream_of(
+        spark,
+        [(2_000, "u1", "view"), (200_000, "wm", "view")],
+    )
+    joined = stream_stream_join(
+        clicks,
+        views,
+        key="key",
+        watermark="10 seconds",
+        within="10 seconds",
+        how="left_outer",
+    ).select(
+        F.col("l.key").alias("key"),
+        F.col("l.ts_ms").alias("click_ms"),
+        F.col("r.ts_ms").alias("view_ms"),
+    )
+    got = sorted((r.key, r.click_ms, r.view_ms) for r in _run(joined).collect())
+    assert got == [
+        ("u1", 1_000, 2_000),
+        ("u2", 5_000, None),
+        ("wm", 200_000, 200_000),
+    ]
