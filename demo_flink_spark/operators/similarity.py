@@ -229,6 +229,169 @@ def cosine_topk_ivf(
     return _topk_neighbors(scored, k)
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 64,
+    sample_size: int = 1024,
+    n_iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Product-quantization codebooks: per-subspace k-means over the
+    same deterministic hash-picked sample `ivf_centroids` uses.
+
+    Returns (m, n_codes, dim/m). Vectors are L2-normalized before
+    splitting so the additive ADC score approximates cosine. Training
+    is driver-side on a KB-scale sample (the FAISS recipe); empty
+    codes re-seed from the worst-quantized sample point.
+    """
+    sample = (
+        corpus.select("vec_id", vec_col)
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .toPandas()
+    )
+    mat = np.array(list(sample[vec_col]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub))
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        cents = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)]
+        for _ in range(n_iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:
+                    cents[c] = x[np.argmax(d2.min(axis=1))]
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, books: np.ndarray, id_col: str
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to m sub-space
+    code indices — dim×4 bytes → m bytes (32× at dim 64, m 8).
+
+    One Arrow-batched numpy pass; the codebooks (m·n_codes·sub floats,
+    KBs) ride the closure. At 100 TB the encoded table is what you
+    persist and scan — the raw vectors are only touched again for
+    exact re-ranking of final candidates.
+    """
+    m, n_codes, sub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                x = mat[:, s * sub : (s + 1) * sub]
+                d2 = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>"
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 64,
+    oversample: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization with ADC
+    scan + exact re-rank (the FAISS PQ shape).
+
+    ADC: cosine(q, x) ≈ Σ_s dot(q_s, codebook[s][code_s(x)]) — each
+    query precomputes an (m × n_codes) lookup table, and scoring a
+    corpus vector is m table lookups over its codes, never touching
+    the raw floats. The scan emits only a per-batch partial top-K'
+    (K' = k·oversample) per query, so the shuffle carries
+    O(batches · |Q| · K') rows; the final exact cosine re-rank joins
+    just the K' survivors per query back to the raw vectors.
+
+    At scale: the PQ-coded corpus is 32× smaller than the raw floats
+    — the scan is I/O-bound on codes, the re-rank touches ~K' vectors
+    per query, and nothing ever pairs all queries with all vectors.
+    Compose with IVF cells for sub-linear scan if |corpus| demands it.
+    """
+    books = pq_codebooks(corpus, vec_col, m, n_codes, seed=seed)
+    coded = pq_encode(corpus.select("vec_id", vec_col), vec_col, books, "vec_id")
+    qpdf = queries.select("query_id", vec_col).toPandas()  # |Q| rows, small
+    qmat = np.array(list(qpdf[vec_col]), dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = qpdf["query_id"].to_numpy()
+    sub = books.shape[2]
+    # (|Q|, m, n_codes) ADC lookup tables
+    luts = np.stack(
+        [
+            np.einsum("qd,cd->qc", qmat[:, s * sub : (s + 1) * sub], books[s])
+            for s in range(books.shape[0])
+        ],
+        axis=1,
+    )
+    kprime = k * oversample
+
+    def scan(batches):
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            # scores (|Q|, n): sum of per-subspace LUT lookups
+            scores = luts[:, np.arange(codes.shape[1])[None, :], codes].sum(
+                axis=2
+            )
+            take = min(kprime, codes.shape[0])
+            top = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, take),
+                    "vec_id": ids[top].reshape(-1),
+                    "score_pq": np.take_along_axis(scores, top, axis=1).reshape(
+                        -1
+                    ),
+                }
+            )
+
+    partial = coded.mapInPandas(
+        scan, "query_id long, vec_id long, score_pq double"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_pq"), F.asc("vec_id")
+    )
+    survivors = (
+        partial.withColumn("prk", F.row_number().over(w))
+        .filter(F.col("prk") <= kprime)
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        survivors.join(
+            F.broadcast(queries.select("query_id", F.col(vec_col).alias("qvec"))),
+            "query_id",
+        )
+        .join(corpus.select("vec_id", F.col(vec_col).alias("cvec")), "vec_id")
+        .withColumn("_cos_raw", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    return _topk_neighbors(scored, k)
+
+
 def cosine_topk_srp_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -44,6 +44,11 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_ivf(emb, _queries_df(spark, sf_dir), k=_K)
 
 
+def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_pq(emb, _queries_df(spark, sf_dir), k=_K)
+
+
 SPECS = [
     QuerySpec(
         "similarity_topk_bruteforce",
@@ -72,4 +77,5 @@ SPECS = [
     # centroid training is seed/hash-dependent -> rows-only check +
     # measured-recall pytest vs brute force (tests/test_dedup_similarity.py)
     QuerySpec("similarity_topk_ivf", q_topk_ivf, oracle=None),
+    QuerySpec("similarity_topk_pq", q_topk_pq, oracle=None),
 ]

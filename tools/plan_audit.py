@@ -63,6 +63,9 @@ CHECKS = {
     ),
     # IVF: cell equi-join for candidates, no all-pairs anywhere
     "similarity_topk_ivf": ([], ["CartesianProduct"]),
+    # PQ: ADC code scan (MapInPandas) + top-K' window + re-rank joins;
+    # the raw corpus vectors are only joined for the K' survivors
+    "similarity_topk_pq": (["MapInPandas", "Window"], ["CartesianProduct"]),
     # sort-merge kernel replay: mapInPandas after a single exchange,
     # not per-group FlatMapGroupsInPandas
     "stateful_cdc_diff_full": (["MapInPandas"], ["FlatMapGroupsInPandas"]),
