@@ -573,9 +573,9 @@ def connected_components(
     takes O(graph diameter) rounds. Near-dup components are near-
     cliques (diameter ≤ ~3), so 3-4 rounds settle real corpora, and
     `localCheckpoint` truncates lineage so the plan doesn't grow per
-    round. For adversarial long-chain graphs switch to the
-    large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce"), which is O(log²) rounds.
+    round. For adversarial long-chain graphs use
+    `connected_components_star` (large-star/small-star, O(log²)
+    rounds regardless of diameter).
     """
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     sym = sym.union(sym.select(F.col("t").alias("s"), F.col("s").alias("t")))
@@ -606,6 +606,91 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    O(log² n) rounds on ANY graph shape, vs O(diameter) for
+    `connected_components`' min-label propagation.
+
+    Use this variant when components can be long chains (transitive
+    near-dup paths A~B~C~... from chained fuzzy matches); the
+    min-label walker needs |chain| rounds there, this needs ~log².
+
+    large-star: every node points its LARGER neighbors at its local
+    minimum; small-star: the ≤-side collapses onto the minimum.
+    Both are one groupBy + one join per round; convergence = the
+    oriented edge multiset stops changing (checked with a count +
+    checksum aggregate, no subtract join). Result: (node, comp) with
+    comp = the component's minimum id.
+    """
+    # oriented symmetric adjacency, self-loops dropped
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _stars(cur: DataFrame) -> DataFrame:
+        # one round: large-star then small-star
+        mins = cur.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            cur.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        keep = cur.filter(F.col("v") < F.col("u"))
+        ls = (
+            large.union(keep)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # restore symmetric orientation for the next round
+        return (
+            small.union(
+                small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def _sig(cur: DataFrame):
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return row.n, row.h
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e = _stars(e)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # after convergence every node is adjacent to its component
+    # minimum: comp(u) = min(neighbors ∪ {u})
+    return e.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.first("u")).alias("comp")
+    )
 
 
 def dedup_keep_list(

@@ -216,3 +216,31 @@ def test_pq_encode_roundtrip_determinism(spark):
     # codes independent of partitioning; all within the codebook range
     assert a == b
     assert all(0 <= c < books.shape[1] for codes in a.values() for c in codes)
+
+
+def test_star_components_converge_on_long_chain(spark):
+    # diameter-99 chain: min-label needs 99 rounds (its max_iter=20
+    # would fail); the alternating star algorithm needs ~log^2
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.node: r.comp for r in dd.connected_components_star(chain).collect()
+    }
+    assert len(labels) == 100
+    assert set(labels.values()) == {0}
+
+
+def test_star_components_match_min_label_on_random_graphs(spark):
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        a = {r.node: r.comp for r in dd.connected_components(df).collect()}
+        b = {r.node: r.comp for r in dd.connected_components_star(df).collect()}
+        assert a == b, f"seed {seed} diverged"
