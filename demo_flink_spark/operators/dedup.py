@@ -212,18 +212,23 @@ def minhash_signatures(
         out_schema += ", bands array<long>"
 
     def sign(batches):
-        memo: dict[str, int] = {}
-
-        def shingle_hash(s: str) -> int:
-            h = memo.get(s)
-            if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-                memo[s] = h
-            return h
-
         for pdf in batches:
+            # memo is per Arrow batch, NOT per partition: corpora
+            # repeat shingles heavily within a batch (that's the win)
+            # but a partition-lifetime dict would grow to the whole
+            # partition vocabulary — unbounded worker memory
+            memo: dict[str, int] = {}
+
+            def shingle_hash(s: str) -> int:
+                h = memo.get(s)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                    memo[s] = h
+                return h
+
             sigs, band_col = [], []
             for shingle_list in pdf["shingles"]:
                 if shingle_list is None or len(shingle_list) == 0:
@@ -494,19 +499,25 @@ def embedding_neardup_pairs(
     every unordered block pair (i ≤ j) is one task. A row is exploded
     into the B pairs it participates in, groupBy(pair) shuffles, and
     `applyInPandas` runs one float64 GEMM per pair over ≤ 2·n/B
-    vectors. Exact all-pairs cost n² is inherent to the operator; the
-    grid bounds per-task memory (n/B rows a side), so scaling 100× is
-    a B choice, not a driver OOM — unlike the previous broadcast
-    variant, which `toPandas()`'d the whole corpus (VERDICT r1 §wrong
-    item 1). Replication factor is B (sub-quadratic: B ≈ √(n/rows)),
-    and the hash block assignment is skew-free by construction.
+    vectors. Exact all-pairs cost n² is inherent to the operator;
+    per-task memory is a B choice, not a driver OOM — unlike the
+    previous broadcast variant, which `toPandas()`'d the whole corpus
+    (VERDICT r1 §wrong item 1). The hash block assignment is skew-free
+    by construction.
 
-    For approximate-is-fine pipelines, the cheaper path is SRP-LSH
-    candidates (`operators.similarity.cosine_topk_srp_lsh`) — s-curve
-    recall instead of exact, but Σ bucket² instead of n² work.
+    Choosing B trades shuffle volume against task memory: replication
+    factor is B, block size is n/B, per-task memory ≈ 2·(n/B)·dim·8
+    bytes. The default B = √(n/rows_per_block) MINIMIZES total shuffle
+    (n·B rows) but lets block size grow as √(n·rows_per_block) — at
+    n = 10⁹ that is ~2M vectors/block, too big for one task. Past
+    ~10⁷ vectors pass n_blocks explicitly (n_blocks ≥ n·dim·16 /
+    task_memory_budget) — or better, don't run exact all-pairs at
+    that scale at all: route candidates through SRP-LSH
+    (`operators.similarity.cosine_topk_srp_lsh`) — s-curve recall
+    instead of exact, but Σ bucket² instead of n² work.
 
-    `n_blocks` defaults from a corpus count so each block holds about
-    `rows_per_block` vectors; pass it explicitly to skip the count.
+    `n_blocks` defaults from a corpus count (parquet-metadata read);
+    pass it explicitly to skip the count.
     """
     import numpy as np
 
@@ -605,6 +616,12 @@ def connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still moving): the graph has long chains — "
+            "use connected_components_star (O(log²) rounds) instead"
+        )
     return labels
 
 

@@ -22,6 +22,17 @@ def _md5_bucket(id_col: Column, salt: str) -> Column:
     return F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 2)
 
 
+def _cut_lit(cut: int) -> Column:
+    """Literal for `bucket < cut` comparisons, cut ∈ [0, 256].
+
+    cut == 256 ("keep everything") needs a sentinel that sorts ABOVE
+    every 2-hex-char bucket: f"{256:02x}" is the 3-char string "100",
+    which sorts BELOW all buckets except "0?"/"10" and would silently
+    keep ~6.6% instead of 100%.
+    """
+    return F.lit("zz" if cut >= 256 else f"{cut:02x}")
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -40,8 +51,8 @@ def dataset_split(
     v_cut = t_cut + int(round(val_frac * 256))
     bucket = _md5_bucket(F.col(id_col), salt)
     split = (
-        F.when(bucket < F.lit(f"{t_cut:02x}"), "train")
-        .when(bucket < F.lit(f"{v_cut:02x}"), "val")
+        F.when(bucket < _cut_lit(t_cut), "train")
+        .when(bucket < _cut_lit(v_cut), "val")
         .otherwise("test")
     )
     return df.select(F.col(id_col), split.alias("split"))
@@ -65,10 +76,10 @@ def stratified_sample(
     narrow filter, reproducible on any engine that has md5.
     """
     bucket = _md5_bucket(F.col(id_col), salt)
-    thr: Column = F.lit(f"{int(round(default_frac * 256)):02x}")
+    thr: Column = _cut_lit(int(round(default_frac * 256)))
     for value, frac in sorted(fractions.items()):
         thr = F.when(
-            F.col(strata_col) == value, F.lit(f"{int(round(frac * 256)):02x}")
+            F.col(strata_col) == value, _cut_lit(int(round(frac * 256)))
         ).otherwise(thr)
     return df.filter(bucket < thr)
 
@@ -81,17 +92,13 @@ def weighted_sample(
 
     Importance sampling for corpus curation ("keep high-quality docs
     with p=0.9, low-quality with p=0.1") without rand()'s
-    recompute-instability. The md5 bucket is decoded to an integer via
-    hex-char position so the exact comparison is expressible in any
-    engine (no hex→int builtin needed).
+    recompute-instability. The md5 bucket is decoded to an integer
+    (Spark: `conv(hex, 16, 10)`; the DuckDB oracle decodes via
+    hex-char strpos — same value either way) so the comparison against
+    `weight · 256` is numeric. Built from Column expressions, never
+    interpolated SQL text, so odd column names and salts are safe.
     """
-    def hexpos(i: int) -> Column:
-        return F.expr(
-            f"instr('0123456789abcdef', substring("
-            f"md5(concat('{salt}', cast({id_col} as string))), {i}, 1)) - 1"
-        )
-
-    bucket = hexpos(1) * 16 + hexpos(2)
+    bucket = F.conv(_md5_bucket(F.col(id_col), salt), 16, 10).cast("int")
     p = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
     return df.filter(bucket < p * 256)
 
@@ -103,4 +110,4 @@ def hash_sample(
     mechanics as `dataset_split`); reproducible across runs, engines,
     and partitionings, unlike `df.sample`."""
     cut = int(round(fraction * 256))
-    return df.filter(_md5_bucket(F.col(id_col), salt) < F.lit(f"{cut:02x}"))
+    return df.filter(_md5_bucket(F.col(id_col), salt) < _cut_lit(cut))

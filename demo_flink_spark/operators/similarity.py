@@ -168,17 +168,18 @@ def ivf_assign(
     cells to trade compute for recall.
     """
     cents = centroids.T  # (dim, cells)
+    # a tiny corpus can train fewer centroids than nprobe requests
+    probe = min(nprobe, centroids.shape[0])
 
     def assign(batches):
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ cents  # (n, cells)
-            top = np.argsort(-sims, axis=1)[:, :nprobe]  # (n, nprobe)
-            n = len(pdf)
+            top = np.argsort(-sims, axis=1)[:, :probe]  # (n, probe)
             yield pd.DataFrame(
                 {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), probe),
                     "cell": top.reshape(-1).astype(np.int32),
                 }
             )

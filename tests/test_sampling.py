@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from demo_flink_spark.operators.sampling import dataset_split, hash_sample
 
 
@@ -54,3 +56,36 @@ def test_stratified_sample_fractions_and_determinism(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_full_fraction_keeps_everything(spark):
+    # regression: cut == 256 formatted as 3-char "100" sorted below
+    # almost every 2-char hex bucket, silently emptying the sample
+    from demo_flink_spark.operators.sampling import dataset_split, hash_sample
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    assert hash_sample(df, "doc_id", 1.0).count() == 500
+    splits = (
+        dataset_split(df, "doc_id", train_frac=0.9, val_frac=0.1)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    by = {r.split: r["count"] for r in splits}
+    # nothing may leak into test when train+val == 1.0
+    assert by.get("test", 0) == 0
+    assert by.get("train", 0) + by.get("val", 0) == 500
+    assert by.get("val", 0) > 0
+
+
+def test_weighted_sample_odd_identifiers(spark):
+    # weighted_sample is Column-composed: odd column names must work
+    from demo_flink_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("user id"), (F.col("id") % 2 == 0).alias("keep_all")
+    )
+    w = F.when(F.col("keep_all"), 1.0).otherwise(0.0)
+    kept = weighted_sample(df, "user id", w, salt="s'1").collect()
+    assert len(kept) == 150
+    assert all(r["user id"] % 2 == 0 for r in kept)

@@ -30,11 +30,22 @@ def load_queries(path: str) -> tuple[dict[str, float], float]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     threshold = 1.5
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1])
+            # both --threshold=1.5 and --threshold 1.5 forms
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                threshold = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         return 2
