@@ -25,8 +25,14 @@ from demo_flink_spark.sources import load_table
 _DSUM = "CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE)"
 _DAVG = f"({_DSUM} / COUNT({{e}}))"
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 _REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue():
+    # built lazily: Column construction needs a live SparkContext, and
+    # this module must import Spark-free (the driver may read the
+    # query registry before it starts a session)
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +69,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(dsum(_REVENUE), 6).alias("revenue"))
+        .agg(F.round(dsum(_revenue()), 6).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -92,7 +98,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    nation_rev = F.when(F.col("supp_nation") == "NATION_5", _REVENUE).otherwise(
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", _revenue()).otherwise(
         F.lit(0.0)
     )
     return (
@@ -105,8 +111,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round((dsum(nation_rev) / dsum(_REVENUE)), 6).alias("mkt_share"),
-            F.round(dsum(_REVENUE), 6).alias("total_revenue"),
+            F.round((dsum(nation_rev) / dsum(_revenue())), 6).alias("mkt_share"),
+            F.round(dsum(_revenue()), 6).alias("total_revenue"),
         )
         .orderBy("o_year")
     )
@@ -126,7 +132,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    profit = _REVENUE - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    profit = _revenue() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -178,11 +184,11 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
-    promo_rev = F.when(F.col("p_type") == "PROMO", _REVENUE).otherwise(F.lit(0.0))
+    promo_rev = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(F.lit(100.0) * dsum(promo_rev) / dsum(_REVENUE), 6).alias(
+            F.round(F.lit(100.0) * dsum(promo_rev) / dsum(_revenue()), 6).alias(
                 "promo_revenue_pct"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -279,7 +285,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(branch).agg(
-        F.round(dsum(_REVENUE), 6).alias("revenue"),
+        F.round(dsum(_revenue()), 6).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
