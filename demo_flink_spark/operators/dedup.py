@@ -710,6 +710,79 @@ def connected_components_star(
     )
 
 
+def substring_span_stats(
+    docs: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact-substring duplication signal: for every document, how many
+    of its k-token windows also occur elsewhere in the corpus
+    (including repeats inside the same document).
+
+    This is the distributable core of exact-substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    instead of a suffix array, hash every k-token rolling window and
+    count occurrences of each hash corpus-wide. A window whose hash
+    appears more than once is a duplicated span. Emits per document:
+    (doc_id, n_spans, n_dup_spans, dup_frac); documents shorter than k
+    tokens have no windows and drop out.
+
+    Scale design: span generation is a narrow Arrow-batched pass
+    (mapInPandas) emitting (doc_id, md5(span)) — the shuffle carries a
+    32-char hash, never the span text. Corpus-wide occurrence counts
+    come from a sort-free count window over the hash (one exchange;
+    a groupBy + join back would exchange the spans on `h` twice),
+    then one groupBy doc_id. md5 keeps the oracle engine-portable; at
+    100 TB swap in xxhash64 for an 8-byte shuffle key and add a df-cut
+    (spans in >p% of docs are boilerplate, not duplication signal).
+    """
+    import hashlib
+    import re
+
+    non_alpha = re.compile(r"[^a-z\s]")
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        for pdf in batches:
+            doc_ids: list[int] = []
+            hashes: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = (
+                    ws.sub(" ", non_alpha.sub("", (text or "").lower()))
+                    .strip()
+                    .split(" ")
+                )
+                if toks == [""]:
+                    toks = []
+                for i in range(len(toks) - k + 1):
+                    doc_ids.append(doc_id)
+                    hashes.append(
+                        hashlib.md5(
+                            " ".join(toks[i : i + k]).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": doc_ids, "h": hashes})
+
+    from pyspark.sql.window import Window
+
+    spans = docs.select("doc_id", text_col).mapInPandas(
+        gen, "doc_id long, h string"
+    )
+    # count(*) over (partition by h) with no frame/order: one shuffle
+    # on the hash, no sort — vs two h-exchanges for a groupBy + join.
+    counted = spans.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+    )
+
+
 def dedup_keep_list(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -318,3 +318,41 @@ def tf_idf_top_terms(docs: DataFrame, k: int = 3, n_docs: int | None = None) -> 
             "rk",
         )
     )
+
+
+def vocab_build(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with document-frequency cuts: one row per
+    surviving normalized token with (df, tf_total).
+
+    `min_df` drops hapax noise (OCR junk, typos); `max_df_frac` drops
+    corpus-wide boilerplate — the same two cuts every tokenizer /
+    TF-IDF / contamination pipeline applies before building features.
+
+    Scale: explode is a narrow map; the only exchange is the per-token
+    aggregate. df needs count(DISTINCT doc_id), which Spark runs as
+    two-phase partial-distinct — still map-side-compressed to
+    ~vocabulary size per task. No global rank is assigned here: a
+    total order over the vocabulary would need a single-task window;
+    callers who want ids should run `operators.pipeline.global_cumsum`
+    over the df-sorted output instead.
+    """
+    if n_docs is None:
+        n_docs = docs.count()  # parquet-metadata read on a plain scan
+    max_df = int(max_df_frac * n_docs)
+    tokens = docs.select(
+        "doc_id",
+        F.explode(_tokens(normalize_text(F.col("text")))).alias("token"),
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+        )
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )

@@ -115,6 +115,11 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.fuzzy_pairs_levenshtein(docs)
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_span_stats(docs, k=8)
+
+
 SPECS = [
     QuerySpec(
         "dedup_exact",
@@ -174,6 +179,32 @@ SPECS = [
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        """,
+    ),
+    QuerySpec(
+        "dedup_substring_spans",
+        q_substring_spans,
+        # Duplicated k-token rolling windows, the exact-substring dedup
+        # signal: md5 is computed on identical span strings in both
+        # engines, so counts agree bit-for-bit.
+        oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_CANON}, ' ') AS t FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS h
+            FROM toks, unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS u(i)
+        ),
+        c AS (SELECT h, count(*) AS cnt FROM spans GROUP BY h)
+        SELECT s.doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               round(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        FROM spans s JOIN c USING (h)
+        GROUP BY s.doc_id
         """,
     ),
     QuerySpec(

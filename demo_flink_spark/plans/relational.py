@@ -832,6 +832,34 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (feature bucketing): assign every order
+    to its global totalprice quartile.
+
+    The scale shape is two passes, NOT `ntile` — ntile over an
+    unpartitioned window funnels 100 TB through one task. Pass 1 is a
+    tiny global aggregate (exact percentiles here; swap in
+    approx_percentile at real scale), pass 2 broadcasts the one-row
+    boundary frame and bins with a pure projection, so the big table
+    is never shuffled at all. Boundaries are rounded to 6 decimals on
+    both engines so the comparisons agree bit-for-bit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q3"),
+    )
+    return orders.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("bin"),
+    )
+
+
 def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe aggregation: the salted two-phase groupBy from
     `operators.scale`, proven semantics-preserving by the plain
@@ -1464,6 +1492,27 @@ SPECS = [
                round(max(o_totalprice), 6) AS hi
         FROM orders
         GROUP BY bucket
+        """,
+    ),
+    QuerySpec(
+        "quantile_binning_price",
+        q_quantile_binning,
+        # quantile_cont interpolates at p·(n−1) exactly like Spark's
+        # percentile; both sides round boundaries to 6 decimals before
+        # comparing, so bin edges agree.
+        oracle="""
+        WITH b AS (
+            SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+                   round(quantile_cont(o_totalprice, 0.50), 6) AS q2,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice <= q1 THEN 1
+                    WHEN o_totalprice <= q2 THEN 2
+                    WHEN o_totalprice <= q3 THEN 3
+                    ELSE 4 END AS bin
+        FROM orders, b
         """,
     ),
 ]

@@ -71,6 +71,35 @@ def q_cdc_diff_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sb.cdc_diff_batch(ev, "user_id", "seq", "value")
 
 
+def q_cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert compaction: apply a keyed changelog and emit the
+    final table state — the other half of CDC (the diff queries derive
+    the changelog; this one consumes it).
+
+    events as changelog: per user, each event upserts `props` as the
+    row state; an 'error' event is a DELETE marker. Final snapshot =
+    the latest record per key, dropped when that record is a delete.
+
+    Scale design: `max_by` aggregation, NOT a row_number window — the
+    aggregate gets map-side partial combine (each task keeps one
+    candidate row per key before the exchange), so the shuffle carries
+    ≤ |keys| rows per task instead of the full changelog. String-typed
+    max_by buffers make Spark pick SortAggregate (per-partition key
+    sort) rather than HashAggregate, but the partial_max_by before the
+    exchange — the part that bounds shuffle volume — is retained.
+    This is the standard log-compaction shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_op"),
+        F.max_by("props", "event_id").alias("state"),
+    )
+    return latest.filter(F.col("last_op") != "error").select(
+        "user_id", "last_event_id", "state"
+    )
+
+
 SPECS = [
     QuerySpec(
         "stateful_running_count",
@@ -139,4 +168,21 @@ SPECS = [
         """,
     ),
     QuerySpec("stateful_cdc_diff_full", q_cdc_diff_full, oracle=None),
+    QuerySpec(
+        "cdc_upsert_snapshot",
+        q_cdc_upsert_snapshot,
+        # event_id is globally unique, so arg_max is deterministic and
+        # matches Spark's max_by exactly.
+        oracle="""
+        WITH latest AS (
+            SELECT user_id,
+                   max(event_id) AS last_event_id,
+                   arg_max(event_type, event_id) AS last_op,
+                   arg_max(props, event_id) AS state
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, last_event_id, state
+        FROM latest WHERE last_op <> 'error'
+        """,
+    ),
 ]

@@ -57,6 +57,15 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_df_frac 0.95 (not the 0.5 default): the synthetic corpus
+    # draws from a ~31-token shared vocabulary where most tokens sit
+    # in 50-90% of documents, so a 0.5 cut would keep almost nothing.
+    return textstats.vocab_build(
+        load_table(spark, sf_dir, "documents"), max_df_frac=0.95
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_signals(load_table(spark, sf_dir, "documents"))
 
@@ -169,6 +178,27 @@ SPECS = [
         )
         WHERE length(word) > 0 AND word NOT IN ({_STOPWORDS_SQL})
         GROUP BY word
+        """,
+    ),
+    QuerySpec(
+        "vocab_min_max_df",
+        q_vocab,
+        oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+                       w -> length(w) > 0)) AS token
+            FROM documents
+        )
+        SELECT token,
+               count(DISTINCT doc_id) AS df,
+               count(*) AS tf_total
+        FROM tok
+        GROUP BY token
+        HAVING count(DISTINCT doc_id) >= 2
+           AND count(DISTINCT doc_id)
+               <= CAST(floor(0.95 * (SELECT count(*) FROM documents)) AS BIGINT)
         """,
     ),
     QuerySpec(

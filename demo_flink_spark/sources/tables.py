@@ -132,6 +132,38 @@ def json_table(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar format Spark reads natively (no
+    extra jar). Same pushdown story as parquet: predicates and column
+    pruning reach the ORC reader (PushedFilters in the scan), so a
+    warehouse already standardized on ORC plugs into every query here
+    unchanged."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC batch sink (snappy by default, same as parquet)."""
+    df.write.mode(mode).orc(path)
+
+
+def binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Raw-file ingestion: one row per file with (path, modificationTime,
+    length, content binary) — the entry point for multimodal corpora
+    (images/audio/video on a blob store) into
+    `operators.multimodal.decode_stats` and friends.
+
+    Scale notes: the source parallelizes over files (each task reads
+    whole files), so millions of small media files scan in parallel,
+    but a single giant file is one task — shard huge archives upstream.
+    Filters on `path`/`length`/`modificationTime` prune at the listing
+    (pushed to the file index, before any content I/O).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() queries."""
     for name in TABLES:

@@ -21,9 +21,12 @@ from demo_flink_spark.sources.streams import (
     rate_stream,
 )
 from demo_flink_spark.sources.tables import (
+    binary_files,
     csv_table,
     json_table,
     load_table,
+    orc_table,
+    write_orc,
     write_partitioned,
 )
 
@@ -156,3 +159,37 @@ def test_json_table_captures_corrupt_records(spark):
         bad = [r._corrupt_record for r in rows if r.id is None]
         assert good == {1: "ok", 2: "also ok"}
         assert bad == ["THIS IS NOT JSON"]
+
+
+def test_orc_round_trip_with_pushdown(spark):
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(orders, f"{d}/orc")
+        back = orc_table(spark, f"{d}/orc")
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in orders.collect()
+        }
+        # predicate reaches the ORC scan, not a post-filter over all rows
+        filtered = back.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+        # column pruning: scan reads only the two referenced columns
+        assert "o_totalprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_binary_files_source(spark):
+    with tempfile.TemporaryDirectory() as d:
+        payloads = {"a.img": b"\x89IMG" + b"x" * 100, "b.img": b"\x89IMG" + b"y" * 50}
+        for name, content in payloads.items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(content)
+        with open(os.path.join(d, "ignore.txt"), "w") as f:
+            f.write("not media")
+        df = binary_files(spark, d, glob="*.img")
+        rows = {os.path.basename(r.path): r for r in df.collect()}
+        assert set(rows) == set(payloads)
+        for name, content in payloads.items():
+            assert bytes(rows[name].content) == content
+            assert rows[name].length == len(content)

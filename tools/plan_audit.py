@@ -159,6 +159,25 @@ CHECKS = {
         ["Window", "BroadcastHashJoin"],
         ["CartesianProduct"],
     ),
+    # substring spans: narrow Arrow span generation, a sort-free count
+    # window on the hash — never a join back onto the spans
+    "dedup_substring_spans": (
+        ["MapInPandas", "Window"],
+        ["CartesianProduct", "Join"],
+    ),
+    # upsert compaction: ONE aggregate with map-side partials (string
+    # max_by buffers force SortAggregate, but partial_max_by before
+    # the exchange is what bounds the shuffle) — never a row_number
+    # window over the raw changelog, never a join
+    "cdc_upsert_snapshot": (["partial_max_by"], ["Window", "Join"]),
+    # quantile binning: boundary frame broadcasts; the fact table is
+    # projected in place — no exchange of orders, no single-task ntile
+    "quantile_binning_price": (
+        ["BroadcastNestedLoopJoin"],
+        ["Window", "Exchange hashpartitioning(o_"],
+    ),
+    # vocab: explode is narrow; the only exchange is the per-token agg
+    "vocab_min_max_df": (["HashAggregate"], ["Join", "CartesianProduct"]),
 }
 
 
