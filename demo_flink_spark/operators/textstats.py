@@ -356,3 +356,80 @@ def vocab_build(
         )
         .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
     )
+
+
+def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-self-trained bigram LM quality score per document — the
+    CCNet/KenLM shape: score each document by how probable its token
+    sequence is under a language model fitted on the corpus itself.
+    Low scores flag gibberish, boilerplate, and OCR noise.
+
+    Per document: n_bigrams, avg conditional probability
+    avg_p = mean(C(w1,w2)/C(w1·)), and avg_logp = mean(ln of that
+    ratio). Every document bigram contributes to the counts it is
+    scored against, so probabilities are always > 0 (no smoothing
+    needed for self-scoring).
+
+    Scale design: bigram emission is one narrow Arrow pass
+    (mapInPandas). The unigram/bigram count tables are vocabulary-
+    sized — tiny relative to the corpus — and ride a broadcast join
+    back onto the bigram stream; at web scale (1e8+ distinct bigrams)
+    switch the bigram join to a shuffle equi-join and keep the unigram
+    broadcast. Per-element probabilities are exact ratio doubles;
+    log values are rounded before the decimal-exact sum so the
+    aggregate is partition-order-independent and engine-portable.
+    """
+    import re
+
+    non_alpha = re.compile(r"[^a-z\s]")
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        for pdf in batches:
+            doc_ids: list[int] = []
+            w1s: list[str] = []
+            bgs: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = (
+                    ws.sub(" ", non_alpha.sub("", (text or "").lower()))
+                    .strip()
+                    .split(" ")
+                )
+                if toks == [""]:
+                    toks = []
+                for i in range(len(toks) - 1):
+                    doc_ids.append(doc_id)
+                    w1s.append(toks[i])
+                    bgs.append(toks[i] + " " + toks[i + 1])
+            yield pd.DataFrame({"doc_id": doc_ids, "w1": w1s, "bg": bgs})
+
+    bigrams = (
+        docs.select("doc_id", text_col)
+        .mapInPandas(gen, "doc_id long, w1 string, bg string")
+        .localCheckpoint(eager=False)  # feeds three plan branches
+    )
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    p = F.col("c_bg") / F.col("c_w1")
+    scored = (
+        bigrams.join(F.broadcast(bi), "bg")
+        .join(F.broadcast(uni), "w1")
+        .select(
+            "doc_id",
+            p.alias("p"),
+            # round before summing: ln differs in the last ulp across
+            # libm implementations; at 6 decimals both engines agree
+            F.round(F.log(p), 6).cast("decimal(38,6)").alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            (F.sum(F.col("p").cast("decimal(38,12)")) / F.count(F.lit(1)))
+            .cast("double"),
+            6,
+        ).alias("avg_p"),
+        F.round(
+            (F.sum("logp") / F.count(F.lit(1))).cast("double"), 6
+        ).alias("avg_logp"),
+    )

@@ -66,6 +66,10 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_signals(load_table(spark, sf_dir, "documents"))
 
@@ -178,6 +182,36 @@ SPECS = [
         )
         WHERE length(word) > 0 AND word NOT IN ({_STOPWORDS_SQL})
         GROUP BY word
+        """,
+    ),
+    QuerySpec(
+        "lm_bigram_score",
+        q_lm_bigram_score,
+        # per-element ln rounded to 6 decimals before the decimal sum:
+        # libm log() may differ in the last ulp across engines, the
+        # ratio itself (bigint/bigint double division) cannot.
+        oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+                lower(text), '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS t
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id, t[i + 1] AS w1,
+                   t[i + 1] || ' ' || t[i + 2] AS bg
+            FROM toks, unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
+            WHERE len(t) >= 2 AND t[1] <> ''
+        ),
+        uni AS (SELECT w1, count(*) AS c_w1 FROM bigrams GROUP BY w1),
+        bi AS (SELECT bg, count(*) AS c_bg FROM bigrams GROUP BY bg)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(CAST(sum(CAST(c_bg / CAST(c_w1 AS DOUBLE) AS DECIMAL(38,12)))
+                     / count(*) AS DOUBLE), 6) AS avg_p,
+               round(CAST(sum(CAST(round(ln(c_bg / CAST(c_w1 AS DOUBLE)), 6)
+                     AS DECIMAL(38,6))) / count(*) AS DOUBLE), 6) AS avg_logp
+        FROM bigrams JOIN bi USING (bg) JOIN uni USING (w1)
+        GROUP BY doc_id
         """,
     ),
     QuerySpec(

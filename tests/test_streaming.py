@@ -43,10 +43,21 @@ def _write_batches(spark, rows, schema="b int, ts_ms long, word string"):
     stage = tempfile.mkdtemp(prefix="stream_src_")
     df = spark.createDataFrame(rows, schema)
     n_batches = df.select(F.max("b")).first()[0] + 1
+    # FileStreamSource orders by mtime (path-tiebreak is a random UUID
+    # name): stamp strictly increasing mtimes so trigger order is the
+    # batch order regardless of filesystem timestamp granularity.
+    import os
+
+    base = time.time() - n_batches - 1
+    stamped: set[str] = set()
     for b in range(n_batches):
         df.filter(F.col("b") == b).drop("b").coalesce(1).write.mode("append").parquet(
             stage
         )
+        for fname in os.listdir(stage):
+            if fname.endswith(".parquet") and fname not in stamped:
+                os.utime(os.path.join(stage, fname), (base + b, base + b))
+                stamped.add(fname)
     return stage, df.drop("b").schema
 
 
@@ -188,3 +199,57 @@ def test_socket_source_wordcount(spark):
     finally:
         q.stop()
         server.close()
+
+
+def test_streaming_session_window(spark):
+    """Session windows under real streaming: in-batch session merging,
+    watermark-driven finalization (append mode only emits a session
+    once the watermark passes its end), and still-open sessions held
+    back."""
+    from demo_flink_spark.streaming.windows import session_count_stream
+
+    rows = [
+        # u1: three events within the 10 s gap -> ONE merged session
+        # [1000, 18000); u2: single event -> [19000, 29000)
+        (0, 1000, "u1"),
+        (0, 5000, "u1"),
+        (0, 8000, "u1"),
+        (0, 19000, "u2"),
+        # u1 again later -> second session [40000, 50000)
+        (1, 40000, "u1"),
+        # sentinels: advance the watermark (10 s delay) far enough to
+        # close everything above; u3's first session is itself closed
+        # by the second sentinel, the second stays open (never emits)
+        (2, 70000, "u3"),
+        (3, 100000, "u3"),
+    ]
+    stage, schema = _write_batches(spark, rows, schema="b int, ts_ms long, word string")
+    stream = _with_ts(file_stream(spark, stage, schema)).withColumnRenamed(
+        "word", "user"
+    )
+    sessions = session_count_stream(
+        stream, ts_col="ts", key_col="user", gap="10 seconds",
+        watermark_delay="10 seconds",
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.table(name).collect()
+    )
+    assert got == [
+        ("u1", "1970-01-01 00:00:01", "1970-01-01 00:00:18", 3),
+        ("u1", "1970-01-01 00:00:40", "1970-01-01 00:00:50", 1),
+        ("u2", "1970-01-01 00:00:19", "1970-01-01 00:00:29", 1),
+        ("u3", "1970-01-01 00:01:10", "1970-01-01 00:01:20", 1),
+    ]

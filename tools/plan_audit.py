@@ -178,6 +178,14 @@ CHECKS = {
     ),
     # vocab: explode is narrow; the only exchange is the per-token agg
     "vocab_min_max_df": (["HashAggregate"], ["Join", "CartesianProduct"]),
+    # bigram LM: count tables ride broadcast back onto the bigram
+    # stream — no sort-merge self-join, no cartesian. (The bigram
+    # generator itself is behind a localCheckpoint, so it shows as
+    # Scan ExistingRDD here, not MapInPandas.)
+    "lm_bigram_score": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
