@@ -1,0 +1,94 @@
+"""Iterative graph operators on edge-list DataFrames.
+
+Connected components (min-label and large-star/small-star) live in
+`operators.dedup` where their consumer (duplicate-cluster resolution)
+is; this module holds the general-purpose iterative algorithms. The
+design rules for iteration on Spark, applied throughout:
+
+- the edge list is the loop invariant: materialize it ONCE with
+  `localCheckpoint` and reuse, so each iteration re-reads a local
+  shuffle-free RDD instead of re-running the upstream plan;
+- per-iteration lineage must not accumulate: checkpoint the evolving
+  rank/label state every few rounds or the plan tree (and task
+  serialization time) grows linearly with iterations;
+- everything is joins + aggregations on the key — no driver-side
+  adjacency, so the graph can be arbitrarily larger than any single
+  machine. Per-iteration cost: one shuffle join (contributions) plus
+  one shuffle agg (per-dst sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list; returns
+    (node, rank) for every node that appears in the edge list.
+
+    rank_{t+1}(v) = (1-d)/N + d * Σ_{u→v} rank_t(u)/outdeg(u)
+
+    Dangling nodes (no out-edges) leak their mass under this update —
+    standard behavior for the simple formulation; callers who need
+    mass conservation should symmetrize the edge list (see
+    `q_pagerank_copurchase`, which uses an undirected bipartite graph,
+    so every node has out-edges and total rank stays 1).
+
+    Floating-point note: the per-dst contribution sum is a double
+    aggregation whose addition order depends on partitioning, so ranks
+    are reproducible only to ~1e-12 relative — fine for ranking, not
+    for hash-equality oracles (the declared query is rows-only with a
+    NumPy-verified pytest instead).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # loop invariant: (src, dst, 1/deg) materialized once; carrying the
+    # reciprocal keeps the loop body a multiply, not a division
+    withdeg = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(n_iter):
+        # rank vector is |V| rows — tiny next to |E| — so it rides an
+        # explicit broadcast and the edge list never moves; the only
+        # per-iteration shuffle is the per-dst contribution sum, which
+        # map-side partials compress to ~|V| rows per task
+        contribs = (
+            withdeg.join(F.broadcast(ranks), withdeg.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("inv_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # contribs is also |V|-sized: broadcast it too, or the rank
+        # rebuild becomes a sort-merge join of two tiny relations
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes.node == contribs.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        # cut lineage: without this the plan doubles per iteration
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -1,0 +1,63 @@
+"""PageRank correctness vs a NumPy power-iteration twin.
+
+The declared query is rows-only for the driver (iterative double sums
+are partition-order-dependent), so this test is the numeric ground
+truth: the Spark ranks must match a dense NumPy implementation of the
+same update rule to tight tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from demo_flink_spark.operators.graph import pagerank
+
+# directed graph WITH a dangling node (d has no out-edges) so the
+# leak semantics documented on the operator are pinned too
+EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("b", "d"),
+]
+
+
+def _numpy_pagerank(edges, damping, n_iter):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for u, v in edges:
+            nxt[idx[v]] += damping * rank[idx[u]] / outdeg[idx[u]]
+        rank = nxt
+    return dict(zip(nodes, rank))
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, n_iter=12).collect()
+    }
+    want = _numpy_pagerank(EDGES, 0.85, 12)
+    assert set(got) == set(want)
+    for node, w in want.items():
+        assert abs(got[node] - w) < 1e-9, node
+    # dangling node d leaks mass: total < 1, and c (two in-edges from
+    # the main cycle) outranks the dangling sink
+    assert sum(got.values()) < 1.0
+    assert got["c"] > got["d"]
+
+
+def test_pagerank_symmetric_conserves_mass(spark):
+    sym = EDGES + [(v, u) for u, v in EDGES]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    got = pagerank(edges, damping=0.85, n_iter=8).collect()
+    total = sum(r["rank"] for r in got)
+    assert abs(total - 1.0) < 1e-9

@@ -178,6 +178,12 @@ CHECKS = {
     ),
     # vocab: explode is narrow; the only exchange is the per-token agg
     "vocab_min_max_df": (["HashAggregate"], ["Join", "CartesianProduct"]),
+    # pagerank: the rank vector broadcasts every iteration — the edge
+    # list must never be sort-merge-shuffled or cross-joined
+    "graph_pagerank_copurchase": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # bigram LM: count tables ride broadcast back onto the bigram
     # stream — no sort-merge self-join, no cartesian. (The bigram
     # generator itself is behind a localCheckpoint, so it shows as
