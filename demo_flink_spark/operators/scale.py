@@ -138,3 +138,26 @@ def observed_watermark(query: StreamingQuery) -> str | None:
     if not progress:
         return None
     return (progress.get("eventTime") or {}).get("watermark")
+
+
+def with_observed_metrics(df: DataFrame, name: str, **metrics: Column):
+    """Attach zero-cost pipeline metrics to a DataFrame: row counts,
+    null counts, sums — computed DURING the job's own pass, not by a
+    second scan.
+
+    At 100 TB a separate `df.count()` for monitoring doubles the I/O;
+    `observe` folds the aggregates into the existing physical plan
+    (CollectMetrics node) and the numbers come back on the driver
+    after the action. Batch: returns (df, Observation) — read
+    `observation.get` after an action runs. Streaming: pass the plain
+    named form and read metrics from `QueryProgress.observedMetrics`.
+
+    Default metrics when none given: n_rows.
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    observed = df.observe(obs, *(c.alias(k) for k, c in metrics.items()))
+    return observed, obs
