@@ -70,6 +70,21 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_bigram_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface (SURVEY §2.10 ext): posexplode keeps the
+    ordinal alongside each element — the 1→N flatten with provenance
+    that tokenization, chunk indexing, and span labeling all need.
+    Positions index the RAW split (empties included) so they survive
+    the non-empty filter as original offsets."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "word")
+    )
+    return toks.filter(F.col("word") != "").select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "word"
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_signals(load_table(spark, sf_dir, "documents"))
 
@@ -182,6 +197,18 @@ SPECS = [
         )
         WHERE length(word) > 0 AND word NOT IN ({_STOPWORDS_SQL})
         GROUP BY word
+        """,
+    ),
+    QuerySpec(
+        "scalar_posexplode",
+        q_posexplode_tokens,
+        oracle=r"""
+        WITH s AS (
+            SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        )
+        SELECT doc_id, i AS pos, t[i + 1] AS word
+        FROM s, unnest(range(0, len(t))) AS u(i)
+        WHERE t[i + 1] <> ''
         """,
     ),
     QuerySpec(

@@ -93,6 +93,7 @@ CHECKS = {
     "pivot_event_daily": (["HashAggregate"], ["CartesianProduct"]),
     # per-row map stages: narrow, zero exchanges
     "repetition_signals": ([], ["Exchange"]),
+    "scalar_posexplode": (["Generate"], ["Exchange"]),
     "pii_scrub": ([], ["Exchange"]),
     "url_extract": ([], ["Exchange"]),
     "stratified_sample_by_lang": ([], ["Exchange"]),
