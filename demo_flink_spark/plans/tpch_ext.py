@@ -1,6 +1,6 @@
 """Declared queries: extended TPC-H family (SURVEY §2.7/§2.9 ext).
 
-Q7/Q8/Q9/Q13/Q14/Q16/Q17/Q19/Q22 adapted to the trimmed synthetic
+Q7/Q8/Q9/Q12/Q13/Q14/Q15/Q16/Q17/Q19/Q21/Q22 adapted to the trimmed synthetic
 schema (no partsupp table; no l_shipmode/l_commitdate/l_receiptdate,
 c_phone, p_container columns). Each docstring notes its adaptation so
 the judge can line the query up with the TPC-H original it mirrors.
@@ -143,6 +143,107 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(dsum(profit), 6).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: line items that shipped late, split by priority.
+
+    Adaptations: no l_shipmode/l_commitdate/l_receiptdate in the
+    trimmed schema, so the group key is l_returnflag and "late" means
+    shipped more than 60 days after the order date. The priority
+    split keeps the original's CASE-counting shape. lineitem⨝orders
+    is the single exchange; the shipdate window pushes into the scan,
+    while the lateness predicate (cross-table) evaluates right after
+    the join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in one quarter.
+
+    The revenue view groups the date-pruned lineitem scan by suppkey
+    (one shuffle); the MAX is a 1-row broadcast joined back — the
+    original's scalar subquery without recomputing the view. Revenue
+    rounds through the decimal-exact sum BEFORE the max-equality
+    filter, so ties are exact, not float-fuzzy, and the result is
+    engine-portable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(dsum(_revenue()), 6).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order.
+
+    Adaptation: "late" = shipped >60 days after order date (no
+    commit/receipt dates). The original's correlated EXISTS +
+    NOT EXISTS pair is re-expressed as one per-order aggregate —
+    n_supp ≥ 2 (some other supplier exists) and n_late_supp = 1 (no
+    OTHER late supplier, given this row is late) — turning two
+    correlated anti/semi joins into a single orderkey shuffle plus a
+    same-key join that AQE can colocate. At 100 TB that halves the
+    fact-table passes vs the literal EXISTS plan. The nation filter
+    applies only to the accused supplier, per the original.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    f = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+    )
+    per_order = f.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        f.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
     )
 
 
@@ -387,6 +488,71 @@ SPECS = [
         WHERE p_name LIKE '%red%'
         GROUP BY n_name, year(o_orderdate)
         ORDER BY nation, o_year DESC
+        """,
+    ),
+    QuerySpec(
+        "q12_late_shipments",
+        q12_late_shipments,
+        oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    ),
+    QuerySpec(
+        "q15_top_supplier",
+        q15_top_supplier,
+        oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   round({_DSUM.format(e=_REVENUE_SQL)}, 6) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """,
+    ),
+    QuerySpec(
+        "q21_suppliers_who_kept_waiting",
+        q21_suppliers_who_kept_waiting,
+        oracle="""
+        WITH f AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ), per_order AS (
+            SELECT l_orderkey AS po_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS n_late_supp
+            FROM f GROUP BY l_orderkey
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM f
+        JOIN per_order ON l_orderkey = po_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE late AND n_supp >= 2 AND n_late_supp = 1
+          AND n_name = 'NATION_1'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
         """,
     ),
     QuerySpec(

@@ -107,6 +107,15 @@ CHECKS = {
     "q7_volume_shipping": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "q8_market_share": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "q9_product_profit": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "q12_late_shipments": (["HashAggregate"], ["CartesianProduct"]),
+    # 1-row max broadcast joins as BNLJ by design; no full cartesian
+    "q15_top_supplier": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # correlated EXISTS pair rewritten to one per-order aggregate:
+    # dims broadcast, only orderkey-keyed exchanges
+    "q21_suppliers_who_kept_waiting": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "q13_customer_distribution": (["HashAggregate"], ["CartesianProduct"]),
     # Q14/Q17/Q19: rare part set must broadcast, never sort-merge
     "q14_promo_effect": (
