@@ -80,7 +80,39 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level lineage via the hidden `_metadata` file-source
+    column (SURVEY §2.1 ext): every row reports which physical file it
+    came from — the provenance a 100 TB corpus build needs for
+    per-source auditing, retractions, and incremental reprocessing.
+    Zero extra I/O: `_metadata` is scan-local, no join against a
+    listing. The fixture table is one file, so the oracle pins the
+    basename constant; the multi-file behavior (per-file counts over a
+    repartitioned write, verified against DuckDB `filename=true`) is
+    proven in tests/test_provenance.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("_metadata.file_name").alias("source_file"), "doc_id")
+        .groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "source_file_provenance",
+        q_file_provenance,
+        oracle="""
+        SELECT 'documents.parquet' AS source_file, count(*) AS n_rows,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM documents
+        """,
+    ),
     QuerySpec(
         "contamination_bench_overlap",
         q_contamination,
