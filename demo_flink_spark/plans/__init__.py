@@ -18,6 +18,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # at driver time with a clear traceback instead of at package import.
     from demo_flink_spark.plans import (
         dedup,
+        features,
         graph,
         multimodal,
         pipeline,
@@ -38,6 +39,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # first so CORRECTNESS_r02 gains them rather than re-proving the
     # long-green relational rows.
     for mod in (
+        features,
         graph,
         pipeline,
         tpch_ext,

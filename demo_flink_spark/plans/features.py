@@ -1,0 +1,89 @@
+"""Declared queries: embedding feature engineering (quantization, PCA).
+
+The `embeddings` table is the stand-in for a 100 TB vector store; these
+queries are the feature ops a training/serving pipeline runs over it.
+Quantization and the covariance pass are oracle-checked against DuckDB
+list arithmetic; the PCA projection is rows-only (eigendecomposition
+has no SQL twin) with a NumPy-pinned pytest instead
+(tests/test_features.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import features as ft
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+# shared quantization formula, DuckDB spelling (lambdas capture `scale`)
+_Q_EXPR = "greatest(least(floor(x / scale + 0.5), 127), -127)"
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = ft.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join("qvec", ",").alias("qvec_csv"),
+        "max_abs_err",
+    )
+
+
+def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ft.covariance_triples(emb).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "cov",
+    )
+
+
+def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = ft.pca_components(emb, k=2)
+    return ft.pca_project(emb, comps)
+
+
+SPECS = [
+    QuerySpec(
+        "embedding_quantize_int8",
+        q_quantize_int8,
+        oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), s AS (
+            SELECT vec_id, e,
+                   greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
+                       / 127.0 AS scale
+            FROM v
+        )
+        SELECT vec_id, scale,
+               array_to_string(
+                   list_transform(e, x -> CAST({_Q_EXPR} AS BIGINT)), ',')
+                   AS qvec_csv,
+               list_max(list_transform(
+                   e, x -> abs(x - {_Q_EXPR} * scale))) AS max_abs_err
+        FROM s
+        """,
+    ),
+    QuerySpec(
+        "embedding_covariance",
+        q_covariance,
+        oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), x AS (
+            SELECT vec_id, unnest(e) AS val,
+                   CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS i
+            FROM v
+        )
+        SELECT a.i AS i, b.i AS j, round(covar_pop(a.val, b.val), 6) AS cov
+        FROM x a JOIN x b USING (vec_id)
+        GROUP BY a.i, b.i
+        """,
+    ),
+    QuerySpec("embedding_pca_scores", q_pca_scores),  # rows-only: eigh twin
+]

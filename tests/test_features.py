@@ -1,0 +1,77 @@
+"""Embedding feature ops: quantization invariants and the PCA
+projection pinned against a NumPy twin of the same contract."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from demo_flink_spark.operators import features as ft
+from demo_flink_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _local_embeddings() -> np.ndarray:
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT embedding FROM read_parquet('{SF}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        )
+        .fetchall()
+    )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def test_quantize_int8_invariants(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = ft.quantize_int8(emb).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        qv = np.array(r["qvec"])
+        assert qv.min() >= -127 and qv.max() <= 127
+        # symmetric quantization bounds the error by half a step
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+        # at least one coordinate must hit full scale (it defined scale)
+        assert np.abs(qv).max() == 127
+
+
+def test_pca_scores_match_numpy_twin(spark):
+    """The distributed pass must reproduce a local NumPy PCA that
+    follows the same contract (population covariance rounded to 6
+    decimals, sign pinned on the largest-|coord|)."""
+    emb = load_table(spark, SF, "embeddings")
+    comps = ft.pca_components(emb, k=2)
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in ft.pca_project(emb, comps).collect()
+    }
+
+    mat = _local_embeddings()
+    cov = np.round(np.cov(mat, rowvar=False, bias=True), 6)
+    _, vecs = np.linalg.eigh(cov)
+    want_comps = vecs[:, ::-1][:, :2].T.copy()
+    for c in range(2):
+        pivot = np.argmax(np.abs(want_comps[c]))
+        if want_comps[c, pivot] < 0:
+            want_comps[c] = -want_comps[c]
+
+    # components agree (distributed covariance == numpy covariance)
+    np.testing.assert_allclose(comps, want_comps, atol=1e-6)
+
+    want = np.round(mat @ want_comps.T, 6)
+    for vid in range(len(mat)):
+        # 1.1e-6: scores round to 6 decimals; a last-bit GEMM-order
+        # difference may flip one rounding step, never more
+        np.testing.assert_allclose(got[vid], want[vid], atol=1.1e-6)
+
+
+def test_pca_variance_ordering(spark):
+    """pc1 must capture at least as much variance as pc2."""
+    emb = load_table(spark, SF, "embeddings")
+    comps = ft.pca_components(emb, k=2)
+    rows = ft.pca_project(emb, comps).collect()
+    pc1 = np.array([r["pc1"] for r in rows])
+    pc2 = np.array([r["pc2"] for r in rows])
+    assert pc1.var() >= pc2.var() > 0

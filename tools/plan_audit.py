@@ -107,6 +107,14 @@ CHECKS = {
     "q7_volume_shipping": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "q8_market_share": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "q9_product_profit": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # quantization/projection are single mapInPandas passes: zero exchanges
+    "embedding_quantize_int8": ([], ["Exchange"]),
+    "embedding_pca_scores": ([], ["Exchange"]),
+    # covariance: one d²-keyed reduce; side stats re-join broadcast
+    "embedding_covariance": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     "q12_late_shipments": (["HashAggregate"], ["CartesianProduct"]),
     # 1-row max broadcast joins as BNLJ by design; no full cartesian
     "q15_top_supplier": (["BroadcastHashJoin"], ["CartesianProduct"]),
