@@ -1,0 +1,152 @@
+"""Regular-grid time-series operators (engine extensions, SURVEY §2.5
+lineage): gap-fill onto a fixed bucket grid, last-observation-carried-
+forward (LOCF) interpolation, and trailing-window z-score anomaly
+detection.
+
+The reference's only time handling is watermarked windows
+(`EventTimeWordCountDebug.java:100-105`); a 100 TB telemetry store also
+needs the hypertable staples — `time_bucket_gapfill` + `locf` (the
+TimescaleDB names) and online anomaly flagging. Scale shape:
+
+- **gap-fill** never materializes one giant per-key array: the grid is
+  generated two-level (day chunks, then buckets within each chunk), so
+  the largest exploded array is |buckets per day| (24 for hourly, 1440
+  for minutely) regardless of how many years a key spans. The grid rows
+  come from a tiny per-key (min, max) aggregate, not from the raw scan.
+- **LOCF** is one window pass per key ordered by bucket —
+  `last(value, ignorenulls=True)` over unbounded-preceding; no
+  self-join, no per-row subquery.
+- **z-score** is one window pass with decimal-exact trailing sums
+  (`dsum` discipline, operators/relational.py) so mean/std — and hence
+  the emitted z values — are partition-order independent and bit-match
+  the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_STEPS_PER_DAY = {"1 hour": 24, "1 minute": 1440, "15 minutes": 96}
+
+
+def bucket(ts: Column, step: str) -> Column:
+    """Floor `ts` onto the step grid (grid phase = midnight)."""
+    if step == "1 hour":
+        return F.date_trunc("hour", ts)
+    if step == "1 minute":
+        return F.date_trunc("minute", ts)
+    # generic: floor the epoch to whole steps
+    n = {"15 minutes": 900}[step]
+    return F.timestamp_seconds(
+        (F.unix_timestamp(ts) / n).cast("long") * n
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key regular grid from the key's first to last bucket, with
+    `max(value)` per occupied bucket and LOCF for the empty ones.
+
+    Returns (key, bucket_ts, value_filled, is_gap): `is_gap` marks grid
+    rows with no raw event; `value_filled` is NULL only before a key's
+    first observation (nothing to carry forward). Bucket aggregate is
+    MAX — deterministic under ties, no float-sum ordering hazard.
+    """
+    per_day = _STEPS_PER_DAY[step]
+    b = bucket(F.col(ts_col), step)
+    vals = (
+        df.select(F.col(key_col).alias("key"), b.alias("bucket_ts"),
+                  F.col(value_col).alias("v"))
+        .groupBy("key", "bucket_ts")
+        .agg(F.max("v").alias("v"))
+    )
+    spans = vals.groupBy("key").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    # two-level grid: |span| days per key, then <= per_day buckets per
+    # day — bounds every exploded array even for multi-year spans
+    days = spans.select(
+        "key", "lo", "hi",
+        F.explode(
+            F.expr("sequence(date_trunc('day', lo), date_trunc('day', hi), "
+                   "interval 1 day)")
+        ).alias("day"),
+    )
+    step_s = 24 * 3600 // per_day
+    grid = days.select(
+        "key",
+        F.explode(
+            F.expr(
+                "sequence(greatest(day, lo),"
+                f" least(day + interval {(per_day - 1) * step_s} seconds, hi),"
+                f" interval {step_s} seconds)"
+            )
+        ).alias("bucket_ts"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(vals, ["key", "bucket_ts"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_ts",
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    n_trailing: int = 100,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Rows whose value deviates > `threshold` sample standard
+    deviations from the trailing `n_trailing`-row mean of their key's
+    series (window includes the current row; rows before a full-ish
+    window, count < 8, are never flagged — the std estimate is noise.
+    Note the self-inclusion cap: a single outlier's |z| can never
+    exceed (n-1)/sqrt(n), so a 2.5 threshold needs n >= 9 to fire).
+
+    Decimal-exact trailing sums make z bit-deterministic (see module
+    docstring); one window pass, one shuffle on the key.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-(n_trailing - 1), Window.currentRow)
+    )
+    v = F.col(value_col)
+    cnt = F.count(v).over(w)
+    s1 = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    mean = s1 / cnt
+    # sample variance from exact sums; guard the 1-row window
+    var = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1))
+    z = (v - mean) / F.sqrt(var)
+    return (
+        df.select(
+            key_col,
+            ts_col,
+            order_tiebreak,
+            v.alias(value_col),
+            cnt.alias("n_win"),
+            z.alias("z"),
+        )
+        .filter((F.col("n_win") >= 8) & (F.abs(F.col("z")) > threshold))
+        .drop("n_win")
+    )

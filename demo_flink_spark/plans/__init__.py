@@ -27,6 +27,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         stateful,
         temporal,
         text,
+        timeseries,
         tpch_ext,
         windows,
     )
@@ -39,6 +40,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # first so CORRECTNESS_r02 gains them rather than re-proving the
     # long-green relational rows.
     for mod in (
+        timeseries,
         features,
         graph,
         pipeline,

@@ -1,0 +1,95 @@
+"""Declared queries: regular-grid time-series operators over `events`
+(gap-fill + LOCF, trailing z-score anomalies).
+
+Both carry full DuckDB oracles: the grid twin is generate_series +
+LEFT JOIN + `last_value IGNORE NULLS`; the z-score twin repeats the
+decimal-exact trailing-sum formula so z bit-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import timeseries as ts
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid of high-value (value > 180) event readings per
+    event_type, max per occupied bucket, LOCF through the gaps — the
+    `time_bucket_gapfill` + `locf` hypertable staple."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 180)
+    return ts.gapfill_locf(
+        ev, key_col="event_type", ts_col="ts", value_col="value", step="1 hour"
+    )
+
+
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates >2.5 trailing sample stddevs from
+    their event_type's last-100-reading mean."""
+    ev = load_table(spark, sf_dir, "events")
+    return ts.zscore_anomalies(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        order_tiebreak="event_id",
+        value_col="value",
+        n_trailing=100,
+        threshold=2.5,
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "ts_gapfill_locf",
+        q_gapfill_locf,
+        oracle="""
+        WITH vals AS (
+          SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+                 max(value) AS v
+          FROM events WHERE value > 180 GROUP BY 1, 2
+        ), spans AS (
+          SELECT key, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+          FROM vals GROUP BY 1
+        ), grid AS (
+          SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS bucket_ts
+          FROM spans
+        )
+        SELECT g.key AS event_type, g.bucket_ts,
+               last_value(v.v IGNORE NULLS) OVER (
+                 PARTITION BY g.key ORDER BY g.bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled,
+               v.v IS NULL AS is_gap
+        FROM grid g LEFT JOIN vals v
+          ON g.key = v.key AND g.bucket_ts = v.bucket_ts
+        """,
+    ),
+    QuerySpec(
+        "ts_anomaly_zscore",
+        q_zscore_anomalies,
+        oracle="""
+        WITH w AS (
+          SELECT event_type, ts, event_id, value,
+                 count(value) OVER win AS n_win,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) OVER win
+                      AS DOUBLE) AS s1,
+                 CAST(sum(CAST(value * value AS DECIMAL(38,6))) OVER win
+                      AS DOUBLE) AS s2
+          FROM events
+          WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, ts, event_id, value,
+               (value - s1 / n_win)
+                 / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1)) AS z
+        FROM w
+        WHERE n_win >= 8
+          AND abs((value - s1 / n_win)
+                  / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1))) > 2.5
+        """,
+    ),
+]

@@ -1,0 +1,69 @@
+"""Boundary semantics for the regular-grid time-series operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators.timeseries import gapfill_locf, zscore_anomalies
+
+
+def _ts(h: int, m: int = 0) -> datetime:
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_gapfill_grid_and_locf(spark):
+    rows = [
+        ("a", _ts(1, 30), 10.0),  # bucket 01:00
+        ("a", _ts(4, 5), 40.0),   # bucket 04:00 -> gaps at 02:00, 03:00
+        ("a", _ts(4, 50), 35.0),  # same bucket: max = 40
+        ("b", _ts(2), 7.0),       # single-bucket key: no gaps
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = gapfill_locf(df, key_col="k", ts_col="ts", value_col="value")
+    got = {(r.k, r.bucket_ts.hour): (r.value_filled, r.is_gap)
+           for r in out.collect()}
+    assert got == {
+        ("a", 1): (10.0, False),
+        ("a", 2): (10.0, True),   # LOCF carries 10 forward
+        ("a", 3): (10.0, True),
+        ("a", 4): (40.0, False),  # in-bucket max, not last
+        ("b", 2): (7.0, False),
+    }
+
+
+def test_gapfill_spans_day_chunks(spark):
+    # 2024-01-01 23:00 -> 2024-01-02 01:00 crosses the day-chunk seam;
+    # the grid must be continuous across midnight with no dup/missing
+    rows = [
+        ("a", datetime(2024, 1, 1, 23, 10), 1.0),
+        ("a", datetime(2024, 1, 2, 1, 20), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = gapfill_locf(df, key_col="k", ts_col="ts", value_col="value")
+    buckets = [r.bucket_ts for r in out.orderBy("bucket_ts").collect()]
+    assert buckets == [
+        datetime(2024, 1, 1, 23),
+        datetime(2024, 1, 2, 0),
+        datetime(2024, 1, 2, 1),
+    ]
+
+
+def test_zscore_warmup_guard_and_flag(spark):
+    # 8 flat readings never flag (window < 8 is guarded; and a single
+    # outlier's |z| is capped at (n-1)/sqrt(n) = 2.47 < 2.5 at n=8, so
+    # the spike needs a 9-row window to clear the threshold); the 9th
+    # row is a spike and must flag; a flat 10th must not
+    rows = [("k", _ts(0, i), 100.0 + (i % 2) * 0.1, i) for i in range(8)]
+    rows.append(("k", _ts(0, 8), 500.0, 8))
+    rows.append(("k", _ts(0, 9), 100.0, 9))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double, event_id long"
+    )
+    out = zscore_anomalies(
+        df, key_col="k", ts_col="ts", order_tiebreak="event_id",
+        value_col="value", n_trailing=100, threshold=2.5,
+    ).collect()
+    assert [r.event_id for r in out] == [8]
+    assert out[0].z > 2.5
