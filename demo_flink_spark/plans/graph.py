@@ -46,6 +46,51 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-order graph (parts are adjacent
+    when some order contains both). Pure-integer output, so unlike
+    PageRank this iterative-graph-family query IS oracle-checkable —
+    the DuckDB twin is the textbook a<b<c three-way self-join, while
+    the Spark side runs the degree-ordered orientation that survives
+    skew at scale (operators/graph.py::triangle_count)."""
+    from demo_flink_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
 SPECS = [
     QuerySpec("graph_pagerank_copurchase", q_pagerank_copurchase, oracle=None),
+    QuerySpec(
+        "graph_triangle_count",
+        q_triangle_count,
+        oracle="""
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        ),
+        nodes AS (
+            SELECT a AS node FROM e UNION SELECT b FROM e
+        ),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               n_triangles
+        FROM tri
+        """,
+    ),
 ]

@@ -66,6 +66,18 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the query terms
+    {hash, join, vector} — the standard retrieval score on top of the
+    shared tokenize pass (operators/search.py)."""
+    from demo_flink_spark.operators.search import bm25_scores
+
+    return bm25_scores(
+        load_table(spark, sf_dir, "documents"), ["hash", "join", "vector"]
+    )
+
+
 def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_bigram_score(load_table(spark, sf_dir, "documents"))
 
@@ -483,6 +495,42 @@ SPECS = [
                     THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+        """,
+    ),
+    QuerySpec(
+        "bm25_hash_join_vector",
+        q_bm25,
+        # constants mirror the Spark side bit-for-bit: k1=1.2, b=0.75,
+        # k1+1=2.2 and 1-b=0.25 are exact double round-trips; ln is
+        # rounded to 9 dp per element before the decimal-exact sum
+        oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+                w -> length(w) > 0)) AS term
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('hash', 'join', 'vector')
+               GROUP BY doc_id, term),
+        idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+                     * ((tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)))
+                     AS term_score
+            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN stats
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(term_score AS DECIMAL(38,6))) AS DOUBLE)
+                 AS score
+        FROM scored GROUP BY doc_id
         """,
     ),
 ]

@@ -61,3 +61,41 @@ def test_pagerank_symmetric_conserves_mass(spark):
     got = pagerank(edges, damping=0.85, n_iter=8).collect()
     total = sum(r["rank"] for r in got)
     assert abs(total - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graphs(spark):
+    from demo_flink_spark.operators.graph import triangle_count
+
+    # K4 = 4 triangles; duplicate/reversed edge rows must not inflate
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(k4 + k4[:3], "src int, dst int")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_count_hub_star_plus_cycle(spark):
+    from demo_flink_spark.operators.graph import triangle_count
+
+    # star hub 0--{1..20} has no triangles; adding edge 1-2 closes one
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2)]
+    row = triangle_count(
+        spark.createDataFrame(edges, "src int, dst int")
+    ).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (21, 21, 1)
+
+
+def test_bm25_ranks_by_term_frequency(spark):
+    from demo_flink_spark.operators.search import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta"),
+            (2, "alpha beta gamma delta"),
+            (3, "gamma delta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bm25_scores(docs, ["alpha"]).collect()}
+    assert set(got) == {1, 2}  # doc 3 never matches
+    assert got[1].n_matched == 1 and got[2].n_matched == 1
+    assert got[1].score > got[2].score > 0  # higher tf, same dl -> higher
