@@ -20,6 +20,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         dedup,
         features,
         graph,
+        modern,
         multimodal,
         pipeline,
         relational,
@@ -41,6 +42,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # long-green relational rows.
     for mod in (
         timeseries,
+        modern,
         features,
         graph,
         pipeline,

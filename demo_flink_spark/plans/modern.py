@@ -1,0 +1,149 @@
+"""Declared queries: Spark-4-era API surface — VariantType
+semi-structured access, a Python UDTF, and mergeable sketch
+aggregates.
+
+- **variant**: `parse_json` → binary-encoded VariantType → typed
+  `variant_get` extraction. Same answers as `get_json_object`
+  (`scalar_json`), but the variant is parsed ONCE and then navigated
+  as binary — at 100 TB the repeated-JSON-string-parse cost that
+  `TradeChangeDetectionJob.java:61,83,95` pays per access disappears.
+- **UDTF**: `RunLengthTokens` (functions/udtfs.py) — the
+  FlatMapFunction-parity 1→N surface, demonstrated on logic that is a
+  single stateful sweep in Python but a shuffle + two window passes in
+  SQL (the oracle runs that gaps-and-islands rewrite).
+- **sketches**: HLL distinct-count sketches built per group and merged
+  with `hll_union_agg` — the re-aggregatable distinct-count shape that
+  rollup stores need (exact distinct cannot be merged; sketches can).
+  Sketch binaries/estimates are engine-specific → rows-only for the
+  driver; invariants (estimate vs exact, merge = direct) are pinned in
+  tests/test_sketches.py. Count-min is the frequency twin with the
+  same merge property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction through VariantType: parse each event's
+    props JSON once into a variant, pull `k` as a long, aggregate per
+    event_type. The decimal-exact sum keeps the hash portable."""
+    from demo_flink_spark.operators.relational import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum(F.col("k")).cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_udtf_token_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of consecutive repeated tokens per document
+    via a Python UDTF lateral join."""
+    from demo_flink_spark.functions.udtfs import RunLengthTokens
+
+    spark.udtf.register("rle_tokens", RunLengthTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_docs_for_rle"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.token, f.run_len, f.start_idx
+        FROM _docs_for_rle d, LATERAL rle_tokens(d.text) f
+        """
+    )
+
+
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via HLL sketches, plus an
+    '_all_' row whose sketch is the UNION of the per-type sketches —
+    the mergeable-rollup property exact distinct counts lack."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.lit("_all_").alias("event_type"), F.hll_union_agg("sk").alias("sk")
+    )
+    return (
+        per_type.unionByName(merged)
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        )
+    )
+
+
+def q_sketch_cms_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of the event_type frequency stream (fixed
+    seed → deterministic binary; counter merges are commutative, so
+    the bytes are partition-order independent). Readback/accuracy is
+    pinned in tests via the JVM CountMinSketch reader."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.hex(
+            F.count_min_sketch(
+                "event_type", F.lit(0.001), F.lit(0.99), F.lit(42)
+            )
+        ).alias("cms_hex")
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "variant_props_stats",
+        q_variant_extract,
+        oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(CAST(props ->> '$.k' AS BIGINT)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS BIGINT) AS sum_k,
+               min(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+               max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+        """,
+    ),
+    QuerySpec(
+        "udtf_token_rle",
+        q_udtf_token_rle,
+        # gaps-and-islands rewrite: consecutive equal tokens share
+        # (pos - row_number within (doc, token))
+        oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+                w -> length(w) > 0) AS t
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, t[i + 1] AS token, i AS pos
+            FROM toks, unnest(range(0, len(t))) AS u(i)
+        ),
+        isl AS (
+            SELECT doc_id, token, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id, token ORDER BY pos) AS grp
+            FROM tok
+        )
+        SELECT doc_id, token,
+               CAST(count(*) AS INT) AS run_len,
+               CAST(min(pos) AS INT) AS start_idx
+        FROM isl GROUP BY doc_id, token, grp
+        """,
+    ),
+    QuerySpec("sketch_hll_users", q_sketch_hll_users, oracle=None),
+    QuerySpec("sketch_cms_types", q_sketch_cms_types, oracle=None),
+]

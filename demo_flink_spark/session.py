@@ -64,6 +64,7 @@ def get_spark(
         # --- Arrow across every JVM<->Python hop ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # --- broadcast joins for dimension tables (small side < 32 MiB) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # --- ANSI off: match the permissive semantics of the oracle data ---
