@@ -802,3 +802,68 @@ def dedup_keep_list(
         F.coalesce("comp", F.col(id_col)).alias("canonical_id"),
         (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
     )
+
+
+def semantic_dedup_cells(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    threshold: float = 0.92,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space into
+    cells, then inside each cell mark every vector that sits within
+    `threshold` cosine of a LOWER-id cell-mate as a semantic duplicate
+    (the lowest id of each near-dup group survives — greedy-by-id, the
+    paper's "keep one random point" with a deterministic choice).
+
+    Returns (vec_id, cell, is_dup, max_prior_sim): max_prior_sim is
+    the best cosine to any lower-id cell-mate, rounded to 6 dp so the
+    output is stable run-to-run (the GEMM itself is deterministic:
+    cells and in-cell order are fixed by the seeded quantizer and the
+    id sort).
+
+    Scale: the quantizer trains on a KB-scale hash-picked sample
+    (`ivf_centroids` — same machinery as the IVF ANN index);
+    assignment is one Arrow GEMM pass; the pairwise step is a per-cell
+    BLAS GEMM via applyInPandas, quadratic ONLY within a cell. Pick
+    n_cells ~ N/5k so cells stay ~10^3-10^4 vectors (SemDeDup used
+    50k cells for LAION-440M) — then each cell's GEMM is ~ms and no
+    task ever sees more than one cell. Cross-cell near-dups are missed
+    by design (that's the approximation the paper accepts).
+    """
+    import numpy as np
+
+    from demo_flink_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    assign = ivf_assign(
+        corpus.select(id_col, vec_col), vec_col, cents, id_col, nprobe=1
+    )
+    joined = corpus.select(id_col, vec_col).join(assign, id_col)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        # best similarity to any lower-id row: strict lower triangle
+        low = np.tril(sims, k=-1)
+        low[np.triu_indices(len(pdf))] = -np.inf
+        best = low.max(axis=1)
+        best[0] = -np.inf  # first row has no prior
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "is_dup": best >= threshold,
+                "max_prior_sim": np.where(
+                    np.isfinite(best), np.round(best, 6), None
+                ),
+            }
+        )
+
+    return joined.groupBy("cell").applyInPandas(
+        per_cell, f"{id_col} long, cell int, is_dup boolean, max_prior_sim double"
+    )

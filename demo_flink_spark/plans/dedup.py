@@ -120,6 +120,37 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_span_stats(docs, k=8)
 
 
+
+def q_semantic_cells(spark, sf_dir):
+    """SemDeDup: k-means cells over the embeddings, greedy-by-id
+    within-cell cosine dedup at 0.92. Rows-only: cells come from the
+    engine-seeded quantizer and sims from float GEMM — no SQL twin;
+    numeric behavior is pinned by tests/test_dedup_similarity.py."""
+    from demo_flink_spark.operators.dedup import semantic_dedup_cells
+    from demo_flink_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_cells(emb, n_cells=16, threshold=0.92)
+
+
+def q_incremental_bloom(spark, sf_dir):
+    """Snapshot-over-snapshot dedup: incoming = docs 250+, history =
+    docs below 400 (texts of 250-399 overlap exactly); result = the
+    genuinely-new docs. Bloom prunes map-side, an exact anti-join
+    verifies the might-seen sliver, so the answer is exact and
+    oracle-checked even though the history is never fully joined
+    (operators/bloom.py)."""
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.bloom import incremental_new
+    from demo_flink_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") < 400).select("text")
+    return incremental_new(incoming, history, "text").select("doc_id")
+
+
 SPECS = [
     QuerySpec(
         "dedup_exact",
@@ -223,4 +254,15 @@ SPECS = [
         WHERE levenshtein(a.probe, b.probe) <= 10
         """,
     ),
-]
+    QuerySpec("dedup_semantic_cells", q_semantic_cells, oracle=None),
+    QuerySpec(
+        "dedup_incremental_bloom",
+        q_incremental_bloom,
+        oracle="""
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id >= 250 AND NOT EXISTS (
+            SELECT 1 FROM documents h
+            WHERE h.doc_id < 400 AND h.text = d.text)
+        """,
+    ),
+]\n
