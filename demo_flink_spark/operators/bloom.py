@@ -85,7 +85,14 @@ def flag_might_seen(
     """`df` + boolean `might_seen` (true ⇒ maybe in the bloomed set;
     false ⇒ DEFINITELY not). Map-side only — no shuffle."""
     bits = np.frombuffer(bloom, dtype=np.uint8)
-    schema = df.schema.add("might_seen", "boolean")
+    # Build a FRESH StructType: `df.schema` is cached on the DataFrame and
+    # `StructType.add` mutates in place, so extending it directly would give
+    # the *input* plan a phantom `might_seen` column (UNRESOLVED_COLUMN).
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("might_seen", BooleanType())]
+    )
 
     def test(batches):
         for pdf in batches:
@@ -107,10 +114,19 @@ def incremental_new(
     col: str,
     n_bits: int = 1 << 23,
     k: int = 5,
+    bloom: bytes | None = None,
 ) -> DataFrame:
     """Exactly the rows of `incoming` whose `col` value never appears
-    in `history`, at bloom-prune cost (see module docstring)."""
-    bloom = build_bloom(history, col, n_bits, k)
+    in `history`, at bloom-prune cost (see module docstring).
+
+    NOTE: unless a prebuilt `bloom` is passed, this EAGERLY runs the
+    distributed bloom build over `history` (a `.collect()` of one
+    KB-sized partial per partition) at plan-construction time — callers
+    timing the returned DataFrame should build the bloom once and pass
+    it in, or account for the build job.
+    """
+    if bloom is None:
+        bloom = build_bloom(history, col, n_bits, k)
     flagged = flag_might_seen(incoming, bloom, col, n_bits, k)
     definite_new = flagged.filter(~F.col("might_seen")).drop("might_seen")
     candidates = flagged.filter(F.col("might_seen")).drop("might_seen")

@@ -265,4 +265,4 @@ SPECS = [
             WHERE h.doc_id < 400 AND h.text = d.text)
         """,
     ),
-]\n
+]

@@ -78,10 +78,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark 4.1 parquet inference yields TIMESTAMP_NTZ; normalize to
+            # LTZ (session tz = UTC, so wall-clock is preserved) so every
+            # datetime function (`unix_millis` rejects NTZ) sees ONE type.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
