@@ -60,6 +60,7 @@ def main() -> None:
             print(f"# {name} failed: {exc}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    failed = sorted(n for n, t in timings.items() if t < 0)
     print(
         json.dumps(
             {
@@ -68,9 +69,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "failed": failed,
             }
         )
     )
+    if failed:
+        # A broken query must fail the bench loudly, not hide as -1 in
+        # an otherwise-plausible total (the round-2 lesson).
+        print(f"# BENCH FAILED: {len(failed)} queries errored: {failed}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -837,7 +837,7 @@ def semantic_dedup_cells(
 
     from demo_flink_spark.operators.similarity import ivf_assign, ivf_centroids
 
-    cents = ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    cents = ivf_centroids(corpus, vec_col, n_cells, seed=seed, id_col=id_col)
     assign = ivf_assign(
         corpus.select(id_col, vec_col), vec_col, cents, id_col, nprobe=1
     )

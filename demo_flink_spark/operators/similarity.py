@@ -118,6 +118,7 @@ def ivf_centroids(
     sample_size: int = 1024,
     n_iters: int = 5,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means over a hash-picked
     sample, trained driver-side.
@@ -131,8 +132,8 @@ def ivf_centroids(
     Empty cells re-seed from the farthest sample points.
     """
     sample = (
-        corpus.select("vec_id", vec_col)
-        .orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(sample_size)
         .toPandas()
     )
@@ -249,8 +250,8 @@ def pq_codebooks(
     codes re-seed from the worst-quantized sample point.
     """
     sample = (
-        corpus.select("vec_id", vec_col)
-        .orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(sample_size)
         .toPandas()
     )

@@ -37,10 +37,12 @@ def bucket(ts: Column, step: str) -> Column:
         return F.date_trunc("hour", ts)
     if step == "1 minute":
         return F.date_trunc("minute", ts)
-    # generic: floor the epoch to whole steps
+    # generic: floor the epoch to whole steps — integer floor-division
+    # (double division + cast truncates toward zero, which mis-floors
+    # pre-1970 timestamps and drifts from the date_trunc paths)
     n = {"15 minutes": 900}[step]
     return F.timestamp_seconds(
-        (F.unix_timestamp(ts) / n).cast("long") * n
+        F.floor(F.unix_timestamp(ts) / F.lit(n)).cast("long") * n
     )
 
 

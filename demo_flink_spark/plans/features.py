@@ -22,6 +22,9 @@ _Q_EXPR = "greatest(least(floor(x / scale + 0.5), 127), -127)"
 
 
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding (scale = max|x|/127)
+    with per-vector max reconstruction error — the 4x storage cut before
+    shipping vectors to an ANN index."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = ft.quantize_int8(emb)
     return q.select(
@@ -33,6 +36,9 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions as
+    (i, j, cov) triples — one distributed pass (sum/sum-of-products),
+    d x d output only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ft.covariance_triples(emb).select(
         F.col("i").cast("long").alias("i"),
@@ -42,6 +48,8 @@ def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-2 principal components
+    (eigh of the d x d covariance on the driver, projection distributed)."""
     emb = load_table(spark, sf_dir, "embeddings")
     comps = ft.pca_components(emb, k=2)
     return ft.pca_project(emb, comps)

@@ -244,3 +244,25 @@ def test_star_components_match_min_label_on_random_graphs(spark):
         a = {r.node: r.comp for r in dd.connected_components(df).collect()}
         b = {r.node: r.comp for r in dd.connected_components_star(df).collect()}
         assert a == b, f"seed {seed} diverged"
+
+
+def test_semantic_dedup_cells_custom_id_col(spark):
+    # ADVICE r2: id_col was not threaded into ivf_centroids (hardcoded
+    # 'vec_id'), so a non-default id column raised AnalysisException.
+    import numpy as np
+
+    from demo_flink_spark.operators.dedup import semantic_dedup_cells
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8, 8)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in v]))  # exact twin
+    df = spark.createDataFrame(rows, "my_id long, embedding array<double>")
+    out = semantic_dedup_cells(
+        df, vec_col="embedding", id_col="my_id", n_cells=2, threshold=0.99
+    )
+    got = {r.my_id: r.is_dup for r in out.collect()}
+    # every odd id has an identical lower-id twin -> must be flagged
+    assert all(got[i] for i in range(1, 16, 2))

@@ -22,10 +22,13 @@ def test_hll_estimate_close_and_merge_equals_direct(spark):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
         .collect()[0]["e"]
     )
-    # HLL union of same-lgK sketches is lossless: merging per-group
-    # sketches must give EXACTLY the single-pass sketch's estimate
-    assert merged == direct
+    # HLL union of same-lgK sketches is register-lossless, but the union
+    # path may fall back from the HIP estimator to the composite one
+    # (DataSketches internals), so merged and direct are close, not
+    # necessarily bit-identical across Spark/DataSketches versions.
+    assert abs(merged - direct) / max(direct, 1.0) < 0.01
     assert abs(direct - exact) / exact < 0.05
+    assert abs(merged - exact) / exact < 0.05
 
 
 def test_cms_readback_bounds(spark):

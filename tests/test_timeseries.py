@@ -67,3 +67,20 @@ def test_zscore_warmup_guard_and_flag(spark):
     ).collect()
     assert [r.event_id for r in out] == [8]
     assert out[0].z > 2.5
+
+
+def test_bucket_generic_step_floors_pre1970(spark):
+    # ADVICE r2: double division + truncate-toward-zero cast mis-floors
+    # negative epochs; the floor-division path must floor (toward -inf)
+    from demo_flink_spark.operators.timeseries import bucket
+
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:00",), ("1970-01-01 00:01:00",)], "s string"
+    ).select(F.to_timestamp("s").alias("ts"))
+    got = [
+        str(r.b)
+        for r in df.select(bucket(F.col("ts"), "15 minutes").alias("b"))
+        .orderBy("b")
+        .collect()
+    ]
+    assert got == ["1969-12-31 23:45:00", "1970-01-01 00:00:00"]
