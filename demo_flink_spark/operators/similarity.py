@@ -240,6 +240,7 @@ def pq_codebooks(
     sample_size: int = 1024,
     n_iters: int = 8,
     seed: int = 7,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Product-quantization codebooks: per-subspace k-means over the
     same deterministic hash-picked sample `ivf_centroids` uses.

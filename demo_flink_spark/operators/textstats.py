@@ -264,18 +264,22 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_fingerprint(docs: DataFrame) -> DataFrame:
-    """64-bit content fingerprint over normalized text.
+def doc_fingerprint(docs: DataFrame, algo: str = "xxhash64") -> DataFrame:
+    """Content fingerprint over normalized, whitespace-collapsed text.
 
-    xxhash64 of the normalized, whitespace-collapsed text — the exact-
-    dedup key at scale (hash first, compare rarely). JVM-side, no UDF.
+    algo='xxhash64' (default): 64-bit JVM-side hash — the exact-dedup
+    shuffle key at scale (8 bytes, hash first, compare rarely).
+    algo='md5': 128-bit hex — engine-portable (any SQL engine computes
+    the identical value), the choice for cross-system content
+    addressing and for the DuckDB oracle.
     """
     canonical = F.trim(
         F.regexp_replace(normalize_text(F.col("text")), _TOKEN_SPLIT, " ")
     )
+    fp = F.md5(canonical) if algo == "md5" else F.xxhash64(canonical)
     return docs.select(
         "doc_id",
-        F.xxhash64(canonical).alias("fingerprint"),
+        fp.alias("fingerprint"),
         F.length(canonical).cast("long").alias("canonical_len"),
     )
 

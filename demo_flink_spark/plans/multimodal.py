@@ -49,5 +49,26 @@ SPECS = [
         """,
     ),
     QuerySpec("multimodal_decode_stats", q_decode_stats, oracle=None),
-    QuerySpec("multimodal_frame_sample", q_frame_sample, oracle=None),
+    # the stub frame split is pure arithmetic over the payload length
+    # (payload = UTF-8 text bytes), so the whole 1->N generator path is
+    # oracle-checkable even with the decode stubbed
+    QuerySpec(
+        "multimodal_frame_sample",
+        q_frame_sample,
+        oracle="""
+        WITH m AS (
+            SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+        ),
+        f AS (
+            SELECT doc_id, len, greatest(len // 4, 1) AS sz,
+                   unnest(generate_series(0, least(4, len) - 1)) AS frame_idx
+            FROM m WHERE len > 0
+        )
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(least((frame_idx + 1) * sz, len) - frame_idx * sz
+                    AS BIGINT) AS frame_bytes
+        FROM f
+        WHERE least((frame_idx + 1) * sz, len) - frame_idx * sz > 0
+        """,
+    ),
 ]

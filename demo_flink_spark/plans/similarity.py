@@ -40,8 +40,16 @@ def q_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index at FULL probe (nprobe = n_cells): every cell is
+    scanned, so the index machinery (quantizer training, cell
+    assignment, cell equi-join, exact re-rank) must reproduce brute
+    force EXACTLY — which makes this end-to-end oracle-checkable.
+    Production uses nprobe << n_cells; that approximate regime's
+    recall is measured in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_topk_ivf(emb, _queries_df(spark, sf_dir), k=_K)
+    return sim.cosine_topk_ivf(
+        emb, _queries_df(spark, sf_dir), k=_K, n_cells=16, nprobe=16
+    )
 
 
 def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,8 +82,31 @@ SPECS = [
         """,
     ),
     QuerySpec("similarity_topk_srp_lsh", q_topk_srp_lsh, oracle=None),
-    # centroid training is seed/hash-dependent -> rows-only check +
-    # measured-recall pytest vs brute force (tests/test_dedup_similarity.py)
-    QuerySpec("similarity_topk_ivf", q_topk_ivf, oracle=None),
+    # full-probe IVF == exact -> shares the brute-force oracle; the
+    # approximate (nprobe < n_cells) regime is recall-tested in
+    # tests/test_dedup_similarity.py
+    QuerySpec(
+        "similarity_topk_ivf",
+        q_topk_ivf,
+        oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))) AS c
+            FROM q JOIN e ON q.query_id <> e.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, c,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, vec_id ASC) AS rk
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(c, 6) AS cos, rk
+        FROM ranked WHERE rk <= {_K}
+        """,
+    ),
     QuerySpec("similarity_topk_pq", q_topk_pq, oracle=None),
 ]

@@ -135,7 +135,43 @@ SPECS = [
         FROM events
         """,
     ),
-    QuerySpec("stateful_fraud_alerts", q_fraud_alerts, oracle=None),
+    QuerySpec(
+        "stateful_fraud_alerts",
+        q_fraud_alerts,
+        # Full-rule reconstruction: the windowed candidate count is a
+        # RANGE frame; the alert throttle is sequentially dependent
+        # (each alert rearms the 1-day clock), reconstructed with a
+        # recursive walk over the per-user candidate sequence.
+        oracle="""
+        WITH RECURSIVE counted AS (
+            SELECT user_id, event_id AS seq, epoch_ms(ts) AS ts_ms,
+                   count(CASE WHEN value > 100 THEN 1 END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ms(ts)
+                       RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW
+                   ) AS tracked
+            FROM events
+        ),
+        cand AS (
+            SELECT user_id, seq, ts_ms, tracked,
+                   row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn
+            FROM counted WHERE tracked >= 3
+        ),
+        walk AS (
+            SELECT user_id, seq, ts_ms, tracked, rn,
+                   TRUE AS fired, ts_ms AS last_alert
+            FROM cand WHERE rn = 1
+            UNION ALL
+            SELECT c.user_id, c.seq, c.ts_ms, c.tracked, c.rn,
+                   c.ts_ms - w.last_alert > 86400000 AS fired,
+                   CASE WHEN c.ts_ms - w.last_alert > 86400000
+                        THEN c.ts_ms ELSE w.last_alert END AS last_alert
+            FROM cand c JOIN walk w
+              ON c.user_id = w.user_id AND c.rn = w.rn + 1
+        )
+        SELECT user_id, seq, ts_ms, CAST(tracked AS INTEGER) AS tracked
+        FROM walk WHERE fired
+        """,
+    ),
     QuerySpec(
         "stateful_cdc_lag_diff",
         q_cdc_lag_diff,
@@ -167,7 +203,45 @@ SPECS = [
               END IS NOT NULL
         """,
     ),
-    QuerySpec("stateful_cdc_diff_full", q_cdc_diff_full, oracle=None),
+    QuerySpec(
+        "stateful_cdc_diff_full",
+        q_cdc_diff_full,
+        # Kernel replay == lag-diff here because no-change records
+        # freeze state at a value canonically equal to their own, so
+        # the lag twin reconstructs it; values are CANONICAL JSON text
+        # (json_extract, quotes preserved — type-sensitive like the
+        # kernel), unlike the _lag_diff query's extracted strings.
+        oracle="""
+        WITH lagged AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, event_id AS seq, props,
+                   lag(props) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_props
+            FROM events
+        ),
+        pairs AS (
+            SELECT key, seq, props, prev_props,
+                   unnest(list_distinct(list_cat(json_keys(props),
+                                                 json_keys(prev_props))))
+                       AS field
+            FROM lagged WHERE prev_props IS NOT NULL
+        ),
+        diffs AS (
+            SELECT key, seq, field,
+                   CAST(json_extract(prev_props, '$.' || field) AS VARCHAR)
+                       AS old_value,
+                   CAST(json_extract(props, '$.' || field) AS VARCHAR)
+                       AS new_value
+            FROM pairs
+        )
+        SELECT key, seq, field,
+               CASE WHEN old_value IS NULL THEN 'ADDED'
+                    WHEN new_value IS NULL THEN 'REMOVED'
+                    ELSE 'MODIFIED' END AS action,
+               old_value, new_value
+        FROM diffs
+        WHERE old_value IS DISTINCT FROM new_value
+        """,
+    ),
     QuerySpec(
         "cdc_upsert_snapshot",
         q_cdc_upsert_snapshot,

@@ -50,7 +50,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+    """Portable md5 content fingerprint of normalized text (the
+    xxhash64 variant is the 8-byte shuffle key for in-engine dedup;
+    md5 is the cross-engine content address — both over the same
+    canonicalization, see operators/textstats.py::doc_fingerprint)."""
+    return textstats.doc_fingerprint(
+        load_table(spark, sf_dir, "documents"), algo="md5"
+    )
 
 
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,7 +325,18 @@ SPECS = [
     QuerySpec(
         "doc_fingerprint",
         q_fingerprint,
-        oracle=None,  # hash function is Spark-internal (xxhash64); rows-only check
+        oracle=r"""
+        WITH canon AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z\s]', '', 'g'),
+                       '\s+', ' ', 'g')) AS c
+            FROM documents
+        )
+        SELECT doc_id, md5(c) AS fingerprint,
+               CAST(length(c) AS BIGINT) AS canonical_len
+        FROM canon
+        """,
     ),
     QuerySpec(
         "parse_csv_line",
