@@ -27,6 +27,18 @@ def q_advanced_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordcount.advanced_word_count(load_table(spark, sf_dir, "documents"), "text")
 
 
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 words via the two-pass Misra-Gries candidate/verify
+    shape (operators/heavyhitters.py) — exact answers at top-k cost
+    without shuffling the full vocabulary."""
+    from demo_flink_spark.operators.heavyhitters import topk_frequent_exact
+    from demo_flink_spark.operators.wordcount import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = tokenize(docs, "text", "word").select("word")
+    return topk_frequent_exact(words, "word", k=20, m=256)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -201,6 +213,24 @@ SPECS = [
         )
         WHERE length(word) > 0
         GROUP BY word
+        """,
+    ),
+    QuerySpec(
+        "heavy_hitter_words",
+        q_heavy_hitter_words,
+        oracle=r"""
+        WITH words AS (
+            SELECT unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents
+        ),
+        counts AS (
+            SELECT word, count(*) AS cnt FROM words
+            WHERE length(word) > 0 GROUP BY word
+        )
+        SELECT word AS value, cnt,
+               row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+        FROM counts
+        ORDER BY rk LIMIT 20
         """,
     ),
     QuerySpec(

@@ -1,9 +1,12 @@
 """Declared queries: extended TPC-H family (SURVEY §2.7/§2.9 ext).
 
-Q7/Q8/Q9/Q12/Q13/Q14/Q15/Q16/Q17/Q19/Q21/Q22 adapted to the trimmed synthetic
-schema (no partsupp table; no l_shipmode/l_commitdate/l_receiptdate,
-c_phone, p_container columns). Each docstring notes its adaptation so
-the judge can line the query up with the TPC-H original it mirrors.
+Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q14/Q15/Q16/Q17/Q19/Q20/Q21/Q22 adapted to the
+trimmed synthetic schema (no partsupp table; no l_shipmode/
+l_commitdate/l_receiptdate, c_phone, p_container columns) — together
+with Q1/Q3-Q6/Q10/Q18 in plans/relational.py this covers all 22 TPC-H
+shapes. The partsupp queries (Q2/Q11/Q20) run over a lineitem-derived
+partsupp equivalent. Each docstring notes its adaptation so the judge
+can line the query up with the TPC-H original it mirrors.
 
 Shared scale discipline (same as plans/relational.py):
 - dimension tables (region/nation/supplier/customer/part-after-filter)
@@ -426,6 +429,178 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the synthetic schema has no partsupp table, so the
+# three partsupp queries (Q2/Q11/Q20) run over a lineitem-derived
+# equivalent: ps_supplycost = min observed unit price (min is
+# order-independent, so double is safe), ps_availqty = exact decimal
+# sum of shipped quantity. One shuffle on the composite key; at 100 TB
+# this is a straight partial-agg pipeline (map-side combine keeps the
+# exchange at |part x supp| rows).
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS ps_availqty
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        dsum(F.col("l_quantity")).alias("ps_availqty"),
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: for each qualifying part, the EUROPE supplier offering
+    the minimum supply cost.
+
+    Adaptation: derived partsupp (see `_derived_partsupp`); part filter
+    `p_size < 15 AND p_type = 'STANDARD'` (the trimmed p_type is a
+    single word); p_brand stands in for the absent p_mfgr.
+
+    Spark shape: the correlated min-subquery decorrelates into a
+    per-part aggregate joined back on (partkey, cost) — the textbook
+    rewrite Catalyst cannot do automatically across a DataFrame
+    program. Region/nation/supplier ride broadcast; the only shuffles
+    are the partsupp derivation and the per-part min.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 15) & (F.col("p_type") == "STANDARD")
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(F.broadcast(eu_supp), ps.ps_suppkey == eu_supp.s_suppkey)
+    min_cost = eu_ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu_ps.join(F.broadcast(part), eu_ps.ps_partkey == part.p_partkey)
+        .join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value in one nation exceeds a
+    fraction of that nation's total stock value.
+
+    Adaptation: derived partsupp; nation NATION_3; fraction 0.001.
+
+    Spark shape: per-part decimal-exact value aggregation, then the
+    scalar total rides a broadcast cross-join (one row) — the
+    HAVING-scalar-subquery shape without recomputing the aggregate.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    nat_supp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    nat_ps = ps.join(F.broadcast(nat_supp), ps.ps_suppkey == nat_supp.s_suppkey)
+    per_part = nat_ps.groupBy("ps_partkey").agg(
+        dsum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value")
+    )
+    total = per_part.agg(dsum(F.col("value")).alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.001) * F.col("total"))
+        .select("ps_partkey", F.round("value", 6).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers in one nation holding excess stock (>50% of
+    what they shipped in a year) of promotable parts.
+
+    Adaptation: derived partsupp; parts `p_name LIKE 'small%'`; ship
+    year 1996; nation NATION_1; s_suppkey stands in for the absent
+    s_address.
+
+    Spark shape: the nested IN-subqueries become a semi-join chain —
+    part names broadcast-semi onto partsupp, the per-(part,supp)
+    shipped quantity left-joined (absence = 0), the surviving supplier
+    set semi-joined onto the nation's suppliers. No correlated
+    execution anywhere; every subquery is a join.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    promo_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg(dsum(F.col("l_quantity")).alias("sh_qty"))
+    )
+    excess_supp = (
+        ps.join(
+            F.broadcast(promo_parts), ps.ps_partkey == promo_parts.p_partkey, "semi"
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("sh_partkey"))
+            & (F.col("ps_suppkey") == F.col("sh_suppkey")),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty")
+            > F.lit(0.5) * F.coalesce(F.col("sh_qty"), F.lit(0.0))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(excess_supp, supp.s_suppkey == excess_supp.ps_suppkey, "semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
+
+
 SPECS = [
     QuerySpec(
         "q7_volume_shipping",
@@ -660,6 +835,89 @@ SPECS = [
           )
         GROUP BY n_name
         ORDER BY nation
+        """,
+    ),
+    QuerySpec(
+        "q2_min_cost_supplier",
+        q2_min_cost_supplier,
+        oracle=f"""
+        WITH ps AS ({_PS_SQL})
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               round(ps_supplycost, 6) AS supplycost
+        FROM ps
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON ps_partkey = p_partkey
+        WHERE r_name = 'EUROPE' AND p_size < 15 AND p_type = 'STANDARD'
+          AND ps_supplycost = (
+              SELECT min(ps2.ps_supplycost) FROM ps ps2
+              JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE r2.r_name = 'EUROPE'
+                AND ps2.ps_partkey = ps.ps_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "q11_important_stock",
+        q11_important_stock,
+        oracle=f"""
+        WITH ps AS ({_PS_SQL}),
+        nat_ps AS (
+            SELECT ps_partkey, ps_supplycost, ps_availqty
+            FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        ),
+        per_part AS (
+            SELECT ps_partkey,
+                   CAST(sum(CAST(ps_supplycost * ps_availqty
+                        AS DECIMAL(38,6))) AS DOUBLE) AS value
+            FROM nat_ps GROUP BY ps_partkey
+        ),
+        tot AS (
+            SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total
+            FROM per_part
+        )
+        SELECT ps_partkey, round(value, 6) AS value
+        FROM per_part, tot
+        WHERE value > 0.001 * total
+        ORDER BY value DESC, ps_partkey
+        """,
+    ),
+    QuerySpec(
+        "q20_potential_promotion",
+        q20_potential_promotion,
+        oracle=f"""
+        WITH ps AS ({_PS_SQL}),
+        shipped AS (
+            SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sh_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        ),
+        excess AS (
+            SELECT DISTINCT ps_suppkey
+            FROM ps
+            LEFT JOIN shipped ON ps_partkey = sh_partkey
+                             AND ps_suppkey = sh_suppkey
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'small%')
+              AND ps_availqty > 0.5 * coalesce(sh_qty, 0)
+        )
+        SELECT s_name, s_suppkey
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+        ORDER BY s_name
         """,
     ),
 ]
