@@ -42,11 +42,12 @@ def pagerank(
     `q_pagerank_copurchase`, which uses an undirected bipartite graph,
     so every node has out-edges and total rank stays 1).
 
-    Floating-point note: the per-dst contribution sum is a double
-    aggregation whose addition order depends on partitioning, so ranks
-    are reproducible only to ~1e-12 relative — fine for ranking, not
-    for hash-equality oracles (the declared query is rows-only with a
-    NumPy-verified pytest instead).
+    Floating-point note: each per-edge contribution is a deterministic
+    IEEE double product, rounded ONCE into decimal(38,30); the per-dst
+    sum is then exact and partition-order independent, so the returned
+    ranks are bit-reproducible under any partitioning — and any engine
+    mirroring the same formula (see the unrolled DuckDB oracle in
+    plans/graph.py) produces identical doubles.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -75,7 +76,13 @@ def pagerank(
             withdeg.join(F.broadcast(ranks), withdeg.src == ranks.node)
             .select("dst", (F.col("rank") * F.col("inv_deg")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
+            # decimal(38,30) accumulation: each per-edge contribution
+            # (a deterministic IEEE product ≤ 1) rounds once into
+            # decimal, the sum is then EXACT and partition-order
+            # independent — so the whole iteration is reproducible
+            # bit-for-bit and the query can carry a real value-hash
+            # oracle (unrolled in SQL) despite being iterative
+            .agg(F.sum(F.col("c").cast("decimal(38,30)")).cast("double").alias("contrib"))
         )
         # contribs is also |V|-sized: broadcast it too, or the rank
         # rebuild becomes a sort-merge join of two tiny relations

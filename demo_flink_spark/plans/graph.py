@@ -1,9 +1,12 @@
 """Declared queries: iterative graph analytics (north-star extension).
 
-Iterative double-precision fixpoints are not SQL-expressible and their
-per-dst float sums are partition-order-dependent, so the PageRank query
-is rows-only for the driver; its numeric correctness is pinned by a
-NumPy power-iteration twin in `tests/test_graph.py`.
+PageRank is iterative, but with the fixed iteration count unrolled
+into CTE stages and the per-dst contribution sums accumulated in
+decimal (exact, order-independent — `operators/graph.py::pagerank`)
+the whole fixpoint is deterministic double arithmetic that DuckDB
+reproduces bit-for-bit, so even this query carries a value-hash
+oracle. A NumPy power-iteration twin additionally pins the numerics
+in `tests/test_graph.py`.
 """
 
 from __future__ import annotations
@@ -67,7 +70,111 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
-    QuerySpec("graph_pagerank_copurchase", q_pagerank_copurchase, oracle=None),
+    QuerySpec(
+        "graph_pagerank_copurchase",
+        q_pagerank_copurchase,
+        # 6 power iterations unrolled; decimal-exact contribution
+        # sums make the doubles bit-identical across engines
+        oracle="""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey * 2 AS cust, l_partkey * 2 + 1 AS part
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT cust AS src, part AS dst FROM cp
+            UNION ALL
+            SELECT part AS src, cust AS dst FROM cp
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        wd AS (
+            SELECT e.src, e.dst, 1.0 / deg.deg AS inv_deg
+            FROM e JOIN deg ON e.src = deg.src
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+            )
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        r1 AS (
+            SELECT v.node,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+            FROM nodes v LEFT JOIN (
+                SELECT wd.dst,
+                       CAST(SUM(CAST(r.rank * wd.inv_deg
+                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                FROM wd JOIN r0 r ON wd.src = r.node
+                GROUP BY wd.dst
+            ) c ON v.node = c.dst
+        ),
+        r2 AS (
+            SELECT v.node,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+            FROM nodes v LEFT JOIN (
+                SELECT wd.dst,
+                       CAST(SUM(CAST(r.rank * wd.inv_deg
+                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                FROM wd JOIN r1 r ON wd.src = r.node
+                GROUP BY wd.dst
+            ) c ON v.node = c.dst
+        ),
+        r3 AS (
+            SELECT v.node,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+            FROM nodes v LEFT JOIN (
+                SELECT wd.dst,
+                       CAST(SUM(CAST(r.rank * wd.inv_deg
+                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                FROM wd JOIN r2 r ON wd.src = r.node
+                GROUP BY wd.dst
+            ) c ON v.node = c.dst
+        ),
+        r4 AS (
+            SELECT v.node,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+            FROM nodes v LEFT JOIN (
+                SELECT wd.dst,
+                       CAST(SUM(CAST(r.rank * wd.inv_deg
+                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                FROM wd JOIN r3 r ON wd.src = r.node
+                GROUP BY wd.dst
+            ) c ON v.node = c.dst
+        ),
+        r5 AS (
+            SELECT v.node,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+            FROM nodes v LEFT JOIN (
+                SELECT wd.dst,
+                       CAST(SUM(CAST(r.rank * wd.inv_deg
+                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                FROM wd JOIN r4 r ON wd.src = r.node
+                GROUP BY wd.dst
+            ) c ON v.node = c.dst
+        ),
+        r6 AS (
+            SELECT v.node,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+            FROM nodes v LEFT JOIN (
+                SELECT wd.dst,
+                       CAST(SUM(CAST(r.rank * wd.inv_deg
+                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                FROM wd JOIN r5 r ON wd.src = r.node
+                GROUP BY wd.dst
+            ) c ON v.node = c.dst
+        )
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END
+                   AS node_type,
+               node // 2 AS key, rank
+        FROM r6
+        """,
+    ),
     QuerySpec(
         "graph_triangle_count",
         q_triangle_count,
