@@ -126,16 +126,25 @@ def zscore_anomalies(
 
     Decimal-exact trailing sums make z bit-deterministic (see module
     docstring); one window pass, one shuffle on the key.
+
+    The trailing sums are computed as RUNNING prefix sums minus their
+    `lag(n_trailing)` value instead of a sliding ROWS frame: Spark
+    re-aggregates a bounded sliding frame from scratch on every row
+    (O(rows x frame) — with decimal adds that dominated this query's
+    bench time), while running frames update incrementally and lag is
+    an O(1) offset lookup. Decimal arithmetic keeps the difference
+    EXACT, so the rewrite is value-identical to the windowed sum.
     """
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, order_tiebreak)
-        .rowsBetween(-(n_trailing - 1), Window.currentRow)
-    )
+    wo = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     v = F.col(value_col)
-    cnt = F.count(v).over(w)
-    s1 = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
-    s2 = F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    zero = F.lit(0).cast("decimal(38,6)")
+    c1 = F.sum(v.cast("decimal(38,6)")).over(wrun)
+    c2 = F.sum((v * v).cast("decimal(38,6)")).over(wrun)
+    ccnt = F.count(v).over(wrun)
+    cnt = ccnt - F.coalesce(F.lag(ccnt, n_trailing).over(wo), F.lit(0))
+    s1 = (c1 - F.coalesce(F.lag(c1, n_trailing).over(wo), zero)).cast("double")
+    s2 = (c2 - F.coalesce(F.lag(c2, n_trailing).over(wo), zero)).cast("double")
     mean = s1 / cnt
     # sample variance from exact sums; guard the 1-row window
     var = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1))
