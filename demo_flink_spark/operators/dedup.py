@@ -328,11 +328,13 @@ def _simhash64(token_lists: pd.Series) -> pd.Series:
     shifts = np.arange(64, dtype=np.uint64)
 
     def token_hash(t: str) -> int:
+        # first 8 md5 bytes, little-endian == DuckDB's
+        # md5_number_upper(t) — an engine-portable 64-bit token hash,
+        # which is what lets the simhash queries carry value-hash
+        # oracles (any strong 64-bit hash works equally for simhash)
         h = memo.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-            )
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
             memo[t] = h
         return h
 

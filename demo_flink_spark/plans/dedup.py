@@ -195,8 +195,76 @@ SPECS = [
         """,
     ),
     QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=None),
-    QuerySpec("dedup_simhash_fingerprints", q_simhash_fingerprints, oracle=None),
-    QuerySpec("dedup_simhash_pairs", q_simhash_pairs, oracle=None),
+    # the token hash is md5 (= DuckDB md5_number_upper), so the whole
+    # simhash bit-vote is reproducible in SQL; the banded pairs query is
+    # COMPLETE for hamming <= 7 (pigeonhole over 8 chunks), so its
+    # oracle is the brute-force hamming join over the same fingerprints
+    QuerySpec(
+        "dedup_simhash_fingerprints",
+        q_simhash_fingerprints,
+        oracle="""
+        WITH canon AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')) AS c
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(c, ' ')) AS t FROM canon
+        ),
+        th AS (SELECT doc_id, md5_number_upper(t) AS h FROM toks),
+        votes AS (
+            SELECT doc_id, j.j,
+                   sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, unnest(range(0, 64)) j(j)
+            GROUP BY doc_id, j.j
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN
+                       CASE WHEN j = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END
+                       ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT doc_id, simhash FROM fp
+        """,
+    ),
+    QuerySpec(
+        "dedup_simhash_pairs",
+        q_simhash_pairs,
+        oracle="""
+        WITH canon AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')) AS c
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(c, ' ')) AS t FROM canon
+        ),
+        th AS (SELECT doc_id, md5_number_upper(t) AS h FROM toks),
+        votes AS (
+            SELECT doc_id, j.j,
+                   sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, unnest(range(0, 64)) j(j)
+            GROUP BY doc_id, j.j
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN
+                       CASE WHEN j = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END
+                       ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+        """,
+    ),
     QuerySpec(
         "dedup_embedding_cosine",
         q_embedding_neardup,

@@ -48,7 +48,31 @@ SPECS = [
         FROM documents
         """,
     ),
-    QuerySpec("multimodal_decode_stats", q_decode_stats, oracle=None),
+    # oracle mirrors the deterministic STUB decode (payload = UTF-8
+    # text bytes; luma = byte-sum of the first 1KiB / 255): the corpus
+    # is ASCII so ascii(char) == byte value. A deployment with real
+    # media libs swaps the decode AND drops this oracle (the plumbing
+    # tests keep covering the Spark side).
+    QuerySpec(
+        "multimodal_decode_stats",
+        q_decode_stats,
+        oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+               CAST(doc_id % 480 + 32 AS INTEGER) AS height,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE list_aggregate(list_transform(
+                             range(1, least(length(text), 1024) + 1),
+                             i -> ascii(text[i])), 'sum')
+                         / least(length(text), 1024) / 255.0
+               END AS mean_luma
+        FROM documents
+        """,
+    ),
     # the stub frame split is pure arithmetic over the payload length
     # (payload = UTF-8 text bytes), so the whole 1->N generator path is
     # oracle-checkable even with the decode stubbed

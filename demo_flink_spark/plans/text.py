@@ -347,10 +347,44 @@ SPECS = [
     QuerySpec(
         "lang_id",
         q_lang_id,
-        # Heuristic n-gram language ID is deterministic but the scoring
-        # loop is engine-side; the oracle checks the stable contract:
-        # one prediction row per doc with the claimed-vs-predicted langs.
-        oracle=None,
+        # mirrors the bigram scorer exactly: the corpus is ASCII, so the
+        # CJK script short-circuit never fires and the SQL twin
+        # reproduces the Python scoring (argmax = ORDER BY score DESC,
+        # lang ASC — the sorted-langs strict-greater loop)
+        oracle="""
+WITH t AS (
+    SELECT doc_id, lang AS claimed_lang, lower(text) AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, substring(t, CAST(i AS INTEGER), 2) AS bg
+    FROM t, unnest(range(1, length(t))) AS u(i)
+),
+cnts AS (
+    SELECT doc_id, bg, count(*) AS c FROM bg
+    WHERE NOT regexp_matches(bg, '^[ \t\n\x0B\f\r]|[ \t\n\x0B\f\r]$')
+    GROUP BY doc_id, bg
+),
+prof(lang, bg, w) AS (VALUES ('en','th',10), ('en','he',9), ('en','in',8), ('en','er',7), ('en','an',6), ('en','re',5), ('en','on',4), ('en','at',3), ('en','en',2), ('en','nd',1), ('de','en',10), ('de','er',9), ('de','ch',8), ('de','de',7), ('de','ei',6), ('de','nd',5), ('de','te',4), ('de','in',3), ('de','ie',2), ('de','ge',1), ('es','de',10), ('es','en',9), ('es','os',8), ('es','es',7), ('es','la',6), ('es','ar',5), ('es','el',4), ('es','ra',3), ('es','as',2), ('es','er',1), ('fr','es',10), ('fr','le',9), ('fr','de',8), ('fr','en',7), ('fr','re',6), ('fr','nt',5), ('fr','on',4), ('fr','er',3), ('fr','ou',2), ('fr','ai',1)),
+scores AS (
+    SELECT c.doc_id, p.lang, sum(c.c * p.w) AS score
+    FROM cnts c JOIN prof p USING (bg)
+    GROUP BY c.doc_id, p.lang
+),
+langs(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr')),
+full_scores AS (
+    SELECT t.doc_id, t.claimed_lang, l.lang,
+           coalesce(s.score, 0) AS score
+    FROM t CROSS JOIN langs l
+    LEFT JOIN scores s ON s.doc_id = t.doc_id AND s.lang = l.lang
+),
+pick AS (
+    SELECT doc_id, claimed_lang, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang ASC) AS rn
+    FROM full_scores
+)
+SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
+""",
     ),
     QuerySpec(
         "doc_fingerprint",
