@@ -111,3 +111,44 @@ def hash_sample(
     and partitionings, unlike `df.sample`."""
     cut = int(round(fraction * 256))
     return df.filter(_md5_bucket(F.col(id_col), salt) < _cut_lit(cut))
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    budget_per_group: float,
+    temperature: float = 0.5,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-flattened source mixing (the multilingual-corpus
+    rebalance): keep each group g with rate min(1, budget / n_g^τ), so
+    overrepresented sources are downsampled toward a flatter mixture
+    (τ=1 ⇒ equal group counts ≈ budget; τ→0 ⇒ no rebalance).
+
+    One tiny |groups| aggregate broadcast back onto the fact table; the
+    keep decision is the engine's deterministic md5-bucket threshold —
+    reproducible across retries, partitionings, and engines.
+
+    τ = 0.5 (the default) computes n^τ via IEEE sqrt — correctly
+    rounded in every engine, so the keep set is bit-identical across
+    systems and the declared query carries a value-hash oracle. Other
+    temperatures use pow(), whose last-ulp behavior is libm-specific —
+    fine in production, not for cross-engine hash checks.
+    """
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    denom = (
+        F.sqrt(F.col("n_g"))
+        if temperature == 0.5
+        else F.pow(F.col("n_g"), F.lit(temperature))
+    )
+    rates = sizes.select(
+        group_col,
+        F.least(F.lit(1.0), F.lit(budget_per_group) / denom).alias("keep_rate"),
+    )
+    bucket = F.conv(_md5_bucket(F.col(id_col), salt), 16, 10).cast("int")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.col("keep_rate") * 256)
+        .drop("keep_rate")
+    )

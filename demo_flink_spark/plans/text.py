@@ -169,6 +169,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixing (τ=0.5, budget 8 per
+    sqrt-unit): overrepresented langs downsampled toward a flatter
+    training mixture — operators/sampling.py::mixture_resample."""
+    from demo_flink_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(
+        docs, "lang", "doc_id", budget_per_group=8.0, salt="mix"
+    ).select("doc_id", "lang")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted retention: longer docs kept with higher
     probability (length as the stand-in quality signal), decided
@@ -545,6 +557,30 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
         WHERE substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 2) <
               CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'c0'
                         ELSE '80' END
+        """,
+    ),
+    QuerySpec(
+        # keep rate per lang = min(1, 8/sqrt(n_lang)); md5-bucket keep,
+        # salt 'mix' — sqrt is correctly rounded everywhere, so the keep
+        # set is engine-exact
+        "mixture_resample_lang",
+        q_mixture_resample,
+        oracle="""
+        WITH sizes AS (
+            SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang, least(1.0, 8.0 / sqrt(n_g)) AS keep_rate
+            FROM sizes
+        )
+        SELECT doc_id, d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE (strpos('0123456789abcdef',
+                      substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              * 16 +
+              strpos('0123456789abcdef',
+                     substring(md5('mix' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              < keep_rate * 256
         """,
     ),
     QuerySpec(

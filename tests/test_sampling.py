@@ -89,3 +89,20 @@ def test_weighted_sample_odd_identifiers(spark):
     kept = weighted_sample(df, "user id", w, salt="s'1").collect()
     assert len(kept) == 150
     assert all(r["user id"] % 2 == 0 for r in kept)
+
+
+def test_mixture_resample_flattens_overrepresented(spark):
+    from demo_flink_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_resample(df, "src", "id", budget_per_group=10.0)
+    counts = {r.src: r.cnt for r in out.groupBy("src").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    # small group (n=100, rate=1.0) kept whole; big group (n=800,
+    # rate 10/sqrt(800)=0.354) cut to roughly a third
+    assert counts["small"] == 100
+    assert 200 < counts["big"] < 400
+    # deterministic: same call, same rows
+    again = mixture_resample(df, "src", "id", budget_per_group=10.0)
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
