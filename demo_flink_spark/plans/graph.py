@@ -73,8 +73,9 @@ SPECS = [
     QuerySpec(
         "graph_pagerank_copurchase",
         q_pagerank_copurchase,
-        # 6 power iterations unrolled; decimal-exact contribution
-        # sums make the doubles bit-identical across engines
+        # 6 power iterations unrolled; Q52 fixed-point contribution
+        # sums (floor(c*2^52) summed as longs) make the doubles
+        # bit-identical across engines
         oracle="""
         WITH cp AS (
             SELECT DISTINCT o_custkey * 2 AS cust, l_partkey * 2 + 1 AS part
@@ -103,8 +104,9 @@ SPECS = [
                    + 0.85 * coalesce(c.contrib, 0.0) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
-                       CAST(SUM(CAST(r.rank * wd.inv_deg
-                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
+                                * 4503599627370496.0) AS BIGINT))
+                            AS DOUBLE) / 4503599627370496.0 AS contrib
                 FROM wd JOIN r0 r ON wd.src = r.node
                 GROUP BY wd.dst
             ) c ON v.node = c.dst
@@ -115,8 +117,9 @@ SPECS = [
                    + 0.85 * coalesce(c.contrib, 0.0) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
-                       CAST(SUM(CAST(r.rank * wd.inv_deg
-                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
+                                * 4503599627370496.0) AS BIGINT))
+                            AS DOUBLE) / 4503599627370496.0 AS contrib
                 FROM wd JOIN r1 r ON wd.src = r.node
                 GROUP BY wd.dst
             ) c ON v.node = c.dst
@@ -127,8 +130,9 @@ SPECS = [
                    + 0.85 * coalesce(c.contrib, 0.0) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
-                       CAST(SUM(CAST(r.rank * wd.inv_deg
-                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
+                                * 4503599627370496.0) AS BIGINT))
+                            AS DOUBLE) / 4503599627370496.0 AS contrib
                 FROM wd JOIN r2 r ON wd.src = r.node
                 GROUP BY wd.dst
             ) c ON v.node = c.dst
@@ -139,8 +143,9 @@ SPECS = [
                    + 0.85 * coalesce(c.contrib, 0.0) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
-                       CAST(SUM(CAST(r.rank * wd.inv_deg
-                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
+                                * 4503599627370496.0) AS BIGINT))
+                            AS DOUBLE) / 4503599627370496.0 AS contrib
                 FROM wd JOIN r3 r ON wd.src = r.node
                 GROUP BY wd.dst
             ) c ON v.node = c.dst
@@ -151,8 +156,9 @@ SPECS = [
                    + 0.85 * coalesce(c.contrib, 0.0) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
-                       CAST(SUM(CAST(r.rank * wd.inv_deg
-                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
+                                * 4503599627370496.0) AS BIGINT))
+                            AS DOUBLE) / 4503599627370496.0 AS contrib
                 FROM wd JOIN r4 r ON wd.src = r.node
                 GROUP BY wd.dst
             ) c ON v.node = c.dst
@@ -163,8 +169,9 @@ SPECS = [
                    + 0.85 * coalesce(c.contrib, 0.0) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
-                       CAST(SUM(CAST(r.rank * wd.inv_deg
-                            AS DECIMAL(38,30))) AS DOUBLE) AS contrib
+                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
+                                * 4503599627370496.0) AS BIGINT))
+                            AS DOUBLE) / 4503599627370496.0 AS contrib
                 FROM wd JOIN r5 r ON wd.src = r.node
                 GROUP BY wd.dst
             ) c ON v.node = c.dst
