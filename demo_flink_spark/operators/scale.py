@@ -224,3 +224,40 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: Sequence[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    near `target_file_bytes`. Returns the output file count.
+
+    The maintenance half of the layout story (zorder_write optimizes
+    WHAT is in each file; this fixes HOW MANY there are): streaming
+    sinks, per-trigger micro-batches, and over-parallel writers leave
+    thousands of KB-scale files whose per-file open/footer cost comes
+    to dominate scans at 100 TB. Output file count is sized from the
+    directory's actual bytes (driver-side listing — file metadata, not
+    data). `coalesce` (not repartition) merges without a shuffle when
+    shrinking; pass `sort_within_by` to restore clustering within each
+    output file while writing.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    compacted = df.coalesce(n_out)
+    if sort_within_by:
+        compacted = compacted.sortWithinPartitions(*sort_within_by)
+    compacted.write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -120,3 +120,39 @@ def test_bucketed_join_has_zero_exchanges(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS tb_orders")
         spark.sql("DROP TABLE IF EXISTS tb_lineitem")
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from demo_flink_spark.operators.scale import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(src)
+    import os
+
+    n_in = sum(f.endswith(".parquet") for _r, _d, fs in os.walk(src) for f in fs)
+    assert n_in >= 32
+    compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    n_out = sum(f.endswith(".parquet") for _r, _d, fs in os.walk(dst) for f in fs)
+    assert n_out == 1
+    assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_compact_parquet_respects_target_size(spark, tmp_path):
+    from demo_flink_spark.operators.scale import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    spark.range(200_000).selectExpr("id", "repeat('x', 64) AS pad") \
+        .repartition(32).write.parquet(src)
+    import os
+
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet"))
+    # target a quarter of the data -> expect ~4 output files
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=total // 4)
+    files = sum(f.endswith(".parquet") for _r, _d, fs in os.walk(dst) for f in fs)
+    assert files == n_out
+    assert 3 <= n_out <= 6
+    assert spark.read.parquet(dst).count() == 200_000
