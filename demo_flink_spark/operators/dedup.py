@@ -38,6 +38,46 @@ def _canonical(col: Column) -> Column:
     return F.trim(F.regexp_replace(normalize_text(col), r"\s+", " "))
 
 
+# MinHash permutation family: y = (a*x + b) mod MINHASH_P over md5
+# shingle hashes. Everything here is ENGINE-PORTABLE on purpose — the
+# DuckDB oracle recomputes identical signatures/bands with
+# md5_number_upper + HUGEINT arithmetic (plans/dedup.py embeds the
+# a/b constants from `minhash_params` into the SQL).
+MINHASH_P = (1 << 61) - 1  # Mersenne prime
+
+
+def minhash_params(n_hashes: int = 64) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) permutation constants, a odd, both < 2^61."""
+    import numpy as np
+
+    rng = np.random.RandomState(0xD5A7)
+    a = rng.randint(1, 1 << 61, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 61, size=n_hashes, dtype=np.uint64)
+    return [int(v) for v in a], [int(v) for v in b]
+
+
+def _modp_affine(x, a, b):
+    """(a*x + b) mod 2^61-1 for uint64 numpy arrays with all values
+    < 2^61, WITHOUT 128-bit ints or wraparound: 31/30-bit split
+    multiplies with 2^61 ≡ 1 (mod p) folds; every intermediate < 2^63.
+    Exactly equals integer (a*x+b) %% p — validated against Python int
+    math and DuckDB HUGEINT in tests.
+    """
+    import numpy as np
+
+    p = np.uint64(MINHASH_P)
+    m31 = np.uint64((1 << 31) - 1)
+    m30 = np.uint64((1 << 30) - 1)
+    a1, a0 = a >> np.uint64(31), a & m31
+    x1, x0 = x >> np.uint64(31), x & m31
+    term1 = (((a1 * x1) % p) * np.uint64(2)) % p  # *2^62 ≡ *2 (mod p)
+    t2 = (a1 * x0 + a0 * x1) % p
+    u1, u0 = t2 >> np.uint64(30), t2 & m30
+    term2 = (u1 + (u0 << np.uint64(31))) % p      # t2 * 2^31 (mod p)
+    term3 = (a0 * x0) % p
+    return (term1 + term2 + term3 + b) % p
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: canonical doc per identical normalized text.
 
@@ -188,24 +228,29 @@ def minhash_signatures(
     import numpy as np
 
     sh = shingles(docs, text_col, n)
-    p = np.uint64((1 << 61) - 1)  # Mersenne prime, keeps products exact-ish
-    rng = np.random.RandomState(0xD5A7)
-    a = rng.randint(1, 1 << 61, size=n_hashes, dtype=np.uint64) | np.uint64(1)
-    b = rng.randint(0, 1 << 61, size=n_hashes, dtype=np.uint64)
+    p = np.uint64(MINHASH_P)
+    a_list, b_list = minhash_params(n_hashes)
+    a = np.array(a_list, dtype=np.uint64)
+    b = np.array(b_list, dtype=np.uint64)
     empty_sig = (b % p).astype(np.int64)  # doc with no shingles
-    fnv = np.uint64(1099511628211)
 
     def band_fold(sig_i64: "np.ndarray") -> list[int]:
-        # (bands, rows) FNV-style fold across each band's rows, then
-        # mix in the band index so identical bands in different slots
-        # never collide
+        # engine-portable band key: md5 of "bandIdx:v0,v1,..." over the
+        # band's signature rows, reduced into a non-negative int64 —
+        # any SQL engine with md5 reproduces it (DuckDB:
+        # md5_number_upper(...) % 2^63)
         rows = n_hashes // bands
-        acc = np.full(bands, 14695981039346656037, dtype=np.uint64)
-        chunk = sig_i64.astype(np.uint64).reshape(bands, rows)
-        for r in range(rows):
-            acc = (acc ^ chunk[:, r]) * fnv
-        acc = (acc ^ np.arange(bands, dtype=np.uint64)) * fnv
-        return acc.astype(np.int64).tolist()
+        chunk = sig_i64.reshape(bands, rows)
+        return [
+            int.from_bytes(
+                hashlib.md5(
+                    (f"{j}:" + ",".join(str(int(v)) for v in chunk[j])).encode()
+                ).digest()[:8],
+                "little",
+            )
+            % (1 << 63)
+            for j in range(bands)
+        ]
 
     out_schema = "doc_id long, signature array<long>, shingles array<string>"
     if bands is not None:
@@ -220,11 +265,13 @@ def minhash_signatures(
             memo: dict[str, int] = {}
 
             def shingle_hash(s: str) -> int:
+                # md5 first-8-bytes little-endian mod p — equals
+                # DuckDB's md5_number_upper(s) % p
                 h = memo.get(s)
                 if h is None:
-                    h = int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "big",
+                    h = (
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                        % MINHASH_P
                     )
                     memo[s] = h
                 return h
@@ -237,11 +284,9 @@ def minhash_signatures(
                     hs = np.array(
                         [shingle_hash(s) for s in shingle_list], dtype=np.uint64
                     )
-                    # uint64 multiply wraps mod 2^64, then mod p — a
-                    # fixed, fully deterministic mixing (bias from the
-                    # double-mod is irrelevant: any deterministic
-                    # permutation family works)
-                    sig = ((hs[:, None] * a[None, :] + b[None, :]) % p).min(
+                    # overflow-free (a*x+b) mod p: any engine with
+                    # 128-bit integers reproduces it directly
+                    sig = _modp_affine(hs[:, None], a[None, :], b[None, :]).min(
                         axis=0
                     ).astype(np.int64)
                 sigs.append(sig.tolist())

@@ -151,6 +151,72 @@ def q_incremental_bloom(spark, sf_dir):
     return incremental_new(incoming, history, "text").select("doc_id")
 
 
+
+def _minhash_lsh_oracle() -> str:
+    """SQL twin of minhash_lsh_pairs, generated from the SAME
+    permutation constants the operator uses (operators/dedup.py::
+    minhash_params): md5 shingle hashes, overflow-free (a*x+b) mod p
+    via HUGEINT, md5 band keys, exact-Jaccard verification. Candidate
+    generation (the banding) is reproduced exactly, so LSH's recall
+    trade is identical on both engines and the result hash-matches.
+    """
+    from demo_flink_spark.operators.dedup import MINHASH_P, minhash_params
+
+    a, b = minhash_params(64)
+    perm_vals = ", ".join(f"({h}, {a[h]}, {b[h]})" for h in range(64))
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(string_split({_CANON}, ' ')) - 3, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(string_split({_CANON}, ' '), i + 1, i + 3), ' ')
+                   )) AS shingles
+            FROM documents
+        ),
+        perm(h, a, b) AS (VALUES {perm_vals}),
+        xv AS (
+            SELECT doc_id, md5_number_upper(unnest(shingles)) % {MINHASH_P} AS x
+            FROM sh
+        ),
+        sigv AS (
+            SELECT doc_id, perm.h,
+                   min((CAST(perm.a AS HUGEINT) * x + perm.b) % {MINHASH_P}) AS m
+            FROM xv CROSS JOIN perm GROUP BY doc_id, perm.h
+        ),
+        sig AS (
+            SELECT d.doc_id, perm.h,
+                   coalesce(s.m, perm.b % {MINHASH_P}) AS m
+            FROM (SELECT doc_id FROM documents) d CROSS JOIN perm
+            LEFT JOIN sigv s ON s.doc_id = d.doc_id AND s.h = perm.h
+        ),
+        bandkeys AS (
+            SELECT doc_id, h // 4 AS j,
+                   md5_number_upper(
+                       (h // 4) || ':' ||
+                       string_agg(CAST(CAST(m AS BIGINT) AS VARCHAR), ','
+                                  ORDER BY h)
+                   ) % 9223372036854775808 AS bh
+            FROM sig GROUP BY doc_id, h // 4
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bandkeys x JOIN bandkeys y
+              ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))
+                     / CAST(len(list_distinct(list_cat(sa.shingles, sb.shingles)))
+                            AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles))
+              / CAST(len(list_distinct(list_cat(sa.shingles, sb.shingles)))
+                     AS DOUBLE) >= 0.2
+"""
+
+
 SPECS = [
     QuerySpec(
         "dedup_exact",
@@ -194,7 +260,7 @@ SPECS = [
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
     ),
-    QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=None),
+    QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=_minhash_lsh_oracle()),
     # the token hash is md5 (= DuckDB md5_number_upper), so the whole
     # simhash bit-vote is reproducible in SQL; the banded pairs query is
     # COMPLETE for hamming <= 7 (pigeonhole over 8 chunks), so its
