@@ -45,6 +45,14 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # JIT the string-expression codegen path (regexp/split/explode):
+    # whole-stage Janino compilation of these operators is a one-time
+    # ~2-3 s cost otherwise charged to the alphabetically-first query
+    spark.createDataFrame([("a b. C",)], "text string").select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), r"[^a-z\s]", ""), r"\s+")
+        ).alias("w")
+    ).filter(~F.col("w").isin("a", "the")).groupBy("w").count().collect()
 
     qs = e.queries()
     timings: dict[str, float] = {}
