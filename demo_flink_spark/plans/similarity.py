@@ -57,6 +57,65 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_pq(emb, _queries_df(spark, sf_dir), k=_K)
 
 
+
+def _srp_lsh_oracle() -> str:
+    """SQL twin of the SRP-LSH query, generated from the SAME seeded
+    hyperplanes the operator uses (embedded as float literals — repr()
+    round-trips doubles exactly). Bucket bits compare plane dot
+    products to zero; a numpy-vs-DuckDB summation-order discrepancy
+    could only flip a bit when |dot| is within float noise of 0
+    (P ~ 1e-13 per projection — not observed at any tested SF).
+    Candidates (>= 1 shared (table, bucket)) and the exact-cosine
+    re-rank then mirror the operator one-to-one, so LSH's recall trade
+    is identical on both engines.
+    """
+    from demo_flink_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(64, 16, 4, 42)
+
+    def vec_lit(pl):
+        return "[" + ", ".join(repr(float(x)) for x in pl) + "]"
+
+    tables_sql = []
+    for t in range(16):
+        terms = " + ".join(
+            "CAST((list_dot_product(v, "
+            f"{vec_lit(planes[t][j])}) >= 0) AS INTEGER) * {1 << j}"
+            for j in range(4)
+        )
+        tables_sql.append(f"SELECT vec_id, {t} AS tbl, {terms} AS bucket FROM e")
+    cbuck = "\n            UNION ALL\n            ".join(tables_sql)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cbuck AS (
+            {cbuck}
+        ),
+        cand AS (
+            SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+            FROM cbuck qb JOIN cbuck cb
+              ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+             AND qb.vec_id < {_N_QUERIES} AND qb.vec_id <> cb.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   list_dot_product(q.v, x.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(x.v, x.v))) AS c
+            FROM cand c
+            JOIN e q ON q.vec_id = c.query_id
+            JOIN e x ON x.vec_id = c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, c,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, vec_id ASC) AS rk
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(c, 6) AS cos, rk
+        FROM ranked WHERE rk <= {_K}
+"""
+
+
 SPECS = [
     QuerySpec(
         "similarity_topk_bruteforce",
@@ -81,7 +140,7 @@ SPECS = [
         FROM ranked WHERE rk <= {_K}
         """,
     ),
-    QuerySpec("similarity_topk_srp_lsh", q_topk_srp_lsh, oracle=None),
+    QuerySpec("similarity_topk_srp_lsh", q_topk_srp_lsh, oracle=_srp_lsh_oracle()),
     # full-probe IVF == exact -> shares the brute-force oracle; the
     # approximate (nprobe < n_cells) regime is recall-tested in
     # tests/test_dedup_similarity.py
