@@ -40,20 +40,26 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: for each left row, the values of the latest
-    right row with right.ts <= left.ts for the same key (NULLs when no
-    right row precedes). DuckDB twin: `ASOF LEFT JOIN ... ON l.key =
-    r.key AND l.ts >= r.ts`.
+    """Left as-of join: for each left row, the values of the LATEST
+    right row with right.ts <= left.ts (direction='backward', the
+    default) or the EARLIEST right row with right.ts >= left.ts
+    (direction='forward'); NULLs when no right row qualifies. DuckDB
+    twin: `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts`
+    (backward), or an arg_min reconstruction (forward).
 
     Shape: union both sides with a side marker, one window pass per
-    key ordered by (ts, side) — right rows sort before left rows at
-    equal ts, so an exactly-simultaneous right row IS visible (the
-    at-or-before contract) — carrying each value column forward with
+    key ordered by (ts, side) — ts DESCENDING for forward — with right
+    rows sorting before left rows at equal ts, so an exactly-
+    simultaneous right row IS visible (the at-or-{{before,after}}
+    contract) — carrying each value column with
     `last(..., ignorenulls=True)`, then keep only left rows. One
     shuffle on the key; no inequality join, no per-key explosion:
     cost is sort(|L|+|R|) however large both sides are.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_other = [c for c in left.columns if c not in (key, left_ts)]
     lhs = left.select(
         F.col(key),
@@ -75,9 +81,10 @@ def asof_join(
         ],
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(

@@ -30,6 +30,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tp.asof_join(clicks, purchases, key="user_id", value_cols=["value"])
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error, the user's NEXT purchase value at-or-after the
+    error (forward as-of; NULL when no purchase follows) — the
+    recovery-tracking twin of the backward join."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return tp.asof_join(
+        errors, purchases, key="user_id", value_cols=["value"],
+        direction="forward",
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(error, click) pairs of the same user within ±5 minutes."""
     ev = load_table(spark, sf_dir, "events")
@@ -243,6 +260,33 @@ SPECS = [
         SELECT l.user_id, l.event_id, l.ts, r.value AS asof_value
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+    ),
+    QuerySpec(
+        "asof_join_next_purchase",
+        q_asof_forward,
+        # DuckDB ASOF binds only the backward direction portably, so
+        # the forward twin reconstructs via min(next ts) + value lookup
+        # (min(value) pins the theoretical equal-ts tie; the synthetic
+        # events have no per-user ts collisions, same as the backward
+        # oracle relies on)
+        oracle="""
+        WITH l AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'error'),
+             r AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+             nxt AS (
+                SELECT l.user_id, l.event_id, min(r.ts) AS next_ts
+                FROM l LEFT JOIN r
+                  ON l.user_id = r.user_id AND r.ts >= l.ts
+                GROUP BY l.user_id, l.event_id
+             )
+        SELECT l.user_id, l.event_id, l.ts,
+               (SELECT min(r2.value) FROM r r2
+                WHERE r2.user_id = l.user_id AND r2.ts = n.next_ts)
+                   AS asof_value
+        FROM l JOIN nxt n
+          ON l.user_id = n.user_id AND l.event_id = n.event_id
         """,
     ),
     QuerySpec(

@@ -68,3 +68,25 @@ def test_rollup_reaggregation_consistency(spark):
     assert abs(
         sum(r["sum_value"] for r in daily) - sum(r["sum_value"] for r in hourly)
     ) < 1e-6
+
+
+def test_asof_forward_at_or_after_semantics(spark):
+    from demo_flink_spark.operators import temporal as tp
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("u", 100, 1), ("u", 200, 2), ("u", 300, 3)],
+        "k string, ts long, id long",
+    )
+    right = spark.createDataFrame(
+        [("u", 200, 20.0), ("u", 250, 25.0)], "k string, ts long, v double"
+    )
+    out = {
+        r.id: r.asof_v
+        for r in tp.asof_join(
+            left, right, key="k", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    # ts=100 -> next right at 200; ts=200 -> the simultaneous row IS
+    # visible (at-or-after); ts=300 -> nothing follows
+    assert out == {1: 20.0, 2: 20.0, 3: None}
