@@ -210,6 +210,33 @@ CHECKS = {
         ["BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Q2: EU supplier dim broadcasts; the decorrelated per-part min
+    # joins back without a cartesian; top-100 via TakeOrderedAndProject
+    "q2_min_cost_supplier": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
+    # Q11: the scalar total rides a broadcast (nested-loop on a 1-row
+    # side is the correct scalar shape, not a flag)
+    "q11_important_stock": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # Q20: semi-join chain — part list broadcast-semi, supplier semi
+    "q20_potential_promotion": (["LeftSemi"], ["CartesianProduct"]),
+    # heavy hitters: candidates broadcast back for the exact recount;
+    # final top-k must be TakeOrderedAndProject, never a global sort
+    "heavy_hitter_words": (
+        ["MapInPandas", "BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # mixture resample: per-group rates broadcast onto the fact table
+    "mixture_resample_lang": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # forward as-of: same single-window shape as backward
+    "asof_join_next_purchase": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
