@@ -47,6 +47,32 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_count_bpe(load_table(spark, sf_dir, "documents"))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composite the individual
+    operators exist FOR, as one declared query: exact dedup (keep the
+    min-id representative per canonical text) -> quality floor
+    (>= 20 tokens) -> temperature-flattened language rebalance ->
+    deterministic train/val/test assignment. Every stage is the
+    already-verified operator; the oracle chains their SQL twins, so
+    the whole pipeline is value-hash-checked as a unit."""
+    from demo_flink_spark.operators.dedup import exact_dedup
+    from demo_flink_spark.operators.sampling import dataset_split, mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    kept = docs.join(reps, "doc_id", "semi")
+    stats = textstats.token_stats(kept)
+    quality = stats.filter(F.col("n_tokens") >= 20).select("doc_id")
+    kept = kept.join(quality, "doc_id", "semi")
+    kept = mixture_resample(
+        kept, "lang", "doc_id", budget_per_group=8.0, salt="cur"
+    )
+    split = dataset_split(kept, "doc_id")
+    return kept.select("doc_id", "lang").join(split, "doc_id").select(
+        "doc_id", "lang", "split"
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_flink_spark.operators.sampling import dataset_split
 
@@ -598,6 +624,48 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
                      substring(md5('wq' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
               < least(n_chars / 500.0, 0.95) * 256
         """,
+    ),
+    QuerySpec(
+        # four verified stages chained; grouping by canonical TEXT in
+        # the oracle vs xxhash64(text) in the engine is equivalent
+        # absent 64-bit collisions
+        "pipeline_curation_end2end",
+        q_curation_pipeline,
+        oracle="""
+        WITH canon AS (
+            SELECT doc_id, text, lang,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+', ' ', 'g')) AS c
+            FROM documents
+        ),
+        reps AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY c),
+        kept AS (
+            SELECT d.doc_id, d.text, d.lang
+            FROM canon d JOIN reps USING (doc_id)
+            WHERE len(list_filter(string_split_regex(d.text, '\\s+'),
+                                  t -> length(t) > 0)) >= 20
+        ),
+        sizes AS (SELECT lang, count(*) AS n_g FROM kept GROUP BY lang),
+        rates AS (
+            SELECT lang, least(1.0, 8.0 / sqrt(n_g)) AS keep_rate FROM sizes
+        ),
+        mixed AS (
+            SELECT k.doc_id, k.lang
+            FROM kept k JOIN rates r ON k.lang = r.lang
+            WHERE (strpos('0123456789abcdef',
+                          substring(md5('cur' || CAST(k.doc_id AS VARCHAR)), 1, 1)) - 1)
+                  * 16 +
+                  strpos('0123456789abcdef',
+                         substring(md5('cur' || CAST(k.doc_id AS VARCHAR)), 2, 1)) - 1
+                  < r.keep_rate * 256
+        )
+        SELECT doc_id, lang,
+               CASE WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                    WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e7'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM mixed
+""",
     ),
     QuerySpec(
         # deterministic md5-threshold split (operators/sampling.py):
