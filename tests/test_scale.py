@@ -156,3 +156,36 @@ def test_compact_parquet_respects_target_size(spark, tmp_path):
     assert files == n_out
     assert 3 <= n_out <= 6
     assert spark.read.parquet(dst).count() == 200_000
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A join against a FILTERED dim over a hive-partitioned fact must
+    plan a dynamicpruning partition filter: at 100 TB this is whole
+    directories of I/O skipped at runtime from the dim's filter result
+    (the DPP subquery reuses the broadcast exchange)."""
+    import contextlib
+    import io
+
+    from demo_flink_spark.sources.tables import load_table, write_partitioned
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "pe")
+    write_partitioned(load_table(spark, SF_DIR, "events"), path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(
+            ["purchase", "click", "view", "error", "signup"])],
+        "event_type string, flag int",
+    )
+    joined = (
+        fact.join(dim.filter(F.col("flag") == 0), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()
+    # and it computes the right answer: only the dim-selected partition
+    rows = joined.collect()
+    assert [r.event_type for r in rows] == ["purchase"]
