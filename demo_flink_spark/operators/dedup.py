@@ -276,19 +276,30 @@ def minhash_signatures(
                     memo[s] = h
                 return h
 
+            # one affine pass for the WHOLE chunk, then per-doc mins via
+            # reduceat — no per-document numpy round-trips
+            lists = list(pdf["shingles"])
+            lengths = [0 if sl is None else len(sl) for sl in lists]
+            flat = [
+                shingle_hash(s)
+                for sl in lists
+                if sl is not None
+                for s in sl
+            ]
+            doc_sigs: list = [None] * len(lists)
+            if flat:
+                hs = np.array(flat, dtype=np.uint64)
+                # overflow-free (a*x+b) mod p: any engine with 128-bit
+                # integers reproduces it directly
+                aff = _modp_affine(hs[:, None], a[None, :], b[None, :])
+                nonempty = [i for i, ln in enumerate(lengths) if ln > 0]
+                starts = np.cumsum([0] + [lengths[i] for i in nonempty[:-1]])
+                mins = np.minimum.reduceat(aff, starts, axis=0).astype(np.int64)
+                for row, i in enumerate(nonempty):
+                    doc_sigs[i] = mins[row]
             sigs, band_col = [], []
-            for shingle_list in pdf["shingles"]:
-                if shingle_list is None or len(shingle_list) == 0:
-                    sig = empty_sig
-                else:
-                    hs = np.array(
-                        [shingle_hash(s) for s in shingle_list], dtype=np.uint64
-                    )
-                    # overflow-free (a*x+b) mod p: any engine with
-                    # 128-bit integers reproduces it directly
-                    sig = _modp_affine(hs[:, None], a[None, :], b[None, :]).min(
-                        axis=0
-                    ).astype(np.int64)
+            for i in range(len(lists)):
+                sig = doc_sigs[i] if doc_sigs[i] is not None else empty_sig
                 sigs.append(sig.tolist())
                 if bands is not None:
                     band_col.append(band_fold(sig))
