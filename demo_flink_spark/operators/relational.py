@@ -97,3 +97,49 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w).cast("long")).filter(
         F.col(rank_col) <= k
     )
+
+
+def softln_ratio(num: Column, den: Column) -> Column:
+    """Engine-portable ln(num/den) for integer columns with
+    0 < num <= den: an explicit +,*,/ expression tree that any engine
+    evaluates to the SAME IEEE doubles — unlike builtin ln(), whose
+    last-ulp behavior is libm-specific and breaks cross-engine hash
+    equality wherever a rounded value straddles a boundary (seen at
+    sf0.1 on lm_bigram_score).
+
+    Range-reduce exactly: q = floor(den/num) (exact: quotients of
+    <= 2^53 integers floor correctly in double); k = bitlength(q)
+    puts r = num*2^k/den in (1, 2] with 2^k an exact power of two and
+    ONE double division; then ln(r) = 2*atanh((r-1)/(r+1)) via a fixed
+    10-term Horner series (|y| <= 1/3 -> error < ~1e-10), and
+    ln(x) = ln(r) - k*ln2 with ln2 a shared literal. The SQL twin is
+    `softln_ratio_sql`; the arithmetic SHAPE is the contract — keep
+    them in lockstep.
+    """
+    q = F.floor(den.cast("double") / num.cast("double")).cast("long")
+    k = F.length(F.bin(q))
+    pow2k = F.pow(F.lit(2.0), k.cast("double"))  # exact power of two
+    r = (num.cast("double") * pow2k) / den.cast("double")
+    y = (r - F.lit(1.0)) / (r + F.lit(1.0))
+    t = y * y
+    h = F.lit(1.0) / F.lit(19.0)
+    for c in (17.0, 15.0, 13.0, 11.0, 9.0, 7.0, 5.0, 3.0):
+        h = h * t + F.lit(1.0) / F.lit(c)
+    series = F.lit(2.0) * y * (h * t + F.lit(1.0))
+    return series - k.cast("double") * F.lit(0.6931471805599453)
+
+
+def softln_ratio_sql(num: str, den: str) -> str:
+    """DuckDB twin of `softln_ratio` — same expression tree, same
+    literals, same association order."""
+    q = f"CAST(floor(CAST({den} AS DOUBLE) / CAST({num} AS DOUBLE)) AS BIGINT)"
+    k = f"length(bin({q}))"
+    pow2k = f"pow(2.0, CAST({k} AS DOUBLE))"
+    r = f"((CAST({num} AS DOUBLE) * {pow2k}) / CAST({den} AS DOUBLE))"
+    y = f"(({r} - 1.0) / ({r} + 1.0))"
+    t = f"({y} * {y})"
+    h = "(1.0 / 19.0)"
+    for c in ("17.0", "15.0", "13.0", "11.0", "9.0", "7.0", "5.0", "3.0"):
+        h = f"({h} * {t} + 1.0 / {c})"
+    series = f"(2.0 * {y} * ({h} * {t} + 1.0))"
+    return f"({series} - CAST({k} AS DOUBLE) * 0.6931471805599453)"

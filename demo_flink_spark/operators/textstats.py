@@ -414,6 +414,8 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
     bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    from demo_flink_spark.operators.relational import softln_ratio
+
     p = F.col("c_bg") / F.col("c_w1")
     scored = (
         bigrams.join(F.broadcast(bi), "bg")
@@ -421,19 +423,27 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select(
             "doc_id",
             p.alias("p"),
-            # round before summing: ln differs in the last ulp across
-            # libm implementations; at 6 decimals both engines agree
-            F.round(F.log(p), 6).cast("decimal(38,6)").alias("logp"),
+            # softln: builtin ln() differs in the last ulp across libm
+            # implementations, which flipped a 6-dp rounding at sf0.1;
+            # the portable series gives BIT-identical doubles on every
+            # engine, so no rounding boundary can ever disagree
+            F.round(softln_ratio(F.col("c_bg"), F.col("c_w1")), 6)
+            .cast("decimal(38,6)")
+            .alias("logp"),
         )
     )
+    # divide AFTER casting the exact decimal sum to double, never in
+    # decimal: decimal division picks a result scale that differs from
+    # DuckDB's double promotion, and the two quotients can straddle a
+    # rounding boundary (doc 1103 at sf0.1 sat exactly on x.xxxxxx45)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
-            (F.sum(F.col("p").cast("decimal(38,12)")) / F.count(F.lit(1)))
-            .cast("double"),
+            F.sum(F.col("p").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
             6,
         ).alias("avg_p"),
         F.round(
-            (F.sum("logp") / F.count(F.lit(1))).cast("double"), 6
+            F.sum("logp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logp"),
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_flink_spark.operators import textstats, wordcount
+from demo_flink_spark.operators.relational import softln_ratio_sql
 from demo_flink_spark.plans.spec import QuerySpec
 from demo_flink_spark.sources import load_table
 
@@ -300,10 +301,10 @@ SPECS = [
     QuerySpec(
         "lm_bigram_score",
         q_lm_bigram_score,
-        # per-element ln rounded to 6 decimals before the decimal sum:
-        # libm log() may differ in the last ulp across engines, the
-        # ratio itself (bigint/bigint double division) cannot.
-        oracle=r"""
+        # per-element softln (portable series, bit-identical across
+        # engines — libm ln() ulp drift flipped a 6-dp boundary at
+        # sf0.1) rounded to 6 decimals before the decimal sum
+        oracle=rf"""
         WITH toks AS (
             SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
                 lower(text), '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS t
@@ -320,9 +321,9 @@ SPECS = [
         SELECT doc_id,
                count(*) AS n_bigrams,
                round(CAST(sum(CAST(c_bg / CAST(c_w1 AS DOUBLE) AS DECIMAL(38,12)))
-                     / count(*) AS DOUBLE), 6) AS avg_p,
-               round(CAST(sum(CAST(round(ln(c_bg / CAST(c_w1 AS DOUBLE)), 6)
-                     AS DECIMAL(38,6))) / count(*) AS DOUBLE), 6) AS avg_logp
+                     AS DOUBLE) / count(*), 6) AS avg_p,
+               round(CAST(sum(CAST(round({softln_ratio_sql('c_bg', 'c_w1')}, 6)
+                     AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_logp
         FROM bigrams JOIN bi USING (bg) JOIN uni USING (w1)
         GROUP BY doc_id
         """,
