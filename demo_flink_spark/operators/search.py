@@ -60,8 +60,16 @@ def bm25_scores(
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n, avgdl = F.col("n_docs"), F.col("avgdl")
+    # (N - df + .5)/(df + .5) + 1 == (2N + 2)/(2df + 1): an integer
+    # ratio, so the engine-portable softln applies (bit-identical on
+    # every engine; builtin ln's libm ulp drift can flip the rounding)
+    from demo_flink_spark.operators.relational import softln_ratio
+
     idf = F.round(
-        F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 9
+        -softln_ratio(
+            F.lit(2) * F.col("df") + F.lit(1), F.lit(2) * n + F.lit(2)
+        ),
+        9,
     )
     tf_norm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)

@@ -307,9 +307,14 @@ def tf_idf_top_terms(docs: DataFrame, k: int = 3, n_docs: int | None = None) -> 
     df_tbl = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     if n_docs is None:
         n_docs = docs.count()  # scalar, computed once at plan time
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    # (1+N)/(1+df) is an integer ratio -> engine-portable softln
+    # (bit-identical doubles; libm ln ulp drift can flip roundings)
     scored = tf.join(F.broadcast(df_tbl), "word").withColumn(
         "_tfidf_raw",
-        F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))),
+        F.col("tf")
+        * -softln_ratio(F.col("df") + F.lit(1), F.lit(int(n_docs) + 1)),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf_raw"), F.asc("word"))
     return (

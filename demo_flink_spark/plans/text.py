@@ -477,10 +477,10 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
         n AS (SELECT count(*) AS n_docs FROM documents),
         scored AS (
             SELECT tf.doc_id, tf.word,
-                   round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf,
+                   round(tf.tf * (- {softln_ratio_sql('(df.df + 1)', '(n.n_docs + 1)')}), 6) AS tfidf,
                    row_number() OVER (
                        PARTITION BY tf.doc_id
-                       ORDER BY tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) DESC,
+                       ORDER BY tf.tf * (- {softln_ratio_sql('(df.df + 1)', '(n.n_docs + 1)')}) DESC,
                                 tf.word ASC
                    ) AS rk
             FROM tf JOIN df USING (word) CROSS JOIN n
@@ -687,9 +687,10 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
         "bm25_hash_join_vector",
         q_bm25,
         # constants mirror the Spark side bit-for-bit: k1=1.2, b=0.75,
-        # k1+1=2.2 and 1-b=0.25 are exact double round-trips; ln is
+        # k1+1=2.2 and 1-b=0.25 are exact double round-trips; idf uses
+        # the engine-portable softln (integer ratio (2N+2)/(2df+1)),
         # rounded to 9 dp per element before the decimal-exact sum
-        oracle=r"""
+        oracle=rf"""
         WITH toks AS (
             SELECT doc_id, unnest(list_filter(string_split_regex(
                 regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
@@ -706,7 +707,7 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
         idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         scored AS (
             SELECT tf.doc_id,
-                   round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+                   round(- {softln_ratio_sql('(2 * df + 1)', '(2 * n_docs + 2)')}, 9)
                      * ((tf * 2.2)
                         / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)))
                      AS term_score
