@@ -600,6 +600,16 @@ def embedding_neardup_pairs(
         "vec_id", vec_col, "blk", F.explode(pair_ids).alias("pid")
     )
 
+    # the GEMM prunes with a small slack; survivors are re-scored with
+    # the expression-based `cosine` (sequential left-to-right adds —
+    # bit-identical in any engine) and re-filtered at the TRUE
+    # threshold. numpy's pairwise/BLAS summation differs from a
+    # sequential sum in the last ulps, so both the >= threshold
+    # membership and the rounded score would otherwise be
+    # boundary-fragile cross-engine; rescoring costs one join over
+    # OUTPUT-sized data only.
+    slack = 1e-9
+
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["pid"].iloc[0])
         i, j = pid // nb, pid % nb
@@ -608,24 +618,31 @@ def embedding_neardup_pairs(
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         if i == j:
             sims = mat @ mat.T
-            ia, ib = np.nonzero(sims >= threshold)
+            ia, ib = np.nonzero(sims >= threshold - slack)
             keep = ids[ia] < ids[ib]  # upper triangle once
             out_a, out_b = ids[ia[keep]], ids[ib[keep]]
-            cos = sims[ia[keep], ib[keep]]
         else:
             side = pdf["blk"].to_numpy() == i
             ida, idb = ids[side], ids[~side]
             sims = mat[side] @ mat[~side].T
-            ia, ib = np.nonzero(sims >= threshold)
+            ia, ib = np.nonzero(sims >= threshold - slack)
             a, b = ida[ia], idb[ib]
             out_a, out_b = np.minimum(a, b), np.maximum(a, b)
-            cos = sims[ia, ib]
-        return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "cos": np.round(cos, 6)}
-        )
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    return tagged.groupBy("pid").applyInPandas(
-        gemm, "id_a long, id_b long, cos double"
+    candidates = tagged.groupBy("pid").applyInPandas(
+        gemm, "id_a long, id_b long"
+    )
+    ea = base.select(F.col("vec_id").alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = base.select(F.col("vec_id").alias("id_b"), F.col(vec_col).alias("_vb"))
+    rescored = (
+        candidates.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+    )
+    return rescored.select(
+        "id_a", "id_b", F.round("_cos", 6).alias("cos")
     )
 
 
