@@ -258,45 +258,51 @@ def minhash_signatures(
 
     def sign(batches):
         for pdf in batches:
-            # memo is per Arrow batch, NOT per partition: corpora
-            # repeat shingles heavily within a batch (that's the win)
-            # but a partition-lifetime dict would grow to the whole
-            # partition vocabulary — unbounded worker memory
+            # The permutation value depends only on the shingle hash,
+            # and corpora repeat shingles heavily — so compute the
+            # affine ONCE per distinct shingle in the chunk ((V, 64),
+            # V = chunk vocabulary) and per-doc take a gather + min.
+            # A flat per-occurrence pass materialized (N_occurrences,
+            # 64) uint64 intermediates — gigabytes per chunk at sf0.1,
+            # which was 10x slower than this, not faster. Memo is per
+            # Arrow batch, not per partition: a partition-lifetime dict
+            # would grow to the whole vocabulary.
             memo: dict[str, int] = {}
 
-            def shingle_hash(s: str) -> int:
+            def shingle_idx(s: str) -> int:
                 # md5 first-8-bytes little-endian mod p — equals
                 # DuckDB's md5_number_upper(s) % p
-                h = memo.get(s)
-                if h is None:
-                    h = (
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                        % MINHASH_P
-                    )
-                    memo[s] = h
-                return h
+                i = memo.get(s)
+                if i is None:
+                    i = len(memo)
+                    memo[s] = i
+                return i
 
-            # one affine pass for the WHOLE chunk, then per-doc mins via
-            # reduceat — no per-document numpy round-trips
             lists = list(pdf["shingles"])
-            lengths = [0 if sl is None else len(sl) for sl in lists]
-            flat = [
-                shingle_hash(s)
+            idx_lists = [
+                None
+                if sl is None or len(sl) == 0
+                else np.array([shingle_idx(s) for s in sl], dtype=np.int64)
                 for sl in lists
-                if sl is not None
-                for s in sl
             ]
             doc_sigs: list = [None] * len(lists)
-            if flat:
-                hs = np.array(flat, dtype=np.uint64)
+            if memo:
+                hs = np.array(
+                    [
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                        % MINHASH_P
+                        for s in memo
+                    ],
+                    dtype=np.uint64,
+                )
                 # overflow-free (a*x+b) mod p: any engine with 128-bit
                 # integers reproduces it directly
-                aff = _modp_affine(hs[:, None], a[None, :], b[None, :])
-                nonempty = [i for i, ln in enumerate(lengths) if ln > 0]
-                starts = np.cumsum([0] + [lengths[i] for i in nonempty[:-1]])
-                mins = np.minimum.reduceat(aff, starts, axis=0).astype(np.int64)
-                for row, i in enumerate(nonempty):
-                    doc_sigs[i] = mins[row]
+                aff = _modp_affine(hs[:, None], a[None, :], b[None, :]).astype(
+                    np.int64
+                )
+                for i, idxs in enumerate(idx_lists):
+                    if idxs is not None:
+                        doc_sigs[i] = aff[idxs].min(axis=0)
             sigs, band_col = [], []
             for i in range(len(lists)):
                 sig = doc_sigs[i] if doc_sigs[i] is not None else empty_sig
