@@ -38,6 +38,31 @@ def q_tumbling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Top-N (the classic streaming-SQL pattern Flink ships
+    as its TopN example): per 1-hour tumbling window, the top-3 users
+    by event count, rank carried in the result. Composition: windowed
+    pre-aggregation (map-side combined) -> per-window rank window
+    function over the (windows x users) aggregate — the full corpus
+    never reaches the rank stage."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("w").orderBy(F.desc("cnt"), F.asc("user_id"))
+    )
+    return (
+        counts.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"), "user_id", "cnt", "rk"
+        )
+    )
+
+
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window: 10-minute size, 5-minute slide, count per
     event_type (W7). Each event contributes to exactly 2 windows —
@@ -102,6 +127,24 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec(
+        "window_topn_users_hourly",
+        q_window_topn,
+        oracle="""
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   user_id, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT window_start, user_id, cnt,
+                   row_number() OVER (PARTITION BY window_start
+                                      ORDER BY cnt DESC, user_id ASC) AS rk
+            FROM counts
+        )
+        SELECT window_start, user_id, cnt, rk FROM ranked WHERE rk <= 3
+        """,
+    ),
     QuerySpec(
         "window_tumbling_10s",
         q_tumbling,
