@@ -253,3 +253,65 @@ def test_streaming_session_window(spark):
         ("u2", "1970-01-01 00:00:19", "1970-01-01 00:00:29", 1),
         ("u3", "1970-01-01 00:01:10", "1970-01-01 00:01:20", 1),
     ]
+
+
+def test_streaming_windowed_topn_matches_batch(spark):
+    """Streaming Top-N (the Flink TopN pattern): complete-mode windowed
+    counts re-ranked per micro-batch in foreachBatch; after the final
+    batch the snapshot equals the batch windowed-TopN computation. Two
+    micro-batches prove rankings REVISE as late counts arrive (u3
+    overtakes u1 in window 0 only after batch 1)."""
+    H = 3_600_000
+    rows = [
+        # batch 0: window 0 -> u1 x2, u3 x1 ; window 1 -> u2 x1
+        (0, 1 * H // 4, "u1"),
+        (0, 2 * H // 4, "u1"),
+        (0, 3 * H // 4, "u3"),
+        (0, H + 1000, "u2"),
+        # batch 1: u3 gains 2 in window 0 -> overtakes u1
+        (1, 5 * H // 8, "u3"),
+        (1, 6 * H // 8, "u3"),
+        (1, H + 2000, "u2"),
+    ]
+    stage, schema = _write_batches(spark, rows, "b int, ts_ms long, user string")
+    stream = _with_ts(file_stream(spark, stage, schema))
+    counts = stream.groupBy(F.window("ts", "1 hour").alias("w"), "user").count()
+
+    from pyspark.sql.window import Window as W
+
+    snapshots = []
+
+    def rerank(df, _epoch):
+        rk = F.row_number().over(
+            W.partitionBy("w").orderBy(F.desc("count"), F.asc("user"))
+        )
+        snapshots.append(
+            sorted(
+                (str(r["w"].start), r["user"], r["count"], r["rk"])
+                for r in df.withColumn("rk", rk)
+                .filter(F.col("rk") <= 2)
+                .collect()
+            )
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(rerank)
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(snapshots) >= 2
+    final = snapshots[-1]
+    # batch truth: window 0 -> u3 (3) then u1 (2); window 1 -> u2 (2)
+    w0 = "1970-01-01 00:00:00"
+    w1 = "1970-01-01 01:00:00"
+    assert final == sorted(
+        [(w0, "u3", 3, 1), (w0, "u1", 2, 2), (w1, "u2", 2, 1)]
+    )
+    # and the ranking genuinely revised: batch-0 snapshot had u1 first
+    assert (w0, "u1", 2, 1) in snapshots[0]
