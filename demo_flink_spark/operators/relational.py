@@ -143,3 +143,46 @@ def softln_ratio_sql(num: str, den: str) -> str:
         h = f"({h} * {t} + 1.0 / {c})"
     series = f"(2.0 * {y} * ({h} * {t} + 1.0))"
     return f"({series} - CAST({k} AS DOUBLE) * 0.6931471805599453)"
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Single-pass column profile: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) per column — the ANALYZE/data-quality
+    primitive every warehouse runs before trusting a new feed.
+
+    ONE aggregation job computes every column's stats simultaneously
+    (5 aggregate expressions per column in the same agg — Catalyst
+    fuses them into a single pass with map-side partials), then the
+    1-row wide result unpivots driver-side into the long form. A naive
+    per-column loop would scan the table |columns| times; this scans
+    once no matter how wide the table is. min/max surface as strings
+    so heterogeneous column types share one schema.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__nn_{c}"),
+            F.countDistinct(col).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs).first()
+    rows = [
+        (
+            c,
+            wide["__n_rows"],
+            wide["__n_rows"] - wide[f"__nn_{c}"],
+            wide[f"__nd_{c}"],
+            wide[f"__min_{c}"],
+            wide[f"__max_{c}"],
+        )
+        for c in cols
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, n_null long, n_distinct long, "
+        "min_value string, max_value string",
+    )

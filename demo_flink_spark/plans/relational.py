@@ -227,6 +227,21 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of lineitem (operators/relational.py::
+    profile_table): one aggregation job computes null/ndv/min/max for
+    every profiled column simultaneously — the scan-once ANALYZE shape,
+    not a per-column loop."""
+    from demo_flink_spark.operators.relational import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        li,
+        ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate",
+         "l_extendedprice"],
+    )
+
+
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — deterministic in Spark but not
     comparable to DuckDB's sketch → rows-only check, with the exact
@@ -1025,6 +1040,46 @@ SPECS = [
                count(DISTINCT l_partkey) AS n_part,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    QuerySpec(
+        "profile_lineitem",
+        q_profile_lineitem,
+        oracle="""
+        SELECT 'l_orderkey' AS column, count(*) AS n_rows,
+               count(*) - count(l_orderkey) AS n_null,
+               count(DISTINCT l_orderkey) AS n_distinct,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity' AS column, count(*) AS n_rows,
+               count(*) - count(l_quantity) AS n_null,
+               count(DISTINCT l_quantity) AS n_distinct,
+               CAST(min(l_quantity) AS VARCHAR) AS min_value,
+               CAST(max(l_quantity) AS VARCHAR) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag' AS column, count(*) AS n_rows,
+               count(*) - count(l_returnflag) AS n_null,
+               count(DISTINCT l_returnflag) AS n_distinct,
+               CAST(min(l_returnflag) AS VARCHAR) AS min_value,
+               CAST(max(l_returnflag) AS VARCHAR) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate' AS column, count(*) AS n_rows,
+               count(*) - count(l_shipdate) AS n_null,
+               count(DISTINCT l_shipdate) AS n_distinct,
+               CAST(min(l_shipdate) AS VARCHAR) AS min_value,
+               CAST(max(l_shipdate) AS VARCHAR) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice' AS column, count(*) AS n_rows,
+               count(*) - count(l_extendedprice) AS n_null,
+               count(DISTINCT l_extendedprice) AS n_distinct,
+               CAST(min(l_extendedprice) AS VARCHAR) AS min_value,
+               CAST(max(l_extendedprice) AS VARCHAR) AS max_value
+        FROM lineitem
         """,
     ),
     QuerySpec("agg_approx_distinct", q_agg_approx_distinct, oracle=None),

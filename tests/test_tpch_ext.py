@@ -81,3 +81,19 @@ def test_q22_customers_have_no_urgent_orders(spark):
         .count()
     )
     assert total == expect
+
+
+def test_profile_table_single_pass_and_values(spark):
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (2, None, 2.5)],
+        "id long, s string, v double",
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["id"].n_rows == 3 and prof["id"].n_null == 0
+    assert prof["id"].n_distinct == 2
+    assert prof["s"].n_null == 1 and prof["s"].min_value == "a"
+    assert prof["v"].n_null == 1 and prof["v"].max_value == "2.5"
