@@ -237,6 +237,20 @@ CHECKS = {
         ["Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # windowed TopN: rank runs over the windowed AGGREGATE (exchange on
+    # the window+user hash), never the raw corpus
+    "window_topn_users_hourly": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct"],
+    ),
+    # curation pipeline: per-stage semi joins + broadcast rates; no
+    # cartesian anywhere in the 4-stage composition
+    "pipeline_curation_end2end": (
+        ["LeftSemi", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # profiler: ONE aggregate pass (fused stats), no join at all
+    "profile_lineitem": ([], ["Join", "CartesianProduct"]),
 }
 
 
