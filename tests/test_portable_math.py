@@ -97,3 +97,24 @@ def test_modp_affine_matches_duckdb_hugeint():
                 f" % {MINHASH_P}"
             ).fetchone()[0]
             assert int(got[h]) == int(want)
+
+
+def test_softln_edges(spark):
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 1_000_000), (999_999, 1_000_000)],
+        "num long, den long",
+    )
+    got = {
+        (r.num, r.den): r.v
+        for r in df.select(
+            "num", "den", softln_ratio(F.col("num"), F.col("den")).alias("v")
+        ).collect()
+    }
+    assert abs(got[(1, 1)]) < 1e-10                       # ln(1) ~ 0
+    assert abs(got[(1, 2)] - math.log(0.5)) < 1e-9
+    assert abs(got[(1, 1_000_000)] - math.log(1e-6)) < 1e-8
+    assert abs(got[(999_999, 1_000_000)] - math.log(0.999999)) < 1e-10

@@ -106,3 +106,17 @@ def test_mixture_resample_flattens_overrepresented(spark):
     # deterministic: same call, same rows
     again = mixture_resample(df, "src", "id", budget_per_group=10.0)
     assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+
+
+def test_mixture_resample_general_temperature_path(spark):
+    from demo_flink_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    # tau=1.0 -> keep rate = budget/n: big 50/900, small 50/100
+    out = mixture_resample(df, "src", "id", budget_per_group=50.0,
+                           temperature=1.0)
+    counts = {r.src: r.cnt for r in out.groupBy("src").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    assert 20 < counts.get("big", 0) < 90      # ~50 expected
+    assert 30 < counts.get("small", 0) < 70    # ~50 expected

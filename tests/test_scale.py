@@ -189,3 +189,21 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     # and it computes the right answer: only the dim-selected partition
     rows = joined.collect()
     assert [r.event_type for r in rows] == ["purchase"]
+
+
+def test_compact_parquet_sort_within_restores_clustering(spark, tmp_path):
+    from demo_flink_spark.operators.scale import compact_parquet
+
+    src = str(tmp_path / "frag3")
+    dst = str(tmp_path / "compact3")
+    spark.range(50_000).selectExpr("id", "id % 97 AS k") \
+        .repartition(16).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_bytes=1 << 30,
+                    sort_within_by=["k", "id"])
+    out = spark.read.parquet(dst)
+    assert out.count() == 50_000
+    # single output file, sorted within: ids non-decreasing per k run
+    import pandas as pd
+
+    pdf = out.toPandas()
+    assert (pdf["k"].diff().fillna(0) >= 0).all()
