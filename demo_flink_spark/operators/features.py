@@ -15,9 +15,16 @@ The operations a 100 TB embedding store needs before serving/training:
 
 Float discipline (same rules as operators/relational.py): every kernel
 widens float32 storage to float64 before arithmetic; quantization uses
-`floor(x + 0.5)` instead of `round` so Spark and DuckDB agree on ties;
-covariance entries round to 6 decimals AFTER the reduce, which buries
-the ≤1e-12 accumulation-order jitter of BLAS vs left-fold sums.
+`floor(x + 0.5)` instead of `round` so Spark and DuckDB agree on ties.
+The covariance pass is **engine-exact by construction** (the r3 driver
+hash-fail taught us that "round(float_sum, 6)" is partition-order- and
+engine-dependent): inputs are quantized to Q`qbits` fixed point — an
+EXACT operation on doubles (power-of-two multiply + 0.5 + floor, every
+step representable) — partials are integer GEMMs, the reduce is an
+exact decimal(38,0) sum (order-independent), and the 6-decimal output
+is produced by round-half-away INTEGER division, so any engine
+mirroring the formula (see the DuckDB oracle in plans/features.py)
+produces bit-identical doubles.
 """
 
 from __future__ import annotations
@@ -60,43 +67,72 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def covariance_triples(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Population covariance matrix as (i, j, cov) triples.
+def covariance_triples(
+    df: DataFrame, vec_col: str = "embedding", qbits: int = 24
+) -> DataFrame:
+    """Population covariance matrix as (i, j, cov) triples — engine-exact.
 
-    Per Arrow batch: GEMM partial `X.T @ X` (d×d), the column sum, and
-    the row count — flattened to (i, j, sum_xy) / (i, sum_x) triples and
-    reduced by key. Shuffle volume is O(n_batches · d²) regardless of
-    corpus size; the vectors themselves never shuffle. cov(i,j) =
-    Σxy/n − μ_i·μ_j, rounded to 6 decimals for engine portability.
+    Pipeline (every step bit-deterministic under any partitioning AND
+    reproducible in any engine that mirrors the arithmetic):
+
+    1. quantize: `q = floor(x * 2^qbits + 0.5)` as int64. x is a
+       float32 widened to double, so `x * 2^qbits` is an EXACT
+       power-of-two scale; `+ 0.5` and `floor` are exact for the
+       magnitudes involved — the same double comes out of Spark, numpy
+       and DuckDB.
+    2. per Arrow batch: integer GEMM partial `Q.T @ Q` (d×d), column
+       sums, row count. Batches are sub-chunked so each int64 dot
+       product provably cannot overflow (chunk ≤ 2^62 / max|q|²).
+       Shuffle volume is O(n_batches · d²) longs — vectors never move.
+    3. exact reduce: partials summed as decimal(38,0) (integer sums are
+       order-independent; no float accumulation anywhere).
+    4. output: cov = (n·Σxy − Σx_i·Σx_j) / (n² · 2^(2·qbits)), emitted
+       at 6 decimals via round-half-away INTEGER division:
+       `sign · ((|num|·2·10^6 + den) div (2·den)) / 10^6`.
+
+    Scale ceiling: at qbits=24 the decimal(38,0) intermediates hold up
+    to ~4e8 vectors; for a 100 TB corpus beyond that, pass qbits=20
+    (headroom to ~1e12 rows, input quantization 1e-6 — at or below the
+    6-decimal output grid either way).
     """
+    qscale = float(1 << qbits)
+
     def partials(batches):
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            d = mat.shape[1]
-            xtx = mat.T @ mat  # (d, d) BLAS partial
-            sums = mat.sum(axis=0)
+            q = np.floor(mat * qscale + 0.5).astype(np.int64)
+            d = q.shape[1]
+            qmax = max(1, int(np.abs(q).max()))
+            # largest chunk whose per-entry dot product fits int64
+            step = max(1, (1 << 62) // (qmax * qmax))
             ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-            yield pd.DataFrame(
-                {
-                    "i": ii.reshape(-1).astype(np.int32),
-                    "j": jj.reshape(-1).astype(np.int32),
-                    "sum_xy": xtx.reshape(-1),
-                    # ship the vector sums on the diagonal rows only
-                    "sum_x": np.where(
-                        jj.reshape(-1) == 0, sums[ii.reshape(-1)], 0.0
-                    ),
-                    "n": np.where(
-                        (ii.reshape(-1) == 0) & (jj.reshape(-1) == 0), len(pdf), 0
-                    ).astype(np.int64),
-                }
-            )
+            for lo in range(0, len(q), step):
+                qc = q[lo : lo + step]
+                xtx = qc.T @ qc  # exact int64 GEMM partial
+                sums = qc.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "i": ii.reshape(-1).astype(np.int32),
+                        "j": jj.reshape(-1).astype(np.int32),
+                        "sum_xy": xtx.reshape(-1),
+                        # ship the vector sums on the j==0 rows only
+                        "sum_x": np.where(
+                            jj.reshape(-1) == 0, sums[ii.reshape(-1)], 0
+                        ).astype(np.int64),
+                        "n": np.where(
+                            (ii.reshape(-1) == 0) & (jj.reshape(-1) == 0),
+                            len(qc),
+                            0,
+                        ).astype(np.int64),
+                    }
+                )
 
     tri = df.select(vec_col).mapInPandas(
-        partials, "i int, j int, sum_xy double, sum_x double, n long"
+        partials, "i int, j int, sum_xy long, sum_x long, n long"
     )
     red = tri.groupBy("i", "j").agg(
-        F.sum("sum_xy").alias("sum_xy"),
-        F.sum("sum_x").alias("sum_x"),
+        F.sum(F.col("sum_xy").cast("decimal(38,0)")).alias("sum_xy"),
+        F.sum(F.col("sum_x").cast("decimal(38,0)")).alias("sum_x"),
         F.sum("n").alias("n"),
     )
     # three consumers below — materialize the d²-row grid so the corpus
@@ -109,19 +145,32 @@ def covariance_triples(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     mean_j = red.filter(F.col("j") == 0).select(
         F.col("i").alias("j"), F.col("sum_x").alias("sum_x_j")
     )
-    total = red.agg(F.sum("n").alias("n_rows"))
+    total = red.agg(F.sum("n").cast("decimal(38,0)").alias("n_rows"))
+    den_unit = 1 << (2 * qbits)  # n² · 2^(2·qbits) completes it below
     return (
         red.join(F.broadcast(mean_i), "i")
         .join(F.broadcast(mean_j), "j")
         .join(F.broadcast(total))
+        .withColumn(
+            "num",
+            F.col("n_rows") * F.col("sum_xy")
+            - F.col("sum_x_i") * F.col("sum_x_j"),
+        )
+        .withColumn(
+            "den",
+            F.col("n_rows")
+            * F.col("n_rows")
+            * F.lit(den_unit).cast("decimal(38,0)"),
+        )
         .select(
             "i",
             "j",
-            F.round(
-                F.col("sum_xy") / F.col("n_rows")
-                - (F.col("sum_x_i") / F.col("n_rows"))
-                * (F.col("sum_x_j") / F.col("n_rows")),
-                6,
+            # round-half-away-from-zero at 6 decimals, in exact integer
+            # arithmetic: identical in every engine by construction
+            F.expr(
+                "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(num) * 2000000 + den) div (2 * den)) AS DOUBLE)"
+                " / 1000000.0"
             ).alias("cov"),
         )
     )

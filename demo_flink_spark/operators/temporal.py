@@ -207,5 +207,9 @@ def rollup_time_multi(
         "window_start",
         "key",
         "cnt",
-        F.round(F.col("_sum").cast("double"), 6).alias("sum_value"),
+        # _sum is already scale-6 decimal (exact on both engines); the
+        # decimal→double cast is the same nearest-even op everywhere.
+        # A further round-on-double here was the r3 driver hash-fail:
+        # Spark and DuckDB round doubles differently in the last ulp.
+        F.col("_sum").cast("double").alias("sum_value"),
     )

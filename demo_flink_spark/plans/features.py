@@ -81,16 +81,39 @@ SPECS = [
         "embedding_covariance",
         q_covariance,
         oracle="""
+        -- mirrors covariance_triples EXACTLY (no covar_pop, no float
+        -- sums): Q24-quantize inputs, exact HUGEINT sums, 6-decimal
+        -- output via round-half-away integer division — bit-identical
+        -- to the Spark operator by construction.
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ), x AS (
-            SELECT vec_id, unnest(e) AS val,
+            SELECT vec_id,
+                   CAST(floor(unnest(e) * 16777216.0 + 0.5) AS HUGEINT)
+                       AS val,
                    CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS i
             FROM v
+        ), p AS (
+            SELECT a.i AS i, b.i AS j,
+                   SUM(a.val * b.val) AS sxy, COUNT(*) AS n
+            FROM x a JOIN x b USING (vec_id)
+            GROUP BY a.i, b.i
+        ), s AS (
+            SELECT i, SUM(val) AS sx FROM x GROUP BY i
+        ), t AS (
+            SELECT p.i, p.j,
+                   CAST(p.n AS HUGEINT) * p.sxy - si.sx * sj.sx AS num,
+                   CAST(p.n AS HUGEINT) * CAST(p.n AS HUGEINT)
+                       * CAST(281474976710656 AS HUGEINT) AS den
+            FROM p
+            JOIN s si ON si.i = p.i
+            JOIN s sj ON sj.i = p.j
         )
-        SELECT a.i AS i, b.i AS j, round(covar_pop(a.val, b.val), 6) AS cov
-        FROM x a JOIN x b USING (vec_id)
-        GROUP BY a.i, b.i
+        SELECT i, j,
+               CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                    * ((abs(num) * 2000000 + den) // (2 * den))
+                    AS DOUBLE) / 1000000.0 AS cov
+        FROM t
         """,
     ),
     QuerySpec("embedding_pca_scores", q_pca_scores),  # rows-only: eigh twin

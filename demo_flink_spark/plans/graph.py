@@ -95,7 +95,7 @@ SPECS = [
         ),
         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
         wd AS (
-            SELECT e.src, e.dst, 1.0 / deg.deg AS inv_deg
+            SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS inv_deg
             FROM e JOIN deg ON e.src = deg.src
         ),
         nodes AS (
@@ -104,11 +104,11 @@ SPECS = [
             )
         ),
         nn AS (SELECT count(*) AS n FROM nodes),
-        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
         r1 AS (
             SELECT v.node,
-                   (1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
                        CAST(SUM(CAST(floor(r.rank * wd.inv_deg
@@ -120,8 +120,8 @@ SPECS = [
         ),
         r2 AS (
             SELECT v.node,
-                   (1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
                        CAST(SUM(CAST(floor(r.rank * wd.inv_deg
@@ -133,8 +133,8 @@ SPECS = [
         ),
         r3 AS (
             SELECT v.node,
-                   (1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
                        CAST(SUM(CAST(floor(r.rank * wd.inv_deg
@@ -146,8 +146,8 @@ SPECS = [
         ),
         r4 AS (
             SELECT v.node,
-                   (1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
                        CAST(SUM(CAST(floor(r.rank * wd.inv_deg
@@ -159,8 +159,8 @@ SPECS = [
         ),
         r5 AS (
             SELECT v.node,
-                   (1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
                        CAST(SUM(CAST(floor(r.rank * wd.inv_deg
@@ -172,8 +172,8 @@ SPECS = [
         ),
         r6 AS (
             SELECT v.node,
-                   (1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * coalesce(c.contrib, 0.0) AS rank
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
             FROM nodes v LEFT JOIN (
                 SELECT wd.dst,
                        CAST(SUM(CAST(floor(r.rank * wd.inv_deg

@@ -317,10 +317,10 @@ SPECS = [
             FROM hourly GROUP BY 1, 2
         )
         SELECT '1 hour' AS granularity, window_start, key, cnt,
-               round(CAST(s AS DOUBLE), 6) AS sum_value FROM hourly
+               CAST(s AS DOUBLE) AS sum_value FROM hourly
         UNION ALL
         SELECT '1 day', window_start, key, cnt,
-               round(CAST(s AS DOUBLE), 6) FROM daily
+               CAST(s AS DOUBLE) FROM daily
         """,
     ),
 ]

@@ -37,10 +37,27 @@ def test_quantize_int8_invariants(spark):
         assert np.abs(qv).max() == 127
 
 
+def _twin_cov(mat: np.ndarray, qbits: int = 24) -> np.ndarray:
+    """Exact-integer twin of covariance_triples' contract: Q-quantize,
+    integer sums, 6-decimal round-half-away integer division."""
+    q = np.floor(mat * float(1 << qbits) + 0.5).astype(np.int64).astype(object)
+    n, d = q.shape
+    sxy = q.T @ q  # object dtype → arbitrary-precision python ints
+    sx = q.sum(axis=0)
+    den = n * n * (1 << (2 * qbits))
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(d):
+            num = n * int(sxy[i, j]) - int(sx[i]) * int(sx[j])
+            sign = -1 if num < 0 else 1
+            cov[i, j] = sign * ((abs(num) * 2000000 + den) // (2 * den)) / 1e6
+    return cov
+
+
 def test_pca_scores_match_numpy_twin(spark):
     """The distributed pass must reproduce a local NumPy PCA that
-    follows the same contract (population covariance rounded to 6
-    decimals, sign pinned on the largest-|coord|)."""
+    follows the same contract (Q24 exact-integer population covariance
+    at 6 decimals, sign pinned on the largest-|coord|)."""
     emb = load_table(spark, SF, "embeddings")
     comps = ft.pca_components(emb, k=2)
     got = {
@@ -49,7 +66,7 @@ def test_pca_scores_match_numpy_twin(spark):
     }
 
     mat = _local_embeddings()
-    cov = np.round(np.cov(mat, rowvar=False, bias=True), 6)
+    cov = _twin_cov(mat)
     _, vecs = np.linalg.eigh(cov)
     want_comps = vecs[:, ::-1][:, :2].T.copy()
     for c in range(2):
@@ -57,8 +74,9 @@ def test_pca_scores_match_numpy_twin(spark):
         if want_comps[c, pivot] < 0:
             want_comps[c] = -want_comps[c]
 
-    # components agree (distributed covariance == numpy covariance)
-    np.testing.assert_allclose(comps, want_comps, atol=1e-6)
+    # components agree exactly: the distributed covariance and the
+    # integer twin produce the SAME matrix, so eigh sees identical input
+    np.testing.assert_allclose(comps, want_comps, atol=1e-12)
 
     want = np.round(mat @ want_comps.T, 6)
     for vid in range(len(mat)):

@@ -29,7 +29,11 @@ def canonical_hash(df: pd.DataFrame) -> str:
         if isinstance(v, float):
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
-            return f"{v:.9g}"
+            # FULL precision (shortest round-trip repr): two doubles
+            # differing in the last ulp must hash differently, or the
+            # local gate passes what the driver's stricter hash fails
+            # (the r3 embedding_covariance / rollup_time_hour_day gap).
+            return repr(v)
         if isinstance(v, (list, tuple)):
             return "[" + ",".join(canon(x) for x in v) + "]"
         try:
