@@ -32,6 +32,8 @@ from pyspark.sql.types import LongType
 
 from demo_flink_spark.operators.wordcount import normalize_text
 
+from demo_flink_spark.operators.checkpointing import cut_lineage, cut_lineage_lazy
+
 
 def _canonical(col: Column) -> Column:
     """Normalized, whitespace-collapsed text — the exact-dup key."""
@@ -159,7 +161,7 @@ def ngram_jaccard_pairs(
     pins the plan in the CacheManager for the session's lifetime). At
     100 TB materialize to a temp parquet instead.
     """
-    sh = shingles(docs, text_col, n).localCheckpoint()
+    sh = shingles(docs, text_col, n).transform(cut_lineage)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
@@ -342,7 +344,7 @@ def minhash_lsh_pairs(
     # dominates otherwise (storage is GC-released, unlike persist).
     sigs = minhash_signatures(
         docs, text_col, n, n_hashes, bands=bands
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
@@ -442,7 +444,7 @@ def simhash_pairs(
     mask = (1 << width) - 1
     # localCheckpoint: fingerprints feed both sides of the chunk
     # self-join (storage GC-released, unlike persist)
-    fp = simhash_fingerprints(docs, text_col).localCheckpoint()
+    fp = simhash_fingerprints(docs, text_col).transform(cut_lineage)
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), width * c)
@@ -507,7 +509,7 @@ def fuzzy_pairs_levenshtein(
             F.substring("canon", 1, prefix_len).alias("blk"),
             F.substring("canon", 1, cmp_len).alias("probe"),
         )
-        .localCheckpoint()  # self-join below: scan/normalize once
+        .transform(cut_lineage)  # self-join below: scan/normalize once
     )
     a = base.alias("a")
     b = base.alias("b")
@@ -671,7 +673,7 @@ def connected_components(
     """
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     sym = sym.union(sym.select(F.col("t").alias("s"), F.col("s").alias("t")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(cut_lineage)
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
@@ -691,7 +693,7 @@ def connected_components(
                 new_comp.alias("comp"),
                 (new_comp < F.col("comp")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
@@ -734,7 +736,7 @@ def connected_components_star(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
 
     def _stars(cur: DataFrame) -> DataFrame:
@@ -767,7 +769,7 @@ def connected_components_star(
                 small.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
 
     def _sig(cur: DataFrame):

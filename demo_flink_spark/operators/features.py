@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from demo_flink_spark.operators.checkpointing import cut_lineage
+
 __all__ = ["quantize_int8", "covariance_triples", "pca_components", "pca_project"]
 
 
@@ -137,7 +139,7 @@ def covariance_triples(
     )
     # three consumers below — materialize the d²-row grid so the corpus
     # scan + GEMM pass runs exactly once (self-joins recompute otherwise)
-    red = red.localCheckpoint(eager=False)
+    red = cut_lineage(red, eager=False)
     # broadcast the tiny d-row side stats back onto the d² grid
     mean_i = red.filter(F.col("j") == 0).select(
         "i", F.col("sum_x").alias("sum_x_i")

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from demo_flink_spark.operators.checkpointing import cut_lineage, cut_lineage_lazy
+
 # Q52 fixed-point scale for exact, engine-portable contribution sums
 _Q52 = float(1 << 52)
 
@@ -57,11 +59,13 @@ def pagerank(
     aggregation cost. Quantization error is 2^-52 per edge, orders
     below float noise for ranking.
 
-    The loop stays LAZY end-to-end (one final mega-job): alternatives
-    measured here — per-iteration eager checkpoints, or collecting the
-    broadcast-sized rank vector and re-creating a local relation — each
-    added ~0.5-2 s of per-iteration job/materialization overhead and
-    lost to the lazy plan at every scale tested.
+    The per-iteration body stays lazy (no job per iteration), with
+    lineage cut by an eager `localCheckpoint` every `checkpoint_every`
+    iterations — without the cut the plan doubles per iteration;
+    checkpointing EVERY iteration, or collecting the broadcast-sized
+    rank vector and re-creating a local relation, each added ~0.5-2 s
+    of per-iteration materialization overhead and lost to this hybrid
+    at every scale tested.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -70,13 +74,13 @@ def pagerank(
     withdeg = (
         e.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage_lazy)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage_lazy)
     )
     n = nodes.count()
     base = (1.0 - damping) / n
@@ -113,7 +117,7 @@ def pagerank(
         )
         # cut lineage: without this the plan doubles per iteration
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(cut_lineage)
     return ranks
 
 
@@ -143,7 +147,7 @@ def triangle_count(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage_lazy)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -166,7 +170,7 @@ def triangle_count(
             .otherwise(F.col("deg_a"))
             .alias("deg_v"),
         )
-        .localCheckpoint(eager=False)  # reused three times below
+        .transform(cut_lineage_lazy)  # reused three times below
     )
     # wedges at the low-degree center u: (v, w) out-neighbor pairs,
     # ordered by the same (deg, id) rank so each triangle closes once

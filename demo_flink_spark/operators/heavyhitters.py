@@ -40,9 +40,13 @@ def topk_frequent_exact(
     """Exact counts of the top-k most frequent `col` values via the
     two-pass candidate/verify shape (see module docstring).
 
-    Returns (value, cnt, rk) for rk ≤ k, ordered by (cnt desc, value)
-    for a deterministic total order. `m` trades candidate-set size for
-    the completeness bound N/(m+1); m = 256 guarantees completeness
+    Returns (value, cnt, rk, threshold) for rk ≤ k, ordered by
+    (cnt desc, value) for a deterministic total order. `threshold` is
+    N div (m+1) (long integer division, N = non-null input rows): for
+    integer counts, cnt > threshold ⟺ cnt > N/(m+1), so any returned
+    row with cnt > threshold is provably in the true top-k — callers
+    verify completeness by checking the k-th row clears it. `m` trades
+    candidate-set size for that bound; m = 256 guarantees completeness
     for anything above ~0.4% frequency even on a single partition.
     """
 
@@ -81,8 +85,14 @@ def topk_frequent_exact(
     # then runs over k rows only.
     topk = exact.orderBy(F.desc("cnt"), F.asc(col)).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc(col))
+    # Completeness bar N div (m+1): a 1-row broadcast cross-join (the
+    # count aggregate), integer division so the value is cross-engine
+    # exact.
+    total = df.select(
+        F.expr(f"count(`{col}`) div {m + 1}").cast("long").alias("threshold")
+    )
     return topk.select(
         F.col(col).alias("value"),
         "cnt",
         F.row_number().over(w).cast("long").alias("rk"),
-    )
+    ).crossJoin(F.broadcast(total))

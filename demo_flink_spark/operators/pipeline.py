@@ -31,6 +31,8 @@ from pyspark.sql.window import Window
 
 from demo_flink_spark.operators.dedup import shingles
 
+from demo_flink_spark.operators.checkpointing import cut_lineage
+
 
 def contamination_flags(
     docs: DataFrame,
@@ -52,7 +54,7 @@ def contamination_flags(
     corpus shingles. The benchmark set must fit in a broadcast
     (true for real eval suites; guard upstream if not).
     """
-    sh = shingles(docs, text_col, n).localCheckpoint()
+    sh = cut_lineage(shingles(docs, text_col, n))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     bench_set = (
@@ -114,7 +116,7 @@ def global_cumsum(
     # spark_partition_id() is nondeterministic — without this pin,
     # a missed exchange-reuse would let the two branches sample
     # different range boundaries and mis-stitch the offsets.
-    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    part = cut_lineage(part.withColumn("_pid", F.spark_partition_id()))
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(order_col)

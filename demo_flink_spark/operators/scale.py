@@ -243,8 +243,11 @@ def compact_parquet(
     to dominate scans at 100 TB. Output file count is sized from the
     directory's actual bytes (driver-side listing — file metadata, not
     data). `coalesce` (not repartition) merges without a shuffle when
-    shrinking; pass `sort_within_by` to restore clustering within each
-    output file while writing.
+    shrinking; when the target exceeds the scan's partition count
+    (re-splitting oversized files) a shuffle `repartition` is required
+    because coalesce can only merge. Returns the file count actually
+    written (counted from `out_path`), not the computed target — the
+    two can differ when partitions are empty.
     """
     import math
     import os
@@ -256,8 +259,16 @@ def compact_parquet(
                 total += os.path.getsize(os.path.join(root, f))
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    compacted = df.coalesce(n_out)
+    if df.rdd.getNumPartitions() < n_out:
+        compacted = df.repartition(n_out)
+    else:
+        compacted = df.coalesce(n_out)
     if sort_within_by:
         compacted = compacted.sortWithinPartitions(*sort_within_by)
     compacted.write.mode("overwrite").parquet(out_path)
-    return n_out
+    return sum(
+        1
+        for root, _dirs, files in os.walk(out_path)
+        for f in files
+        if f.endswith(".parquet")
+    )

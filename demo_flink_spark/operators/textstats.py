@@ -22,6 +22,8 @@ from pyspark.sql.window import Window
 
 from demo_flink_spark.operators.wordcount import STOPWORDS, normalize_text
 
+from demo_flink_spark.operators.checkpointing import cut_lineage
+
 _TOKEN_SPLIT = r"\s+"
 
 
@@ -415,7 +417,7 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bigrams = (
         docs.select("doc_id", text_col)
         .mapInPandas(gen, "doc_id long, w1 string, bg string")
-        .localCheckpoint(eager=False)  # feeds three plan branches
+        .transform(lambda d: cut_lineage(d, eager=False))  # feeds three plan branches
     )
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
     bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))

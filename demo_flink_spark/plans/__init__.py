@@ -33,13 +33,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         windows,
     )
 
-    out: dict[str, QuerySpec] = {}
-    # dedup/similarity/multimodal first: round 1's driver run recorded
-    # only 50 of 60 declared queries and the 10 missing rows were all
-    # from these three modules (VERDICT.md round 1, item 1) — if the
-    # driver caps or truncates, the never-yet-checked queries must come
-    # first so CORRECTNESS_r02 gains them rather than re-proving the
-    # long-green relational rows.
+    collected: dict[str, QuerySpec] = {}
     for mod in (
         timeseries,
         modern,
@@ -57,7 +51,61 @@ def all_specs() -> dict[str, "QuerySpec"]:
         text,
     ):
         for spec in mod.SPECS:
-            if spec.name in out:
+            if spec.name in collected:
                 raise ValueError(f"duplicate query name: {spec.name}")
-            out[spec.name] = spec
+            collected[spec.name] = spec
+
+    # The driver samples ~50 queries per round in registry order, so the
+    # registry front must rotate toward whatever has the least driver
+    # evidence. These 40 names are the queries absent from every
+    # CORRECTNESS_r* file through round 3 (r01 ∪ r03 = 99 of 139);
+    # emitting them first makes round 4's sample cover them
+    # (VERDICT.md round 3, item 3).
+    never_driver_checked = (
+        "similarity_topk_bruteforce",
+        "similarity_topk_srp_lsh",
+        "similarity_topk_ivf",
+        "similarity_topk_pq",
+        "multimodal_decode_meta",
+        "multimodal_decode_stats",
+        "multimodal_frame_sample",
+        "profile_lineitem",
+        "setops_all",
+        "scalar_null_semantics",
+        "scalar_datetime_ext",
+        "window_distribution",
+        "percentile_exact",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q18_large_volume",
+        "pivot_event_daily",
+        "unpivot_measures",
+        "agg_corr_covar",
+        "salted_agg_events",
+        "salted_join_events",
+        "histogram_totalprice",
+        "quantile_binning_price",
+        "window_topn_users_hourly",
+        "window_processing_time_10s",
+        "cdc_upsert_snapshot",
+        "heavy_hitter_words",
+        "scalar_posexplode",
+        "lm_bigram_score",
+        "vocab_min_max_df",
+        "token_count_bpe",
+        "repetition_signals",
+        "pii_scrub",
+        "url_extract",
+        "stratified_sample_by_lang",
+        "mixture_resample_lang",
+        "weighted_sample_quality",
+        "pipeline_curation_end2end",
+        "dataset_split_assign",
+        "bm25_hash_join_vector",
+    )
+    out: dict[str, QuerySpec] = {}
+    for name in never_driver_checked:
+        if name in collected:  # tolerate renames/demotions in later rounds
+            out[name] = collected.pop(name)
+    out.update(collected)
     return out

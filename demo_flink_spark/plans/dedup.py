@@ -27,12 +27,17 @@ _CANON = (
 # and the cluster query, which embeds it as a CTE).
 _NGRAM_PAIRS_SQL = f"""
         WITH sh AS (
+            -- list_filter drops the '' shingle an empty-canonical doc
+            -- produces (string_split('', ' ') is [''] in DuckDB), which
+            -- mirrors the operator's `toks == [''] -> []` branch
+            -- (operators/dedup.py:125) — without it two empty docs
+            -- would pair here (jaccard 1) but not in Spark.
             SELECT doc_id,
-                   list_distinct(list_transform(
+                   list_filter(list_distinct(list_transform(
                        range(0, greatest(len(string_split({_CANON}, ' ')) - 3, 0) + 1),
                        i -> array_to_string(
                            list_slice(string_split({_CANON}, ' '), i + 1, i + 3), ' ')
-                   )) AS shingles
+                   )), s -> s <> '') AS shingles
             FROM documents
         ),
         posting_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
@@ -166,12 +171,16 @@ def _minhash_lsh_oracle() -> str:
     perm_vals = ", ".join(f"({h}, {a[h]}, {b[h]})" for h in range(64))
     return f"""
         WITH sh AS (
+            -- list_filter mirrors the operator's `toks == [''] -> []`
+            -- branch for empty-canonical docs (operators/dedup.py:125):
+            -- they must get empty_sig (= b mod p), not a signature over
+            -- the '' shingle
             SELECT doc_id,
-                   list_distinct(list_transform(
+                   list_filter(list_distinct(list_transform(
                        range(0, greatest(len(string_split({_CANON}, ' ')) - 3, 0) + 1),
                        i -> array_to_string(
                            list_slice(string_split({_CANON}, ' '), i + 1, i + 3), ' ')
-                   )) AS shingles
+                   )), s -> s <> '') AS shingles
             FROM documents
         ),
         perm(h, a, b) AS (VALUES {perm_vals}),

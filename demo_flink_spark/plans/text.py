@@ -267,7 +267,8 @@ SPECS = [
             WHERE length(word) > 0 GROUP BY word
         )
         SELECT word AS value, cnt,
-               row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+               row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk,
+               (SELECT CAST(sum(cnt) // 257 AS BIGINT) FROM counts) AS threshold
         FROM counts
         ORDER BY rk LIMIT 20
         """,

@@ -45,6 +45,17 @@ def test_counts_are_exact_not_estimates(spark):
         assert c == truth[v], (v, c, truth[v])
 
 
+def test_threshold_is_completeness_bar(spark):
+    # threshold = N div (m+1) over non-null rows; every hot key's count
+    # clears it here, so the returned top-k is provably the true top-k.
+    rows = _skewed_rows()
+    df = spark.createDataFrame([(v,) for v in rows], "word string").repartition(8)
+    out = topk_frequent_exact(df, "word", k=10, m=64).collect()
+    n = len(rows)
+    assert all(r.threshold == n // 65 for r in out)
+    assert all(r.cnt > r.threshold for r in out)
+
+
 def test_none_values_ignored(spark):
     df = spark.createDataFrame(
         [("a",), (None,), ("a",), ("b",), (None,)], "word string"
