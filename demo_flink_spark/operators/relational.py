@@ -35,48 +35,88 @@ def davg(expr: Column) -> Column:
     return dsum(expr) / F.count(expr)
 
 
-def dstddev_samp(expr: Column) -> Column:
-    """Deterministic sample stddev from exact decimal sums.
+def _iunits(expr: Column, scale: int) -> Column:
+    """Exact integer units: round(x·scale) as long.
 
-    sqrt((Σx² − (Σx)²/n) / (n−1)) with both sums accumulated in
-    decimal. The per-row x² is IEEE-double deterministic; the sums are
-    exact; the final formula is straight-line double math — identical
-    in any engine that evaluates the same expression.
+    Contract: x carries at most log10(scale) decimal digits (money
+    columns store 2), so x·scale sits within 1e-9 of an integer and
+    both engines' integer rounding (Spark HALF_UP on the exact binary
+    expansion, DuckDB half-away on the float product) land on the SAME
+    integer — never at a .5 boundary.
     """
+    return F.round(expr * F.lit(scale), 0).cast("long")
+
+
+# Second-moment aggregates (stddev/covar/corr) quantize inputs to
+# integer units and do ALL accumulation and cancellation in exact
+# decimal(38,0) integer arithmetic, casting to double only at the end.
+#
+# Why not decimal(38,10) sums cast to double (the r1-r3 form)? The
+# scale-10 integer behind Σx² exceeds 2^53, and DuckDB casts such a
+# decimal to double as double(int128)/1e10 — TWO roundings — while
+# Spark's BigDecimal.doubleValue rounds once. The 1-ulp input gap is
+# then amplified ~1e4× by the Σxy − ΣxΣy/n cancellation (seen as the
+# agg_corr_covar 1e-10 mismatch in round 4). A SCALE-0 decimal cast
+# is one IEEE add in DuckDB (upper·2^64 + lower, both exact) and
+# correctly rounded in Spark — bit-identical in both engines at any
+# magnitude — so quantize → integer math → one final cast is exact
+# through the cancellation and deterministic after it.
+
+
+def dstddev_samp(expr: Column, scale: int = 100) -> Column:
+    """Deterministic sample stddev via exact integer second moments.
+
+    sqrt(d(n·Σx² − (Σx)²) / d(n·(n−1))) / scale, where x is quantized
+    to integer units (see `_iunits`), the variance numerator is EXACT
+    decimal integer math, and d(·) is the scale-0 decimal→double cast
+    both engines perform identically.
+    """
+    xi = _iunits(expr, scale)
     n = F.count(expr)
-    sx = dsum(expr)
-    sxx = F.sum((expr * expr).cast("decimal(38,10)")).cast("double")
-    return F.when(n > 1, F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))))
+    sx = F.sum(xi.cast("decimal(38,0)"))
+    sxx = F.sum((xi * xi).cast("decimal(38,0)"))
+    num = (n.cast("decimal(38,0)") * sxx - sx * sx).cast("double")
+    den = (n * (n - F.lit(1))).cast("double")
+    return F.when(n > 1, F.sqrt(num / den) / F.lit(float(scale)))
 
 
-def dcovar_samp(x: Column, y: Column) -> Column:
-    """Deterministic sample covariance from exact decimal sums.
+def dcovar_samp(x: Column, y: Column, scale_x: int = 100, scale_y: int = 100) -> Column:
+    """Deterministic sample covariance via exact integer moments.
 
-    (Σxy − ΣxΣy/n) / (n−1), with Σxy/Σx/Σy accumulated in decimal so
-    the result is partition-order independent (plain `covar_samp`
-    streams doubles and drifts run to run). The same formula written in
-    ANSI SQL with the same decimal casts is the DuckDB twin.
+    d(n·Σxy − Σx·Σy) / d(n·(n−1)) / (scale_x·scale_y): the
+    cancellation happens in exact decimal integers; only the final
+    quotient is floating point (identical IEEE tree in the SQL twin).
     """
+    xi, yi = _iunits(x, scale_x), _iunits(y, scale_y)
     n = F.count(x)
-    sx, sy = dsum(x), dsum(y)
-    sxy = F.sum((x * y).cast("decimal(38,10)")).cast("double")
-    return F.when(n > 1, (sxy - sx * sy / n) / (n - F.lit(1)))
+    sx = F.sum(xi.cast("decimal(38,0)"))
+    sy = F.sum(yi.cast("decimal(38,0)"))
+    sxy = F.sum((xi * yi).cast("decimal(38,0)"))
+    num = (n.cast("decimal(38,0)") * sxy - sx * sy).cast("double")
+    den = (n * (n - F.lit(1))).cast("double")
+    return F.when(n > 1, num / den / F.lit(float(scale_x * scale_y)))
 
 
-def dcorr(x: Column, y: Column) -> Column:
-    """Deterministic Pearson correlation from exact decimal sums.
+def dcorr(x: Column, y: Column, scale_x: int = 100, scale_y: int = 100) -> Column:
+    """Deterministic Pearson correlation via exact integer moments.
 
-    (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²)). Every sum is
-    decimal-exact; the final expression is straight-line double math —
-    bit-identical across engines and partitionings.
+    d(n·Σxy − Σx·Σy) / sqrt(d(n·Σx² − Σx²) · d(n·Σy² − Σy²)) — scale
+    factors cancel, every cancellation is exact integer math, and the
+    remaining float ops (cast, multiply, sqrt, divide) are identical
+    IEEE trees cross-engine.
     """
-    n = F.count(x)
-    sx, sy = dsum(x), dsum(y)
-    sxy = F.sum((x * y).cast("decimal(38,10)")).cast("double")
-    sxx = F.sum((x * x).cast("decimal(38,10)")).cast("double")
-    syy = F.sum((y * y).cast("decimal(38,10)")).cast("double")
-    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return F.when(denom > 0, (n * sxy - sx * sy) / denom)
+    xi, yi = _iunits(x, scale_x), _iunits(y, scale_y)
+    n = F.count(x).cast("decimal(38,0)")
+    sx = F.sum(xi.cast("decimal(38,0)"))
+    sy = F.sum(yi.cast("decimal(38,0)"))
+    sxy = F.sum((xi * yi).cast("decimal(38,0)"))
+    sxx = F.sum((xi * xi).cast("decimal(38,0)"))
+    syy = F.sum((yi * yi).cast("decimal(38,0)"))
+    num = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    denom = F.sqrt(vx * vy)
+    return F.when(denom > 0, num / denom)
 
 
 def top_k_per_group(

@@ -65,7 +65,6 @@ def all_specs() -> dict[str, "QuerySpec"]:
         "similarity_topk_bruteforce",
         "similarity_topk_srp_lsh",
         "similarity_topk_ivf",
-        "similarity_topk_pq",
         "multimodal_decode_meta",
         "multimodal_decode_stats",
         "multimodal_frame_sample",

@@ -14,8 +14,9 @@ aggregates.
 - **sketches**: HLL distinct-count sketches built per group and merged
   with `hll_union_agg` — the re-aggregatable distinct-count shape that
   rollup stores need (exact distinct cannot be merged; sketches can).
-  Sketch binaries/estimates are engine-specific → rows-only for the
-  driver; invariants (estimate vs exact, merge = direct) are pinned in
+  Sketch binaries/estimates are engine-specific, so the declared
+  outputs are exact values + pinned-error/structural assertions
+  (hash-checkable); estimate accuracy and merge = direct are pinned in
   tests/test_sketches.py. Count-min is the frequency twin with the
   same merge property.
 """
@@ -70,7 +71,15 @@ def q_udtf_token_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type via HLL sketches, plus an
     '_all_' row whose sketch is the UNION of the per-type sketches —
-    the mergeable-rollup property exact distinct counts lack."""
+    the mergeable-rollup property exact distinct counts lack.
+
+    Hash-checkable output (r4, VERDICT item 5): the raw estimate is
+    engine-specific, so the declared columns are the EXACT distinct
+    count plus a pinned-error assertion that the sketch estimate lands
+    within 5% of it (default lgConfigK=12 ⇒ rsd ≈ 1.6%, so 5% is a
+    ≥3σ bound). The oracle emits the same exact counts and literal
+    TRUE — a drifting sketch fails the hash, a healthy one matches.
+    """
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -78,27 +87,76 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = per_type.agg(
         F.lit("_all_").alias("event_type"), F.hll_union_agg("sk").alias("sk")
     )
-    return (
-        per_type.unionByName(merged)
-        .select(
-            "event_type",
-            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+    approx = per_type.unionByName(merged).select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).unionByName(
+        ev.agg(
+            F.lit("_all_").alias("event_type"),
+            F.countDistinct("user_id").alias("exact_users"),
         )
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
     )
 
 
 def q_sketch_cms_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch of the event_type frequency stream (fixed
     seed → deterministic binary; counter merges are commutative, so
-    the bytes are partition-order independent). Readback/accuracy is
-    pinned in tests via the JVM CountMinSketch reader."""
+    the bytes are partition-order independent).
+
+    Hash-checkable output (r4, VERDICT item 5): the sketch binary is
+    engine-specific, so the declared columns decode the sketch's
+    public serialized layout (version, totalCount, depth, width,
+    hashA[depth], table[depth][width] — verified against the JVM
+    writer) and emit the structural invariants any correct CMS
+    satisfies: depth = ceil(ln(1/δ)/ln 2) = 7, width = ceil(2/ε) =
+    2000, totalCount = count(*), and every depth row conserving the
+    total. The oracle states those invariants in SQL; estimate
+    accuracy stays pinned in tests/test_sketches.py via the JVM
+    reader.
+    """
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.hex(
-            F.count_min_sketch(
-                "event_type", F.lit(0.001), F.lit(0.99), F.lit(42)
+    sk = ev.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf["cms"]:
+                b = bytes(buf)
+                _ver, total, depth, width = struct.unpack_from(">iqii", b, 0)
+                off = 20 + 8 * depth  # header + hashA
+                table = np.frombuffer(
+                    b, dtype=">i8", count=depth * width, offset=off
+                ).reshape(depth, width)
+                rows.append(
+                    (depth, width, total, bool((table.sum(axis=1) == total).all()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["depth", "width", "total_count", "rows_conserved"]
             )
-        ).alias("cms_hex")
+
+    return sk.mapInPandas(
+        decode, "depth int, width int, total_count long, rows_conserved boolean"
     )
 
 
@@ -144,6 +202,31 @@ SPECS = [
         FROM isl GROUP BY doc_id, token, grp
         """,
     ),
-    QuerySpec("sketch_hll_users", q_sketch_hll_users, oracle=None),
-    QuerySpec("sketch_cms_types", q_sketch_cms_types, oracle=None),
+    QuerySpec(
+        "sketch_hll_users",
+        q_sketch_hll_users,
+        oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_within_5pct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '_all_' AS event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_within_5pct
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "sketch_cms_types",
+        q_sketch_cms_types,
+        # depth = ceil(ln(1/(1-0.99))/ln 2) = 7, width = ceil(2/0.001)
+        oracle="""
+        SELECT CAST(7 AS INTEGER) AS depth,
+               CAST(2000 AS INTEGER) AS width,
+               count(*) AS total_count,
+               TRUE AS rows_conserved
+        FROM events
+        """,
+    ),
 ]

@@ -21,6 +21,8 @@ from demo_flink_spark.operators.relational import (
     davg,
     dstddev_samp,
     dsum,
+    softln_ratio,
+    softln_ratio_sql,
     top_k_per_group,
 )
 from demo_flink_spark.plans.spec import QuerySpec
@@ -29,6 +31,16 @@ from demo_flink_spark.sources import load_table
 # SQL twins of the deterministic aggregate helpers.
 _DSUM = "CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE)"
 _DAVG = f"({_DSUM} / COUNT({{e}}))"
+
+# softln twin for ln(l_extendedprice + 1): ln(x) = -softln(1/x) with
+# 1/x = 100 / (100·price + 100), an integer ratio in (0, 1]
+# round() before the integer cast: the price is a DOUBLE, so p*100+100
+# sits 1e-9 off an integer — Spark's cast("long") truncates while
+# DuckDB's CAST AS BIGINT rounds; explicit round() on both sides lands
+# on the same integer.
+_SOFTLN_P1 = softln_ratio_sql(
+    "100", "(CAST(round(l_extendedprice * 100 + 100, 0) AS BIGINT))"
+)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,13 +59,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(dsum(F.col("l_quantity")), 6).alias("sum_qty"),
-            F.round(dsum(F.col("l_extendedprice")), 6).alias("sum_base_price"),
-            F.round(dsum(disc_price), 6).alias("sum_disc_price"),
-            F.round(dsum(charge), 6).alias("sum_charge"),
-            F.round(davg(F.col("l_quantity")), 6).alias("avg_qty"),
-            F.round(davg(F.col("l_extendedprice")), 6).alias("avg_price"),
-            F.round(davg(F.col("l_discount")), 6).alias("avg_disc"),
+            # no final round-on-double: dsum/davg are engine-exact by
+            # construction (decimal sum -> nearest-even double cast,
+            # one IEEE division for avg) — a trailing round(x, 6) would
+            # REINTRODUCE cross-engine drift, because Spark rounds the
+            # exact binary expansion while DuckDB float-multiplies
+            # (the r3 rollup_time_hour_day driver hash-fail class)
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -77,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(dsum(revenue), 6).alias("revenue"))
+        .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -126,7 +144,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(dsum(revenue), 6).alias("revenue"))
+        .agg(dsum(revenue).alias("revenue"))
     )
 
 
@@ -201,7 +219,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_li"),
-            F.round(dsum(F.col("l_quantity")), 6).alias("sum_qty"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
         )
     )
 
@@ -243,13 +261,28 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — deterministic in Spark but not
-    comparable to DuckDB's sketch → rows-only check, with the exact
-    count alongside for eyeballing the error."""
+    """approx_count_distinct (HLL++) exercised next to the exact ndv,
+    surfaced as exact count + pinned-error assertion so the result is
+    value-hash-checkable (the raw estimate is engine-specific)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # Hash-checkable form (r4, VERDICT item 5): the HLL++ estimate is
+    # engine-specific, so the declared columns are the exact ndv plus
+    # a pinned-error assertion (default rsd = 5% ⇒ 10% is a 2σ bound);
+    # the oracle emits the exact count and literal TRUE.
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_linestatus",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.1 * F.col("exact_parts")
+            ).alias("approx_within_10pct"),
+        )
     )
 
 
@@ -258,11 +291,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = F.col("l_extendedprice")
     return li.groupBy("l_linestatus").agg(
-        F.round(F.min(p), 6).alias("min_price"),
-        F.round(F.max(p), 6).alias("max_price"),
-        F.round(davg(p), 6).alias("avg_price"),
-        F.round(dstddev_samp(p), 6).alias("stddev_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.min(p).cast("double").alias("min_price"),
+        F.max(p).cast("double").alias("max_price"),
+        davg(p).alias("avg_price"),
+        dstddev_samp(p).alias("stddev_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
     )
 
 
@@ -283,7 +316,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(dsum(F.col("o_totalprice")), 6).alias("total"),
+            dsum(F.col("o_totalprice")).alias("total"),
         )
     )
 
@@ -295,7 +328,7 @@ def q_rollup_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("o_year", F.year("o_orderdate").cast("long"))
         .withColumn("o_month", F.month("o_orderdate").cast("long"))
         .rollup("o_year", "o_month")
-        .agg(F.round(dsum(F.col("o_totalprice")), 6).alias("total"))
+        .agg(dsum(F.col("o_totalprice")).alias("total"))
     )
 
 
@@ -393,14 +426,12 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double"),
-            6,
-        ).alias("running_total"),
-        F.round(F.lag("o_totalprice", 1).over(w), 6).alias("prev_price"),
-        F.round(F.lead("o_totalprice", 1).over(w), 6).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_totalprice", 1).over(w).cast("double").alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).cast("double").alias("next_price"),
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
@@ -464,8 +495,12 @@ def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function family (SURVEY §2.9 ext). All per-row IEEE double
-    ops — deterministic and engine-independent."""
+    """Math function family (SURVEY §2.9 ext). Every ending is an
+    exact or correctly-rounded IEEE tree, so no protective round(x, 6)
+    is needed (or wanted — see q1's note): the square is an exact
+    decimal multiply (pow(x, 2.0) is libm-specific), ln goes through
+    the engine-portable softln series (operators/relational.py), and
+    sqrt is IEEE-correctly-rounded on identical double inputs."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     p = F.col("l_extendedprice")
     return li.select(
@@ -474,9 +509,9 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(p - 1000.0).alias("abs_diff"),
         F.ceil(p).alias("price_ceil"),
         F.floor(p).alias("price_floor"),
-        F.round(F.pow(F.col("l_quantity"), 2.0), 6).alias("qty_sq"),
-        F.round(F.log(p + 1.0), 6).alias("ln_price"),
-        F.round(F.sqrt(p), 6).alias("sqrt_price"),
+        (F.col("l_quantity") * F.col("l_quantity")).cast("double").alias("qty_sq"),
+        (-softln_ratio(F.lit(100), F.round(p * 100 + 100, 0).cast("long"))).alias("ln_price"),
+        F.sqrt(p).alias("sqrt_price"),
     )
 
 
@@ -544,18 +579,35 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(dsum(F.col("value")), 6).alias("sum_value"),
+            dsum(F.col("value")).alias("sum_value"),
         )
     )
 
 
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx percentile (t-digest-style sketch) next to the exact
-    percentile — sketches differ across engines → rows-only check."""
+    percentile, surfaced as exact median + pinned-error assertion so
+    the result is value-hash-checkable (sketches differ per engine)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_median"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_median"),
+    # Hash-checkable form (r4, VERDICT item 5): the t-digest estimate
+    # is engine-specific, so the declared columns are the exact median
+    # plus a pinned-error assertion (default accuracy 10000 ⇒ rank
+    # error 1e-4; 1% value slack is generous for this distribution);
+    # the oracle emits quantile_cont and literal TRUE.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5).alias("_approx"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            (
+                F.abs(F.col("_approx") - F.col("exact_median"))
+                <= 0.01 * F.col("exact_median")
+            ).alias("approx_within_1pct"),
+        )
     )
 
 
@@ -574,11 +626,11 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.round(F.first_value("o_totalprice").over(w_full), 6).alias("first_price"),
-        F.round(F.last_value("o_totalprice").over(w_full), 6).alias("last_price"),
-        F.round(F.nth_value("o_totalprice", 2).over(w_full), 6).alias(
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value("o_totalprice").over(w_full).cast("double").alias("first_price"),
+        F.last_value("o_totalprice").over(w_full).cast("double").alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).cast("double").alias(
             "second_price"
         ),
     )
@@ -596,9 +648,9 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -617,7 +669,7 @@ def q_sql_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq)
         )
         SELECT c_nationkey, count(*) AS n_rich,
-               round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6)
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
                    AS total_bal
         FROM rich GROUP BY c_nationkey
         """
@@ -674,9 +726,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                dsum(F.col("l_extendedprice") * F.col("l_discount")), 6
-            ).alias("revenue"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -702,7 +752,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(dsum(revenue), 6).alias("revenue"))
+        .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -721,7 +771,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(dsum(F.col("l_quantity")), 6).alias("sum_qty"))
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
     )
     return (
@@ -766,9 +816,9 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows via `DataFrame.unpivot` — the inverse of the pivot above."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(dsum(F.col("l_extendedprice")), 6).alias("sum_price"),
-        F.round(dsum(F.col("l_discount")), 6).alias("sum_discount"),
-        F.round(dsum(F.col("l_tax")), 6).alias("sum_tax"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        dsum(F.col("l_discount")).alias("sum_discount"),
+        dsum(F.col("l_tax")).alias("sum_tax"),
     )
     return wide.unpivot(
         ["l_returnflag"],
@@ -791,9 +841,9 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
-        F.round(dcorr(x, y), 6).alias("corr_qty_price"),
-        F.round(dcovar_samp(x, y), 6).alias("covar_qty_price"),
-        F.round(dcovar_samp(x, y) / (dstddev_samp(x) * dstddev_samp(x)), 6).alias(
+        dcorr(x, y).alias("corr_qty_price"),
+        dcovar_samp(x, y).alias("covar_qty_price"),
+        (dcovar_samp(x, y) / (dstddev_samp(x) * dstddev_samp(x))).alias(
             "regr_slope"
         ),
         F.count(F.lit(1)).alias("n"),
@@ -817,14 +867,14 @@ def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dim = (
         ev.groupBy("event_type")
-        .agg(F.round(davg(F.col("value")), 6).alias("type_avg"))
+        .agg(davg(F.col("value")).alias("type_avg"))
     )
     joined = salted_join(ev.select("event_id", "event_type", "value"), dim,
                          "event_type", n_salts=16)
     return joined.select(
         "event_id",
         "event_type",
-        F.round(F.col("value") - F.col("type_avg"), 6).alias("value_vs_type_avg"),
+        (F.col("value") - F.col("type_avg")).alias("value_vs_type_avg"),
     )
 
 
@@ -841,8 +891,8 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min("o_totalprice"), 6).alias("lo"),
-            F.round(F.max("o_totalprice"), 6).alias("hi"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
 
@@ -856,14 +906,15 @@ def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny global aggregate (exact percentiles here; swap in
     approx_percentile at real scale), pass 2 broadcasts the one-row
     boundary frame and bins with a pure projection, so the big table
-    is never shuffled at all. Boundaries are rounded to 6 decimals on
-    both engines so the comparisons agree bit-for-bit.
+    is never shuffled at all. Boundary doubles agree bit-for-bit across
+    engines because both interpolate with the same two-sided weighted
+    form over the same inputs — no protective rounding needed.
     """
     orders = load_table(spark, sf_dir, "orders")
     bounds = orders.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q1"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("q2"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q3"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
     )
     return orders.crossJoin(F.broadcast(bounds)).select(
         "o_orderkey",
@@ -901,8 +952,8 @@ def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
-        F.round("max_value", 6).alias("max_value"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").alias("max_value"),
     )
 
 
@@ -912,13 +963,13 @@ SPECS = [
         q1_pricing_summary,
         oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               round({_DSUM.format(e='l_quantity')}, 6) AS sum_qty,
-               round({_DSUM.format(e='l_extendedprice')}, 6) AS sum_base_price,
-               round({_DSUM.format(e='l_extendedprice * (1 - l_discount)')}, 6) AS sum_disc_price,
-               round({_DSUM.format(e='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 6) AS sum_charge,
-               round({_DAVG.format(e='l_quantity')}, 6) AS avg_qty,
-               round({_DAVG.format(e='l_extendedprice')}, 6) AS avg_price,
-               round({_DAVG.format(e='l_discount')}, 6) AS avg_disc,
+               {_DSUM.format(e='l_quantity')} AS sum_qty,
+               {_DSUM.format(e='l_extendedprice')} AS sum_base_price,
+               {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_DSUM.format(e='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {_DAVG.format(e='l_quantity')} AS avg_qty,
+               {_DAVG.format(e='l_extendedprice')} AS avg_price,
+               {_DAVG.format(e='l_discount')} AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2024-09-01'
@@ -930,7 +981,7 @@ SPECS = [
         q3_shipping_priority,
         oracle=f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               round({_DSUM.format(e='l_extendedprice * (1 - l_discount)')}, 6) AS revenue
+               {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
@@ -957,7 +1008,7 @@ SPECS = [
         q5_local_supplier_volume,
         oracle=f"""
         SELECT n_name,
-               round({_DSUM.format(e='l_extendedprice * (1 - l_discount)')}, 6) AS revenue
+               {_DSUM.format(e='l_extendedprice * (1 - l_discount)')} AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1013,7 +1064,7 @@ SPECS = [
         q_join_theta,
         oracle=f"""
         SELECT p_brand, count(*) AS n_li,
-               round({_DSUM.format(e='l_quantity')}, 6) AS sum_qty
+               {_DSUM.format(e='l_quantity')} AS sum_qty
         FROM lineitem JOIN part
           ON l_partkey = p_partkey AND l_quantity > CAST(p_size AS DOUBLE)
         GROUP BY p_brand
@@ -1082,20 +1133,40 @@ SPECS = [
         FROM lineitem
         """,
     ),
-    QuerySpec("agg_approx_distinct", q_agg_approx_distinct, oracle=None),
+    QuerySpec(
+        "agg_approx_distinct",
+        q_agg_approx_distinct,
+        oracle="""
+        SELECT l_linestatus,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_within_10pct
+        FROM lineitem GROUP BY l_linestatus
+        """,
+    ),
     QuerySpec(
         "agg_stats",
         q_agg_stats,
+        # stddev twin of the integer-moment dstddev_samp
+        # (operators/relational.py): exact hugeint cancellation, one
+        # scale-0 cast to double, identical final IEEE tree
         oracle=f"""
-        SELECT l_linestatus,
-               round(min(l_extendedprice), 6) AS min_price,
-               round(max(l_extendedprice), 6) AS max_price,
-               round({_DAVG.format(e='l_extendedprice')}, 6) AS avg_price,
-               round(sqrt((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
-                     - {_DSUM.format(e='l_extendedprice')} * {_DSUM.format(e='l_extendedprice')} / count(l_extendedprice))
-                     / (count(l_extendedprice) - 1)), 6) AS stddev_price,
-               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
-        FROM lineitem GROUP BY l_linestatus
+        WITH s AS (
+            SELECT l_linestatus,
+                   count(l_extendedprice) AS n,
+                   SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sx,
+                   SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxx,
+                   CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+                   {_DAVG.format(e='l_extendedprice')} AS avg_price,
+                   quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS median_price
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT l_linestatus, min_price, max_price, avg_price,
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_price,
+               median_price
+        FROM s
         """,
     ),
     QuerySpec(
@@ -1113,7 +1184,7 @@ SPECS = [
         q_cube_orders,
         oracle=f"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round({_DSUM.format(e='o_totalprice')}, 6) AS total
+               {_DSUM.format(e='o_totalprice')} AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
@@ -1124,7 +1195,7 @@ SPECS = [
         oracle=f"""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                CAST(month(o_orderdate) AS BIGINT) AS o_month,
-               round({_DSUM.format(e='o_totalprice')}, 6) AS total
+               {_DSUM.format(e='o_totalprice')} AS total
         FROM orders
         GROUP BY ROLLUP (o_year, o_month)
         """,
@@ -1156,9 +1227,9 @@ SPECS = [
         q_window_analytics,
         oracle="""
         SELECT o_custkey, o_orderkey,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w_cum AS DOUBLE), 6) AS running_total,
-               round(lag(o_totalprice, 1) OVER w, 6) AS prev_price,
-               round(lead(o_totalprice, 1) OVER w, 6) AS next_price,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w_cum AS DOUBLE) AS running_total,
+               CAST(lag(o_totalprice, 1) OVER w AS DOUBLE) AS prev_price,
+               CAST(lead(o_totalprice, 1) OVER w AS DOUBLE) AS next_price,
                rank() OVER w AS rnk,
                dense_rank() OVER w AS drnk,
                ntile(4) OVER w AS quartile
@@ -1212,15 +1283,15 @@ SPECS = [
     QuerySpec(
         "scalar_math",
         q_scalar_math,
-        oracle="""
+        oracle=f"""
         SELECT l_orderkey,
                round(l_extendedprice, 0) AS price_round,
                abs(l_extendedprice - 1000.0) AS abs_diff,
                CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-               round(pow(l_quantity, 2.0), 6) AS qty_sq,
-               round(ln(l_extendedprice + 1.0), 6) AS ln_price,
-               round(sqrt(l_extendedprice), 6) AS sqrt_price
+               CAST(l_quantity * l_quantity AS DOUBLE) AS qty_sq,
+               -{_SOFTLN_P1} AS ln_price,
+               sqrt(CAST(l_extendedprice AS DOUBLE)) AS sqrt_price
         FROM lineitem WHERE l_linenumber = 1
         """,
     ),
@@ -1267,12 +1338,22 @@ SPECS = [
         q_stream_static_join,
         oracle=f"""
         SELECT c_mktsegment, event_type, count(*) AS n,
-               round({_DSUM.format(e='value')}, 6) AS sum_value
+               {_DSUM.format(e='value')} AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment, event_type
         """,
     ),
-    QuerySpec("percentile_approx", q_percentile_approx, oracle=None),
+    QuerySpec(
+        "percentile_approx",
+        q_percentile_approx,
+        oracle="""
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                   AS exact_median,
+               TRUE AS approx_within_1pct
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
     QuerySpec(
         "setops_all",
         q_setops_all,
@@ -1335,11 +1416,11 @@ SPECS = [
         q_window_distribution,
         oracle="""
         SELECT o_custkey, o_orderkey,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume,
-               round(first_value(o_totalprice) OVER wf, 6) AS first_price,
-               round(last_value(o_totalprice) OVER wf, 6) AS last_price,
-               round(nth_value(o_totalprice, 2) OVER wf, 6) AS second_price
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               CAST(first_value(o_totalprice) OVER wf AS DOUBLE) AS first_price,
+               CAST(last_value(o_totalprice) OVER wf AS DOUBLE) AS last_price,
+               CAST(nth_value(o_totalprice, 2) OVER wf AS DOUBLE) AS second_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -1352,9 +1433,9 @@ SPECS = [
         q_percentile_exact,
         oracle="""
         SELECT event_type,
-               round(quantile_cont(value, 0.5), 6) AS p50,
-               round(quantile_cont(value, 0.9), 6) AS p90,
-               round(quantile_cont(value, 0.99), 6) AS p99,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99,
                count(*) AS n
         FROM events
         GROUP BY event_type
@@ -1369,7 +1450,7 @@ SPECS = [
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         )
         SELECT c_nationkey, count(*) AS n_rich,
-               round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6)
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
                    AS total_bal
         FROM rich GROUP BY c_nationkey
         """,
@@ -1400,7 +1481,7 @@ SPECS = [
         "q6_forecast_revenue",
         q6_forecast_revenue,
         oracle=f"""
-        SELECT round({_DSUM.format(e='l_extendedprice * l_discount')}, 6) AS revenue,
+        SELECT {_DSUM.format(e='l_extendedprice * l_discount')} AS revenue,
                count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1414,7 +1495,7 @@ SPECS = [
         q10_returned_items,
         oracle=f"""
         SELECT c_custkey, c_name, n_name,
-               round({_DSUM.format(e='l_extendedprice * (1 - l_discount)')}, 6)
+               {_DSUM.format(e='l_extendedprice * (1 - l_discount)')}
                    AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -1434,10 +1515,10 @@ SPECS = [
         oracle=f"""
         WITH big AS (
             SELECT l_orderkey,
-                   round({_DSUM.format(e='l_quantity')}, 6) AS sum_qty
+                   {_DSUM.format(e='l_quantity')} AS sum_qty
             FROM lineitem
             GROUP BY l_orderkey
-            HAVING round({_DSUM.format(e='l_quantity')}, 6) > 250
+            HAVING {_DSUM.format(e='l_quantity')} > 250
         )
         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
         FROM orders
@@ -1467,9 +1548,9 @@ SPECS = [
         oracle=f"""
         WITH wide AS (
             SELECT l_returnflag,
-                   round({_DSUM.format(e='l_extendedprice')}, 6) AS sum_price,
-                   round({_DSUM.format(e='l_discount')}, 6) AS sum_discount,
-                   round({_DSUM.format(e='l_tax')}, 6) AS sum_tax
+                   {_DSUM.format(e='l_extendedprice')} AS sum_price,
+                   {_DSUM.format(e='l_discount')} AS sum_discount,
+                   {_DSUM.format(e='l_tax')} AS sum_tax
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
@@ -1482,30 +1563,41 @@ SPECS = [
     QuerySpec(
         "agg_corr_covar",
         q_agg_corr,
-        # SQL twin of dcorr/dcovar_samp (operators/relational.py):
-        # identical decimal-exact sums, identical final double math.
+        # SQL twin of the integer-moment dcorr/dcovar_samp
+        # (operators/relational.py): quantize to cents, cancel in exact
+        # hugeint arithmetic, cast scale-0 to double (bit-identical in
+        # both engines), same final IEEE tree.
         oracle="""
-        WITH s AS (
+        WITH q AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 100, 0) AS BIGINT) AS xq,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS xp
+            FROM lineitem
+        ),
+        s AS (
             SELECT l_returnflag,
                    count(*) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10)))
-                        AS DOUBLE) AS sxy,
-                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
-                        AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                                 AS DECIMAL(38,10))) AS DOUBLE) AS syy
-            FROM lineitem GROUP BY l_returnflag
+                   SUM(xq) AS sx, SUM(xp) AS sy,
+                   SUM(xq * xp) AS sxy,
+                   SUM(xq * xq) AS sxx,
+                   SUM(xp * xp) AS syy
+            FROM q GROUP BY l_returnflag
         )
         SELECT l_returnflag,
-               round((n * sxy - sx * sy)
-                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
                    AS corr_qty_price,
-               round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
-               round(((sxy - sx * sy / n) / (n - 1))
-                     / (sqrt((sxx - sx * sx / n) / (n - 1))
-                        * sqrt((sxx - sx * sx / n) / (n - 1))), 6) AS regr_slope,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE) / 10000.0
+                   AS covar_qty_price,
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE) / 10000.0)
+                   / ((sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE)) / 100.0)
+                      * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              / CAST(n * (n - 1) AS DOUBLE)) / 100.0))
+                   AS regr_slope,
                n
         FROM s
         """,
@@ -1516,9 +1608,9 @@ SPECS = [
         oracle="""
         SELECT event_type,
                count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                    AS sum_value,
-               round(max(value), 6) AS max_value
+               max(value) AS max_value
         FROM events
         GROUP BY event_type
         """,
@@ -1529,11 +1621,11 @@ SPECS = [
         oracle=f"""
         WITH dim AS (
             SELECT event_type,
-                   round({_DAVG.format(e='value')}, 6) AS type_avg
+                   {_DAVG.format(e='value')} AS type_avg
             FROM events GROUP BY event_type
         )
         SELECT event_id, e.event_type,
-               round(value - type_avg, 6) AS value_vs_type_avg
+               value - type_avg AS value_vs_type_avg
         FROM events e JOIN dim USING (event_type)
         """,
     ),
@@ -1543,8 +1635,8 @@ SPECS = [
         oracle="""
         SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
                count(*) AS n,
-               round(min(o_totalprice), 6) AS lo,
-               round(max(o_totalprice), 6) AS hi
+               CAST(min(o_totalprice) AS DOUBLE) AS lo,
+               CAST(max(o_totalprice) AS DOUBLE) AS hi
         FROM orders
         GROUP BY bucket
         """,
@@ -1552,14 +1644,15 @@ SPECS = [
     QuerySpec(
         "quantile_binning_price",
         q_quantile_binning,
-        # quantile_cont interpolates at p·(n−1) exactly like Spark's
-        # percentile; both sides round boundaries to 6 decimals before
-        # comparing, so bin edges agree.
+        # quantile_cont interpolates at p·(n−1) with the same two-sided
+        # weighted form as Spark's percentile — lower·(1−frac) +
+        # upper·(frac) over the same double inputs — so the raw double
+        # boundaries agree bit-for-bit and need no protective rounding.
         oracle="""
         WITH b AS (
-            SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
-                   round(quantile_cont(o_totalprice, 0.50), 6) AS q2,
-                   round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+            SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS q2,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
             FROM orders
         )
         SELECT o_orderkey,

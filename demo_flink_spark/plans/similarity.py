@@ -1,9 +1,11 @@
 """Declared queries: similarity search over `embeddings`.
 
 Brute-force cosine top-k carries a full DuckDB oracle (exact math,
-deterministic double accumulation both sides). The SRP-LSH variant is
-hash/plane-dependent → rows-only check + a recall pytest against the
-brute-force baseline (tests/test_similarity.py).
+deterministic double accumulation both sides); SRP-LSH embeds its
+seeded hyperplanes as SQL literals, and full-probe IVF equals brute
+force exactly, so both are hash-checked too. PQ (seeded k-means
+codebooks, no SQL twin) is pytest-only coverage with measured recall
+(tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -167,5 +169,8 @@ SPECS = [
         FROM ranked WHERE rk <= {_K}
         """,
     ),
-    QuerySpec("similarity_topk_pq", q_topk_pq, oracle=None),
+    # similarity_topk_pq is pytest-only coverage: its seeded k-means
+    # codebooks have no SQL twin, so it is exercised by the
+    # measured-recall test in tests/test_similarity.py rather than
+    # declared to the driver gate (r4, VERDICT item 5 option b).
 ]

@@ -89,33 +89,34 @@ def test_udtf_run_length_golden(spark):
 
 
 def test_approx_percentile_error_bound_and_determinism(spark):
-    """The rows-only percentile_approx query: the sketch estimate must
-    sit within the documented relative-error band of the exact
-    percentile, identically across repeated runs (GK sketch is
-    deterministic for a fixed dataset/partitioning)."""
+    """percentile_approx (r4 hash-checkable form): the declared query
+    carries its own pinned-error assertion — the `approx_within_1pct`
+    boolean must hold for every group, identically across repeated
+    runs (GK sketch is deterministic for a fixed dataset)."""
     from demo_flink_spark.plans import all_specs
 
     fn = all_specs()["percentile_approx"].fn
     rows = {r.l_returnflag: r for r in fn(spark, SF_DIR).collect()}
     assert rows
     for flag, r in rows.items():
-        # default accuracy 10000 -> relative error <= 1/10000 of rank;
-        # allow a generous value-space band of 2%
-        assert abs(r.approx_median - r.exact_median) <= 0.02 * abs(r.exact_median), (
-            flag, r.approx_median, r.exact_median)
-    again = {r.l_returnflag: r for r in fn(spark, SF_DIR).collect()}
-    assert {k: (v.approx_median,) for k, v in rows.items()} == \
-           {k: (v.approx_median,) for k, v in again.items()}
+        assert r.approx_within_1pct, (flag, r.exact_median)
+        assert r.exact_median > 0
+    again = {r.l_returnflag: (r.exact_median, r.approx_within_1pct)
+             for r in fn(spark, SF_DIR).collect()}
+    assert again == {
+        k: (v.exact_median, v.approx_within_1pct) for k, v in rows.items()
+    }
 
 
 def test_approx_count_distinct_error_bound(spark):
-    """The rows-only agg_approx_distinct query: HLL++ estimate within
-    5% of the exact distinct count for every group."""
+    """agg_approx_distinct (r4 hash-checkable form): the declared
+    query's `approx_within_10pct` pinned-error boolean must hold for
+    every group, and the exact ndv must be genuinely large enough to
+    make the bound meaningful."""
     from demo_flink_spark.plans import all_specs
 
     rows = all_specs()["agg_approx_distinct"].fn(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_parts - r.exact_parts) <= max(
-            0.05 * r.exact_parts, 2
-        ), (r.l_linestatus, r.approx_parts, r.exact_parts)
+        assert r.approx_within_10pct, (r.l_linestatus, r.exact_parts)
+        assert r.exact_parts > 100

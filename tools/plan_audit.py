@@ -263,9 +263,26 @@ def main() -> int:
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
+
+    def resolve(name):
+        if name in qs:
+            return qs[name]
+        # pytest-only operators (demoted from the declared registry in
+        # r4) keep their plan-shape audits: resolve the plan callables
+        # directly from the plan modules.
+        from demo_flink_spark.plans.dedup import q_semantic_cells
+        from demo_flink_spark.plans.features import q_pca_scores
+        from demo_flink_spark.plans.similarity import q_topk_pq
+
+        return {
+            "similarity_topk_pq": q_topk_pq,
+            "embedding_pca_scores": q_pca_scores,
+            "dedup_semantic_cells": q_semantic_cells,
+        }[name]
+
     failures = 0
     for name, (need, forbid) in CHECKS.items():
-        plan = plan_of(qs[name](spark, sf_dir))
+        plan = plan_of(resolve(name)(spark, sf_dir))
         problems = [f"missing: {frag}" for frag in need if frag not in plan]
         problems += [f"forbidden: {frag}" for frag in forbid if frag in plan]
         if problems:
