@@ -866,6 +866,94 @@ def substring_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact-substring dedup, the CONSUMING half of
+    `substring_span_stats` (Lee et al.): delete every token covered by
+    a k-token window whose hash occurs more than once corpus-wide
+    (including repeats inside one document), and emit the cleaned
+    canonical text. Returns one row per input document:
+    (doc_id, n_tokens, n_removed, cleaned_text).
+
+    Scale design — entirely JVM-side expressions, no Python:
+    1. per-doc canonical token array (one narrow projection);
+    2. window hashes via transform(sequence) + slice + md5 on the
+       array — generated WITHOUT exploding the text, so the explode
+       that follows carries (doc_id, pos, 32-char hash) only;
+    3. duplicated windows via a count window over the hash (one
+       exchange on h, no sort, same shape as substring_span_stats);
+    4. covered-token positions by exploding each duplicated window
+       into its k positions (k × dup-windows rows — proportional to
+       the duplication actually found, not the corpus);
+    5. one left join tokens⨝covered on (doc_id, pos) and a final
+       groupBy doc_id reassembling kept tokens in order.
+    Everything shuffles on 8-40-byte keys; the only wide rows are the
+    final per-doc collect_list, which is bounded by document length.
+    md5 keeps the span hash engine-portable (the DuckDB oracle
+    recomputes identical hashes; at 100 TB swap xxhash64 for an
+    8-byte key exactly as substring_span_stats documents).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(_canonical(F.col(text_col)), " "), lambda x: x != "").alias(
+            "t"
+        ),
+    )
+    tok = toks.select("doc_id", F.posexplode("t").alias("pos", "token"))
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(t) >= {k} THEN "
+                f"transform(sequence(0, size(t) - {k}), "
+                f"i -> md5(array_join(slice(t, i + 1, {k}), ' '))) "
+                "ELSE array() END"
+            )
+        ).alias("wpos", "h"),
+    )
+    from pyspark.sql.window import Window
+
+    dup = win.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("cnt") > 1)
+    covered = (
+        dup.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(wpos, wpos + {k} - 1)")).alias("pos"),
+        )
+        .distinct()
+        .withColumn("rem", F.lit(True))
+    )
+    flagged = tok.join(covered, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "pos",
+        "token",
+        F.coalesce(F.col("rem"), F.lit(False)).alias("rem"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("rem").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("rem"), F.struct("pos", "token"))
+                    )
+                ),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def dedup_keep_list(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

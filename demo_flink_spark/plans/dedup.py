@@ -125,6 +125,11 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_span_stats(docs, k=8)
 
 
+def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.remove_duplicate_spans(docs, k=8)
+
+
 
 def q_semantic_cells(spark, sf_dir):
     """SemDeDup: k-means cells over the embeddings, greedy-by-id
@@ -379,6 +384,60 @@ SPECS = [
                      / CAST(count(*) AS DOUBLE), 6) AS dup_frac
         FROM spans s JOIN c USING (h)
         GROUP BY s.doc_id
+        """,
+    ),
+    QuerySpec(
+        "dedup_substring_removal",
+        q_substring_removal,
+        # The consuming half: same md5 window hashes, then delete every
+        # token covered by a duplicated window and reassemble the
+        # remainder in position order — string_agg skips the NULLed
+        # (removed) tokens exactly as Spark's collect_list does.
+        oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({_CANON}, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, u.i AS pos, t[u.i + 1] AS token
+            FROM toks, unnest(range(0, len(t))) AS u(i)
+        ),
+        win AS (
+            SELECT doc_id, i AS wpos,
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS h
+            FROM toks, unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS u(i)
+        ),
+        dup AS (
+            SELECT doc_id, wpos FROM (
+                SELECT doc_id, wpos, count(*) OVER (PARTITION BY h) AS cnt
+                FROM win
+            ) WHERE cnt > 1
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, wpos + j.j AS pos
+            FROM dup, unnest(range(0, 8)) AS j(j)
+        ),
+        flag AS (
+            SELECT tok.doc_id, tok.pos, tok.token,
+                   cov.pos IS NOT NULL AS rem
+            FROM tok LEFT JOIN cov
+              ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN rem THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   coalesce(string_agg(CASE WHEN NOT rem THEN token END,
+                                       ' ' ORDER BY pos), '') AS cleaned_text
+            FROM flag GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_removed, 0) AS n_removed,
+               coalesce(p.cleaned_text, '') AS cleaned_text
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
     ),
     QuerySpec(

@@ -85,4 +85,12 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reliable-checkpoint knob (operators/checkpointing.py): when set,
+    # every iterative operator's lineage cut survives executor loss —
+    # point it at HDFS/S3 on a real cluster. Unset (the local default)
+    # falls back to executor-local localCheckpoint.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    return spark

@@ -110,6 +110,9 @@ CHECKS = {
     # quantization/projection are single mapInPandas passes: zero exchanges
     "embedding_quantize_int8": ([], ["Exchange"]),
     "embedding_pca_scores": ([], ["Exchange"]),
+    # span removal: dup detection must be the sort-free-shape count
+    # window on the hash (one exchange), never an all-pairs product
+    "dedup_substring_removal": (["Window"], ["CartesianProduct"]),
     # covariance: one d²-keyed reduce; side stats re-join broadcast
     "embedding_covariance": (
         ["HashAggregate", "BroadcastHashJoin"],
