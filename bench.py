@@ -1,7 +1,14 @@
-"""Benchmark harness: runs the engine's headline queries at
+"""Benchmark harness: runs every declared query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
 line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 {name: sec}, "sf": ...}.
+
+The stdout line's `queries` map carries the HEADLINE queries only
+(one per operator family) and is kept under ~1.5 KB: the driver
+captures a bounded tail of stdout, and round 3's full 139-entry map
+(~5 KB) overflowed it — BENCH_r03 recorded `parsed: null`. The full
+per-query timing map still runs and is written to
+`BENCH_DETAIL_local.json` next to this script.
 
 Each query is executed to completion via count() — an action that
 runs the whole plan without materializing results on the driver. Run
@@ -23,7 +30,11 @@ def main() -> None:
     import __spark_entry__ as e
     from demo_flink_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # no console progress bars: their \r-spam shares stdout with the
+    # one JSON line the driver parses from a bounded tail
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:])
 
@@ -75,18 +86,44 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     failed = sorted(n for n, t in timings.items() if t < 0)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(sum(t for t in timings.values() if t >= 0), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "failed": failed,
-            }
-        )
+    # one headline per family — small enough that the driver's bounded
+    # stdout-tail capture always holds the complete JSON line
+    headline = [
+        "q1_pricing_summary",
+        "q9_product_profit",
+        "advanced_word_count",
+        "window_topn_users_hourly",
+        "asof_join_last_purchase",
+        "stateful_fraud_alerts",
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "similarity_topk_ivf",
+        "graph_pagerank_copurchase",
+        "tf_idf_top3",
+        "sequence_packing",
+        "profile_lineitem",
+        "ts_anomaly_zscore",
+    ]
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_local.json"
     )
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": {n: timings[n] for n in headline if n in timings},
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "failed": failed,
+        "detail": "BENCH_DETAIL_local.json",
+    }
+    if not only:
+        with open(detail_path, "w") as f:
+            json.dump({**summary, "queries": timings}, f, indent=1)
+    else:
+        # subset runs report exactly what was asked
+        summary["queries"] = timings
+    print(json.dumps(summary))
     if failed:
         # A broken query must fail the bench loudly, not hide as -1 in
         # an otherwise-plausible total (the round-2 lesson).

@@ -93,6 +93,19 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        else:
+            # dtype KIND parity (int/float/bool/object/datetime): a
+            # float column on one side vs decimal-object on the other
+            # canonicalizes differently and the driver's schema check
+            # may be stricter than names-only
+            for c in sdf.columns:
+                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+                # ints arriving as float64 via NULL-padding are fine
+                # for hashing (canon strips .0) — flag only kinds that
+                # change canonicalization
+                groups = {"i": "num", "u": "num", "f": "num"}
+                if groups.get(ks, ks) != groups.get(ko, ko):
+                    problems.append(f"dtype kind {c}: {ks} != {ko}")
         if not problems and canonical_hash(sdf) != canonical_hash(odf):
             problems.append("value hash mismatch")
             # show a sample diff to debug
