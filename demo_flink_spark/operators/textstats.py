@@ -454,3 +454,83 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("logp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logp"),
     )
+
+
+def classifier_weights(dim: int = 256, seed: str = "qc1") -> list[int]:
+    """Deterministic integer weight table for the hashed linear quality
+    classifier: w_int[j] = (LE64(md5(seed:j)) mod 2^20) - 2^19, a
+    dyadic rational in [-1, 1) once divided by 2^19. Integer weights
+    keep the per-document accumulation EXACT (long sums) on any
+    engine/partitioning; the oracle embeds the same table as a SQL
+    literal."""
+    import hashlib
+
+    return [
+        (
+            int.from_bytes(
+                hashlib.md5(f"{seed}:{j}".encode()).digest()[:8], "little"
+            )
+            % (1 << 20)
+        )
+        - (1 << 19)
+        for j in range(dim)
+    ]
+
+
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = 256,
+    seed: str = "qc1",
+) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fasttext-style
+    shape every web-corpus pipeline runs (CCNet/fineweb quality
+    filters), with deterministic seeded weights so the score is
+    reproducible on any engine (a trained weight vector drops in as a
+    literal the same way).
+
+    Per document: tokens hash to j = md5(token) mod dim (dim = 256 is
+    byte-aligned: j is exactly the first md5 byte on every engine),
+    the integer weights accumulate in an exact long sum, and the
+    logit is d(sum)/2^19/n_tokens — two IEEE ops over exact inputs,
+    bit-identical cross-engine. Returns (doc_id, n_tokens, logit,
+    keep = logit > 0).
+
+    Scale: one narrow projection + explode + one groupBy(doc_id) —
+    the exchange carries (doc_id, 8-byte weight sums) via map-side
+    partial aggregation; the 256-entry weight table is a plan literal
+    (no join). At 100 TB this is a single pass over the corpus.
+    """
+    if dim != 256:
+        raise ValueError("dim must be 256 (byte-aligned md5 bucket)")
+    w = classifier_weights(dim, seed)
+    from demo_flink_spark.operators.dedup import _canonical
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(_canonical(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    warr = F.array(*[F.lit(v) for v in w])
+    j = F.expr("CAST(conv(substr(md5(token), 1, 2), 16, 10) AS INT)")
+    scored = toks.select("doc_id", F.element_at(warr, j + 1).alias("w_int"))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w_int").alias("w_sum"),
+    )
+    logit = (
+        F.col("w_sum").cast("double")
+        / F.lit(float(1 << 19))
+        / F.col("n_tokens")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce(logit, F.lit(0.0)).alias("logit"),
+            (F.coalesce(logit, F.lit(0.0)) > 0).alias("keep"),
+        )
+    )

@@ -63,6 +63,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # (VERDICT.md round 3, item 3).
     never_driver_checked = (
         "dedup_substring_removal",  # new in r4
+        "quality_classifier_score",  # new in r4
         "similarity_topk_bruteforce",
         "similarity_topk_srp_lsh",
         "similarity_topk_ivf",

@@ -40,6 +40,47 @@ def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_frequent_exact(words, "word", k=20, m=256)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fasttext-style shape;
+    operators/textstats.py::quality_classifier): seeded deterministic
+    weights, exact integer accumulation, engine-portable logit."""
+    return textstats.quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_classifier_oracle() -> str:
+    from demo_flink_spark.operators.textstats import classifier_weights
+    from demo_flink_spark.plans.dedup import _CANON
+
+    wl = ", ".join(str(v) for v in classifier_weights())
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split({_CANON}, ' '),
+                          x -> x <> '')) AS token
+            FROM documents
+        ),
+        W AS (SELECT [{wl}] AS wl),
+        scored AS (
+            SELECT doc_id,
+                   wl[CAST(md5_number_upper(token) % 256 AS INT) + 1] AS wi
+            FROM toks, W
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   sum(wi) AS wsum
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(CAST(p.wsum AS DOUBLE) / 524288.0 / p.n_tokens,
+                        0.0) AS logit,
+               coalesce(CAST(p.wsum AS DOUBLE) / 524288.0 / p.n_tokens,
+                        0.0) > 0 AS keep
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -272,6 +313,11 @@ SPECS = [
         FROM counts
         ORDER BY rk LIMIT 20
         """,
+    ),
+    QuerySpec(
+        "quality_classifier_score",
+        q_quality_classifier,
+        oracle=_quality_classifier_oracle(),
     ),
     QuerySpec(
         "advanced_word_count",
