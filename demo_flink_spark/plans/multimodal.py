@@ -20,12 +20,19 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata projection of the decoded media: (doc_id, mime,
+    n_bytes, width, height) — the prunable-columns half of the
+    multimodal contract (scans that only need metadata never touch
+    payload bytes)."""
     return mm.decoded_media_stats(_media(spark, sf_dir)).select(
         "doc_id", "mime", "n_bytes", "width", "height"
     )
 
 
 def q_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode pass: payload bytes through the Arrow-batched
+    decode UDF into per-media content statistics (byte-sum luma over
+    the deterministic stub decoder) alongside the metadata."""
     return mm.decoded_media_stats(_media(spark, sf_dir))
 
 

@@ -113,6 +113,9 @@ CHECKS = {
     # span removal: dup detection must be the sort-free-shape count
     # window on the hash (one exchange), never an all-pairs product
     "dedup_substring_removal": (["Window"], ["CartesianProduct"]),
+    # hashed linear classifier: weight table is a plan literal — one
+    # explode + one doc-keyed aggregate, never a weights join
+    "quality_classifier_score": (["HashAggregate"], ["CartesianProduct"]),
     # covariance: one d²-keyed reduce; side stats re-join broadcast
     "embedding_covariance": (
         ["HashAggregate", "BroadcastHashJoin"],
