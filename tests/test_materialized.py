@@ -107,3 +107,72 @@ def test_observed_metrics_single_pass(spark):
     assert m["n_null_props"] == ev.filter(F.col("props").isNull()).count()
     assert m["max_value"] == ev.agg(F.max("value")).first()[0]
     assert n <= m["n_rows"]
+
+
+def test_upsert_sink_last_write_wins_and_deletes(spark):
+    """UpsertSink: within-batch and cross-batch last-write-wins by seq,
+    tombstones delete keys, replayed batch ids are skipped."""
+    from demo_flink_spark.streaming.materialized import upsert_sink
+
+    rows = [
+        # (b, seq, key, val, deleted)
+        (0, 1, "a", 10, False),
+        (0, 2, "a", 11, False),   # within-batch: seq 2 wins
+        (0, 3, "b", 20, False),
+        (1, 4, "a", 12, False),   # cross-batch update
+        (1, 5, "b", 0, True),     # tombstone deletes b
+        (1, 6, "c", 30, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "b int, seq long, key string, val long, deleted boolean"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        stream = _staged_batches(spark, df, "b", f"{d}/src")
+        q, sink = upsert_sink(
+            stream,
+            spark,
+            f"{d}/tbl",
+            ["key"],
+            "seq",
+            f"{d}/ckpt",
+            delete_col="deleted",
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        snap = {r.key: (r.seq, r.val) for r in sink.read_snapshot().collect()}
+        assert snap == {"a": (4, 12), "c": (6, 30)}  # b deleted
+
+        # replay safety: re-applying an old batch id is a no-op
+        sink(df.filter(F.col("b") == 0).drop("b"), 0)
+        snap2 = {r.key: (r.seq, r.val) for r in sink.read_snapshot().collect()}
+        assert snap2 == snap
+
+
+def test_upsert_sink_matches_batch_twin(spark):
+    """The streaming upsert snapshot equals the batch MERGE/compaction
+    (cdc_upsert_snapshot's keep-latest-per-key semantics) over the
+    same changelog."""
+    from demo_flink_spark.streaming.materialized import UpsertSink
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        (F.col("event_id") % 4).cast("int").alias("b"),
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("key"),
+        F.col("value").alias("val"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        sink = UpsertSink(spark, f"{d}/tbl", ["key"], "seq")
+        for b in range(4):
+            sink(ev.filter(F.col("b") == b).drop("b"), b)
+        got = {r.key: (r.seq, r.val) for r in sink.read_snapshot().collect()}
+    want = {
+        r.key: (r.seq, r.val)
+        for r in ev.drop("b")
+        .groupBy("key")
+        .agg(F.max_by(F.struct("seq", "val"), "seq").alias("w"))
+        .select("key", "w.seq", "w.val")
+        .collect()
+    }
+    assert got == want and len(got) >= 10
