@@ -30,6 +30,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         text,
         timeseries,
         tpch_ext,
+        webtext,
         windows,
     )
 
@@ -49,6 +50,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         windows,
         stateful,
         text,
+        webtext,
     ):
         for spec in mod.SPECS:
             if spec.name in collected:
@@ -62,6 +64,8 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # emitting them first makes round 4's sample cover them
     # (VERDICT.md round 3, item 3).
     never_driver_checked = (
+        "html_text_extract",  # new in r4
+        "domain_quota_curation",  # new in r4
         "dedup_substring_removal",  # new in r4
         "quality_classifier_score",  # new in r4
         "similarity_topk_bruteforce",

@@ -1,0 +1,130 @@
+"""Declared queries: web-text ingest (HTML extraction, domain curation).
+
+Differential-test shape (like `text.py::q_url_extract` and
+`q_pii_scrub`): the corpus carries no markup, so each query SYNTHESIZES
+a deterministic web artifact from the row's own fields — full HTML
+chrome around the document text, a URL with a varying registered
+domain — runs the real operator over it, and the oracle derives the
+expected output directly from the base fields. The operator must
+invert the synthesis exactly (recover the embedded text, drop exactly
+the boilerplate, parse exactly the domain) for the value hash to
+match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators import webtext
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+_BLOCKLIST = ("example2.com", "example5.com")
+_QUOTA = 40
+
+
+def synthesize_html(docs: DataFrame) -> DataFrame:
+    """Wrap each document's text in full HTML chrome: title, style,
+    a script whose string literal CONTAINS ``</p>`` (must not split a
+    block — script removal precedes block splitting), a link-only nav,
+    a short h1, the text in a ``<p>`` with entities appended, and a
+    mixed-content footer (link density 2/6 — above the 3/10 cut)."""
+    id_s = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "), id_s, F.lit("</title>"),
+            F.lit('<style>p{color:#333}</style>'),
+            F.lit('<script>var x = "<p>not text</p>";</script></head>'),
+            F.lit('<body><nav><a href="/">home</a> <a href="/about">about</a>'
+                  ' <a href="/help">help</a></nav>'),
+            F.lit("<h1>document "), id_s, F.lit("</h1>"),
+            F.lit("<div><p>"), F.col("text"),
+            F.lit(" &amp; more &lt;stuff&gt;</p></div>"),
+            F.lit('<footer><a href="/tos">terms</a>'
+                  ' <a href="/privacy">privacy</a>'
+                  " copyright 2026 example corp</footer>"),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-lite boilerplate removal (operators/webtext.py::
+    html_extract) over synthesized HTML: of the 5 non-empty blocks
+    (title, nav, h1, main ``<p>``, footer) exactly the main block
+    survives the word-count + link-density filter, and its extracted
+    text must byte-match the embedded document text plus the decoded
+    entity suffix — compared by md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = webtext.html_extract(synthesize_html(docs))
+    return out.select(
+        "doc_id",
+        "n_blocks_total",
+        "n_blocks_kept",
+        "n_words_main",
+        F.md5("extracted").alias("extracted_md5"),
+    )
+
+
+_HTML_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id,
+           trim(regexp_replace(text || ' & more <stuff>', '\s+', ' ', 'g'))
+               AS body
+    FROM documents
+)
+SELECT doc_id,
+       CAST(5 AS BIGINT) AS n_blocks_total,
+       CAST(1 AS BIGINT) AS n_blocks_kept,
+       CAST(len(list_filter(string_split(body, ' '), w -> w <> ''))
+            AS BIGINT) AS n_words_main,
+       md5(body) AS extracted_md5
+FROM base
+"""
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain blocklist + per-domain quota
+    (operators/webtext.py::domain_curation): URLs synthesized with a
+    subdomain and seven rotating registered domains
+    (``srcN.sub.exampleK.com``); two domains blocklisted; quota 40
+    per domain enforced in deterministic md5 order."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".sub.example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return webtext.domain_curation(
+        urls, blocklist=_BLOCKLIST, quota=_QUOTA
+    )
+
+
+_DOMAIN_ORACLE = f"""
+WITH cur AS (
+    SELECT doc_id,
+           'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+           (doc_id % 7) IN (2, 5) AS blocked,
+           md5('dq1' || CAST(doc_id AS VARCHAR)) AS rk
+    FROM documents
+)
+SELECT doc_id, domain, blocked,
+       CAST(row_number() OVER (PARTITION BY domain ORDER BY rk)
+            AS BIGINT) AS dom_rank,
+       (NOT blocked) AND dom_rank <= {_QUOTA} AS kept
+FROM cur
+"""
+
+
+SPECS = [
+    QuerySpec("html_text_extract", q_html_text_extract, oracle=_HTML_ORACLE),
+    QuerySpec("domain_quota_curation", q_domain_quota, oracle=_DOMAIN_ORACLE),
+]

@@ -1,0 +1,98 @@
+"""Edge cases for operators/webtext.py: HTML extraction and domain
+curation on handcrafted rows (the declared queries cover the corpus
+differential test; these pin the block/entity/link semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators.webtext import (
+    domain_curation,
+    html_extract,
+    registered_domain,
+)
+
+
+def _extract(spark, html, **kw):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return html_extract(df, **kw).collect()[0]
+
+
+def test_script_with_embedded_closer_does_not_split_blocks(spark):
+    # the </p> inside the script string must vanish WITH the script,
+    # not create a block boundary
+    r = _extract(
+        spark,
+        '<p>alpha beta gamma</p><script>var x = "<p>fake block</p>";'
+        "</script><p>delta epsilon zeta</p>",
+    )
+    assert r["extracted"] == "alpha beta gamma\ndelta epsilon zeta"
+    assert r["n_blocks_total"] == 2 and r["n_blocks_kept"] == 2
+
+
+def test_entities_decode_after_tag_strip(spark):
+    # &lt;b&gt; decodes to literal <b> text, never re-parsed as a tag;
+    # &amp;lt; decodes once to &lt;
+    r = _extract(spark, "<p>one &lt;b&gt; two &amp;lt; three</p>")
+    assert r["extracted"] == "one <b> two &lt; three"
+    assert r["n_words_main"] == 5
+
+
+def test_link_density_drops_nav_keeps_prose_with_inline_link(spark):
+    html = (
+        '<div><a href="/a">x</a> <a href="/b">y</a> <a href="/c">z</a></div>'
+        '<p>the quick brown fox sees a <a href="/w">wiki link</a> here</p>'
+    )
+    r = _extract(spark, html)
+    # nav block: 3 words, 3 link words -> density 1 -> dropped;
+    # prose: 9 words, 2 link words -> 2*10 <= 9*3 -> kept
+    assert r["n_blocks_total"] == 2 and r["n_blocks_kept"] == 1
+    assert r["extracted"] == "the quick brown fox sees a wiki link here"
+
+
+def test_short_blocks_dropped_and_br_splits(spark):
+    r = _extract(spark, "<p>tiny one<br>long enough block here</p>")
+    assert r["n_blocks_total"] == 2
+    assert r["extracted"] == "long enough block here"
+
+
+def test_empty_and_tag_only_html(spark):
+    r = _extract(spark, "<html><body><div></div></body></html>")
+    assert r["n_blocks_total"] == 0 and r["n_blocks_kept"] == 0
+    assert r["extracted"] == ""
+
+
+def test_nbsp_and_whitespace_collapse(spark):
+    r = _extract(spark, "<p>alpha&nbsp;&nbsp;beta   gamma\tdelta</p>")
+    assert r["extracted"] == "alpha beta gamma delta"
+
+
+def test_registered_domain_label_slicing(spark):
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.com",), ("localhost",)],
+        "host string",
+    ).select(registered_domain(F.col("host")).alias("d"))
+    assert [r["d"] for r in df.collect()] == [
+        "example.com",
+        "example.com",
+        "localhost",
+    ]
+
+
+def test_domain_curation_blocklist_quota_determinism(spark):
+    rows = [(i, f"https://w.sub.d{i % 2}.org/p/{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_curation(df, blocklist=["d1.org"], quota=5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert all(got[i]["domain"] == f"d{i % 2}.org" for i in range(20))
+    assert all(got[i]["blocked"] for i in range(1, 20, 2))
+    assert not any(got[i]["kept"] for i in range(1, 20, 2))
+    kept_even = [i for i in range(0, 20, 2) if got[i]["kept"]]
+    assert len(kept_even) == 5  # quota binds: 10 candidates, 5 kept
+    # ranks within a domain are a permutation of 1..10
+    assert sorted(got[i]["dom_rank"] for i in range(0, 20, 2)) == list(
+        range(1, 11)
+    )
+    # deterministic across runs
+    again = {r["doc_id"]: r["kept"] for r in out.collect()}
+    assert again == {i: got[i]["kept"] for i in range(20)}

@@ -257,6 +257,15 @@ CHECKS = {
     ),
     # profiler: ONE aggregate pass (fused stats), no join at all
     "profile_lineitem": ([], ["Join", "CartesianProduct"]),
+    # HTML extraction: pure higher-order column expressions — a
+    # shuffle-free narrow map (scan throughput at 100 TB)
+    "html_text_extract": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # domain curation: blocklist broadcast; single domain-keyed window
+    # exchange; never a sort-merge join against the blocklist
+    "domain_quota_curation": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
