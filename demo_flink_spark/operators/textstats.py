@@ -439,20 +439,141 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("logp"),
         )
     )
-    # divide AFTER casting the exact decimal sum to double, never in
-    # decimal: decimal division picks a result scale that differs from
-    # DuckDB's double promotion, and the two quotients can straddle a
-    # rounding boundary (doc 1103 at sf0.1 sat exactly on x.xxxxxx45)
-    return scored.groupBy("doc_id").agg(
+    # the 6-dp averages are produced by round-half-away INTEGER
+    # division over the exact decimal sums (covariance_triples
+    # recipe) — round(double, 6) of a decimal-sum/count quotient
+    # lands exactly on the half boundary routinely (dsir doc 135:
+    # 1.46328/96 = 0.0152425) and Spark/DuckDB round-on-double
+    # disagree there
+    agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            F.sum(F.col("p").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        F.sum(F.col("p").cast("decimal(38,12)")).alias("p_sum"),
+        F.sum("logp").alias("logp_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr(
+            "CAST((CASE WHEN p_sum < 0 THEN -1 ELSE 1 END)"
+            " * ((abs(CAST(p_sum * 1000000000000 AS DECIMAL(38,0))) * 2"
+            "     + CAST(n_bigrams AS DECIMAL(38,0)) * 1000000)"
+            "    div (2 * CAST(n_bigrams AS DECIMAL(38,0)) * 1000000))"
+            " AS DOUBLE) / 1000000.0"
         ).alias("avg_p"),
-        F.round(
-            F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+        F.expr(
+            "CAST((CASE WHEN logp_sum < 0 THEN -1 ELSE 1 END)"
+            " * ((abs(CAST(logp_sum * 1000000 AS DECIMAL(38,0))) * 2"
+            "     + CAST(n_bigrams AS DECIMAL(38,0)))"
+            "    div (2 * CAST(n_bigrams AS DECIMAL(38,0)))) AS DOUBLE)"
+            " / 1000000.0"
         ).alias("avg_logp"),
+    )
+
+
+def dsir_log_ratio(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of its hashed-bigram features
+    under a TARGET distribution (here: the ``target_col ==
+    target_value`` subset) versus the SOURCE distribution (the whole
+    corpus). High scores = looks like the target domain; the standard
+    way a pipeline tilts a raw web corpus toward a curated target.
+
+    avg_log_ir(d) = mean over d's bigrams of
+        ln( p_target(j) / p_source(j) ),   j = md5-bucket of the bigram,
+    with Laplace-smoothed multinomials p(j) = (c_j + 1) / (total + K),
+    K = 256 buckets.
+
+    Engine-exact by construction: both count tables come from ONE
+    aggregation (cs = all, ct = target-flagged sum) so target counts
+    can never exceed source counts; each bucket's log ratio is
+    ln((ct+1)/(cs+1)) − ln((T+K)/(S+K)) — two portable-softln terms
+    over exact integers (both fixed-sign because target ⊆ source) and
+    one IEEE subtraction — rounded to 6dp decimal, summed per
+    document exactly. The final average is NOT round(double, 6): a
+    sum of scale-6 decimals divided by a small count lands exactly on
+    the half boundary all the time (1.46328/96 = 0.0152425 — Spark's
+    exact-binary HALF_UP and DuckDB's float-multiply round disagree
+    there), so the 6-dp average is produced by round-half-away
+    INTEGER division in micro-units, the covariance_triples recipe.
+
+    Scale: one corpus pass emits (doc, bucket) pairs (all-JVM array
+    expressions, no Python); the 256-row log-ratio table is built from
+    one 256-group aggregate and rides a broadcast back onto the pair
+    stream; the only corpus-sized exchange is the doc-keyed sum with
+    map-side partials. Counts stay exact in softln's double casts up
+    to 2^53 bigrams (~9e15 — beyond a 100 TB corpus).
+    """
+    if n_buckets != 256:
+        raise ValueError("n_buckets must be 256 (byte-aligned md5 bucket)")
+    from demo_flink_spark.operators.dedup import _canonical
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    toks = F.filter(
+        F.split(_canonical(F.col(text_col)), " "), lambda x: x != ""
+    )
+    base = docs.select(
+        "doc_id",
+        (F.col(target_col) == target_value).alias("is_t"),
+        toks.alias("toks"),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> concat(toks[i], ' ', toks[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bk = base.select(
+        "doc_id",
+        "is_t",
+        F.explode(bigrams).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.expr("CAST(conv(substr(md5(bg), 1, 2), 16, 10) AS INT)").alias("j"),
+    )
+    bk = cut_lineage(bk, eager=False)  # feeds the count table AND the per-doc stream
+    cnt = bk.groupBy("j").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = cnt.agg(F.sum("cs").alias("s_all"), F.sum("ct").alias("t_all"))
+    k = F.lit(256)
+    lr_tbl = cnt.crossJoin(F.broadcast(tot)).select(
+        "j",
+        F.round(
+            softln_ratio(F.col("ct") + 1, F.col("cs") + 1)
+            - softln_ratio(F.col("t_all") + k, F.col("s_all") + k),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("lr"),
+    )
+    per = bk.join(F.broadcast(lr_tbl), "j").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("lr").alias("lr_sum"),
+    )
+    # round-half-away at 6 decimals via exact integer division:
+    # identical in every engine by construction (no round-on-double)
+    avg = F.expr(
+        "CAST((CASE WHEN lr_sum < 0 THEN -1 ELSE 1 END)"
+        " * ((abs(CAST(lr_sum * 1000000 AS DECIMAL(38,0))) * 2"
+        "     + CAST(n_feats AS DECIMAL(38,0)))"
+        "    div (2 * CAST(n_feats AS DECIMAL(38,0)))) AS DOUBLE)"
+        " / 1000000.0"
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        F.coalesce(avg, F.lit(0.0)).alias("avg_log_ir"),
+        (F.coalesce(avg, F.lit(0.0)) > 0).alias("keep"),
     )
 
 

@@ -168,6 +168,70 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_bigram_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting toward the 'en' subset
+    (operators/textstats.py::dsir_log_ratio): hashed-bigram
+    log-likelihood ratio of target (en docs) vs source (whole corpus)
+    multinomials — the importance-resampling selection signal."""
+    return textstats.dsir_log_ratio(
+        load_table(spark, sf_dir, "documents"), "lang", "en"
+    )
+
+
+def _dsir_oracle() -> str:
+    from demo_flink_spark.operators.relational import softln_ratio_sql
+    from demo_flink_spark.plans.dedup import _CANON
+
+    s1 = softln_ratio_sql("(ct + 1)", "(cs + 1)")
+    s2 = softln_ratio_sql("(t_all + 256)", "(s_all + 256)")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split({_CANON}, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    bk AS (
+        SELECT doc_id,
+               CAST(md5_number_upper(bg) % 256 AS INT) AS j,
+               lang = 'en' AS is_t
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM toks
+            WHERE len(t) >= 2
+        )
+    ),
+    cnt AS (
+        SELECT j, count(*) AS cs,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+        FROM bk GROUP BY j
+    ),
+    tot AS (SELECT sum(cs) AS s_all, sum(ct) AS t_all FROM cnt),
+    lr_tbl AS (
+        SELECT j, CAST(round(({s1}) - ({s2}), 6) AS DECIMAL(38,6)) AS lr
+        FROM cnt, tot
+    ),
+    per AS (
+        SELECT doc_id, count(*) AS n_feats, sum(lr) AS lr_sum
+        FROM bk JOIN lr_tbl USING (j)
+        GROUP BY doc_id
+    ),
+    fin AS (
+        SELECT doc_id, n_feats,
+               CAST((CASE WHEN lr_sum < 0 THEN -1 ELSE 1 END)
+                    * ((abs(CAST(lr_sum * 1000000 AS HUGEINT)) * 2 + n_feats)
+                       // (2 * n_feats)) AS DOUBLE) / 1000000.0 AS avg_log_ir
+        FROM per
+    )
+    SELECT d.doc_id,
+           coalesce(f.n_feats, 0) AS n_feats,
+           coalesce(f.avg_log_ir, 0.0) AS avg_log_ir,
+           coalesce(f.avg_log_ir, 0.0) > 0 AS keep
+    FROM documents d LEFT JOIN fin f USING (doc_id)
+    """
+
+
 def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator/UDTF surface (SURVEY §2.10 ext): posexplode keeps the
     ordinal alongside each element — the 1→N flatten with provenance
@@ -364,16 +428,39 @@ SPECS = [
             WHERE len(t) >= 2 AND t[1] <> ''
         ),
         uni AS (SELECT w1, count(*) AS c_w1 FROM bigrams GROUP BY w1),
-        bi AS (SELECT bg, count(*) AS c_bg FROM bigrams GROUP BY bg)
+        bi AS (SELECT bg, count(*) AS c_bg FROM bigrams GROUP BY bg),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   sum(CAST(c_bg / CAST(c_w1 AS DOUBLE) AS DECIMAL(38,12)))
+                       AS p_sum,
+                   sum(CAST(round({softln_ratio_sql('c_bg', 'c_w1')}, 6)
+                       AS DECIMAL(38,6))) AS logp_sum
+            FROM bigrams JOIN bi USING (bg) JOIN uni USING (w1)
+            GROUP BY doc_id
+        )
+        -- 6-dp averages via round-half-away integer division over the
+        -- exact decimal sums (round(double,6) of sum/count quotients
+        -- sits exactly on half boundaries — the dsir doc-135 class)
         SELECT doc_id,
-               count(*) AS n_bigrams,
-               round(CAST(sum(CAST(c_bg / CAST(c_w1 AS DOUBLE) AS DECIMAL(38,12)))
-                     AS DOUBLE) / count(*), 6) AS avg_p,
-               round(CAST(sum(CAST(round({softln_ratio_sql('c_bg', 'c_w1')}, 6)
-                     AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_logp
-        FROM bigrams JOIN bi USING (bg) JOIN uni USING (w1)
-        GROUP BY doc_id
+               n_bigrams,
+               CAST((CASE WHEN p_sum < 0 THEN -1 ELSE 1 END)
+                    * ((abs(CAST(p_sum * 1000000000000 AS HUGEINT)) * 2
+                        + CAST(n_bigrams AS HUGEINT) * 1000000)
+                       // (2 * CAST(n_bigrams AS HUGEINT) * 1000000))
+                    AS DOUBLE) / 1000000.0 AS avg_p,
+               CAST((CASE WHEN logp_sum < 0 THEN -1 ELSE 1 END)
+                    * ((abs(CAST(logp_sum * 1000000 AS HUGEINT)) * 2
+                        + CAST(n_bigrams AS HUGEINT))
+                       // (2 * CAST(n_bigrams AS HUGEINT))) AS DOUBLE)
+                   / 1000000.0 AS avg_logp
+        FROM agg
         """,
+    ),
+    QuerySpec(
+        "dsir_importance_weights",
+        q_dsir_importance,
+        oracle=_dsir_oracle(),
     ),
     QuerySpec(
         "vocab_min_max_df",

@@ -103,3 +103,33 @@ def test_url_parts(spark):
     assert row["host"] == "docs.example.com"
     assert row["path"] == "/a/b"
     assert row["q_lang"] == "de"
+
+
+def test_dsir_tilts_toward_target_domain(spark):
+    # target docs share a distinctive vocabulary; off-target docs use a
+    # disjoint one; a mixed doc sits between
+    rows = (
+        [(i, "alpha beta gamma delta alpha beta gamma delta", "en") for i in range(6)]
+        + [(10 + i, "zeta eta theta iota zeta eta theta iota", "de") for i in range(6)]
+        + [(99, "alpha beta zeta eta alpha beta zeta eta", "de")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in textstats.dsir_log_ratio(df).collect()}
+    tgt = [out[i]["avg_log_ir"] for i in range(6)]
+    off = [out[10 + i]["avg_log_ir"] for i in range(6)]
+    mixed = out[99]["avg_log_ir"]
+    assert min(tgt) > mixed > max(off)
+    assert all(out[i]["keep"] for i in range(6))
+    assert not any(out[10 + i]["keep"] for i in range(6))
+    assert out[99]["n_feats"] == 7  # 8 tokens -> 7 bigrams
+
+
+def test_dsir_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "word", "en"), (2, "", "en"), (3, "a b", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in textstats.dsir_log_ratio(df).collect()}
+    assert out[1]["n_feats"] == 0 and out[1]["avg_log_ir"] == 0.0
+    assert out[2]["n_feats"] == 0 and not out[2]["keep"]
+    assert out[3]["n_feats"] == 1

@@ -266,6 +266,15 @@ CHECKS = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # DSIR: the 256-row log-ratio table rides a broadcast back onto
+    # the (doc, bucket) stream; the 1-row totals crossJoin broadcasts
+    # as BNLJ (the q11 scalar shape); the only sort-merge join is the
+    # final doc-keyed left join restoring zero-bigram docs (the
+    # quality_classifier shape) — never a cartesian
+    "dsir_importance_weights": (
+        ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
 }
 
 
