@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 
 from demo_flink_spark.operators.checkpointing import cut_lineage
 
-__all__ = ["quantize_int8", "covariance_triples", "pca_components", "pca_project"]
+__all__ = [
+    "quantize_int8",
+    "covariance_triples",
+    "label_centroids",
+    "pca_components",
+    "pca_project",
+]
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -175,6 +181,56 @@ def covariance_triples(
                 " / 1000000.0"
             ).alias("cov"),
         )
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    qbits: int = 24,
+) -> DataFrame:
+    """Per-label mean vector (class prototypes) as (label, i, centroid)
+    triples — the nearest-class-mean classifier / k-means-init /
+    per-domain-embedding-profile primitive.
+
+    Engine-exact by the covariance_triples recipe: coordinates are
+    quantized to Q`qbits` fixed point (exact double ops), summed as
+    exact decimal(38,0) per (label, dim) — order-independent — and the
+    6-decimal mean is round-half-away integer division by n · 2^qbits.
+    A mean of float sums would be partition-order-dependent; this is
+    bit-identical on any engine/partitioning by construction.
+
+    Scale: one posexplode (narrow) + ONE hash aggregate keyed by
+    (label, dim) with map-side partials — the exchange carries
+    |labels| · d partial sums per task, never vectors. All-JVM, no
+    Python in the path.
+    """
+    qscale = float(1 << qbits)
+    den_unit = 1 << qbits
+    tri = df.select(
+        label_col,
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select(
+        label_col,
+        F.col("i").cast("long").alias("i"),
+        F.floor(F.col("x").cast("double") * qscale + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    red = tri.groupBy(label_col, "i").agg(
+        F.sum("q").alias("sx"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    return red.select(
+        label_col,
+        "i",
+        F.expr(
+            "CAST((CASE WHEN sx < 0 THEN -1 ELSE 1 END)"
+            f" * ((abs(sx) * 2000000 + n * {den_unit})"
+            f"    div (2 * n * {den_unit})) AS DOUBLE) / 1000000.0"
+        ).alias("centroid"),
+        F.col("n").cast("long").alias("n_vecs"),
     )
 
 

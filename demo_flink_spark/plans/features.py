@@ -47,6 +47,20 @@ def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes) as (label, i,
+    centroid, n_vecs) triples — exact Q24 fixed-point sums, 6-decimal
+    round-half-away integer division (operators/features.py::
+    label_centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ft.label_centroids(emb).select(
+        F.col("label").cast("long").alias("label"),
+        "i",
+        "centroid",
+        "n_vecs",
+    )
+
+
 def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project every embedding onto the top-2 principal components
     (eigh of the d x d covariance on the driver, projection distributed)."""
@@ -114,6 +128,36 @@ SPECS = [
                     * ((abs(num) * 2000000 + den) // (2 * den))
                     AS DOUBLE) / 1000000.0 AS cov
         FROM t
+        """,
+    ),
+    QuerySpec(
+        "embedding_label_centroids",
+        q_label_centroids,
+        oracle="""
+        -- mirrors label_centroids exactly: Q24 quantize, exact HUGEINT
+        -- sums, 6-decimal round-half-away integer division
+        WITH v AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ), x AS (
+            SELECT label,
+                   CAST(floor(unnest(e) * 16777216.0 + 0.5) AS HUGEINT)
+                       AS q,
+                   CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS i
+            FROM v
+        ), red AS (
+            SELECT label, i, SUM(q) AS sx, COUNT(*) AS n
+            FROM x GROUP BY label, i
+        )
+        SELECT label, i,
+               CAST((CASE WHEN sx < 0 THEN -1 ELSE 1 END)
+                    * ((abs(sx) * 2000000
+                        + CAST(n AS HUGEINT) * 16777216)
+                       // (2 * CAST(n AS HUGEINT) * 16777216))
+                    AS DOUBLE) / 1000000.0 AS centroid,
+               n AS n_vecs
+        FROM red
         """,
     ),
     # embedding_pca_scores is pytest-only coverage: the eigh

@@ -93,3 +93,24 @@ def test_pca_variance_ordering(spark):
     pc1 = np.array([r["pc1"] for r in rows])
     pc2 = np.array([r["pc2"] for r in rows])
     assert pc1.var() >= pc2.var() > 0
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from demo_flink_spark.operators.features import label_centroids
+    from demo_flink_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    got = {
+        (r["label"], r["i"]): (r["centroid"], r["n_vecs"])
+        for r in label_centroids(emb).collect()
+    }
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.array(list(grp["embedding"]), dtype=np.float64)
+        mean = mat.mean(axis=0)
+        for i in range(mat.shape[1]):
+            c, n = got[(label, i)]
+            assert n == len(mat)
+            assert abs(c - mean[i]) < 2e-6  # 6-dp grid + Q24 quantization

@@ -275,6 +275,12 @@ CHECKS = {
         ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
         ["CartesianProduct"],
     ),
+    # centroids: posexplode (narrow) + ONE (label, dim)-keyed hash
+    # aggregate with map-side partials — no join at all
+    "embedding_label_centroids": (
+        ["Generate", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 
