@@ -152,6 +152,70 @@ def range_join_window(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    grid_ms: int,
+) -> DataFrame:
+    """All overlapping (left, right) interval pairs — as an equi-join.
+
+    Inputs both carry half-open intervals as ``(id, start_ms,
+    end_ms)``; output is every pair with ``a_start < b_end AND
+    b_start < a_end`` plus the overlap length. The naive inequality
+    join is a broadcast-nested-loop (quadratic, one side in memory);
+    this is the scale rewrite:
+
+    - each interval explodes to its covering grid buckets
+      (``floor(start/g) .. floor((end−1)/g)`` — ``len/g + 1`` rows for
+      bounded intervals with a well-chosen grid);
+    - pairs meet on bucket equality (one shuffle);
+    - the precise overlap predicate filters hash-join output, and the
+      pair is kept only in its CANONICAL bucket — the bucket of
+      ``greatest(a_start, b_start)``, which both intervals provably
+      cover when they overlap — so every pair is emitted exactly once
+      with no distinct pass.
+
+    Pick ``grid_ms`` near the typical interval length (explosion ≈ 2);
+    a pathological bucket (everything overlapping one moment) is the
+    AQE skew-join case, same as any hot join key.
+    """
+
+    def buckets(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(f"{p}_id"),
+            F.col("start_ms").alias(f"{p}_start"),
+            F.col("end_ms").alias(f"{p}_end"),
+            F.explode(
+                F.expr(
+                    f"sequence(CAST(floor(start_ms / {grid_ms}) AS BIGINT),"
+                    f" CAST(floor((end_ms - 1) / {grid_ms}) AS BIGINT))"
+                )
+            ).alias("_bucket"),
+        )
+
+    pairs = buckets(left, "a").join(buckets(right, "b"), "_bucket").filter(
+        (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("a_end"))
+        & (
+            F.col("_bucket")
+            == F.floor(
+                F.greatest("a_start", "b_start") / F.lit(grid_ms)
+            ).cast("long")
+        )
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).alias("overlap_ms"),
+    )
+
+
 def rollup_time_multi(
     events: DataFrame,
     ts_col: str,

@@ -68,6 +68,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         "domain_quota_curation",  # new in r4
         "dsir_importance_weights",  # new in r4
         "embedding_label_centroids",  # new in r4
+        "interval_overlap_join",  # new in r4
         "dedup_substring_removal",  # new in r4
         "quality_classifier_score",  # new in r4
         "similarity_topk_bruteforce",

@@ -65,6 +65,28 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping interval pairs across the whole corpus (UNKEYED —
+    the shape the per-user range join can't express): 10-minute error
+    windows × 10-minute signup windows, matched by the grid-bucket
+    equi-join rewrite (operators/temporal.py::interval_overlap_join),
+    never an inequality BNL join."""
+    from demo_flink_spark.functions.time import epoch_ms
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def windows(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias("id"),
+            epoch_ms("ts").alias("start_ms"),
+            (epoch_ms("ts") + 600_000).alias("end_ms"),
+        )
+
+    return tp.interval_overlap_join(
+        windows("error"), windows("signup"), grid_ms=600_000
+    )
+
+
 def q_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour→day continuous-aggregate rollup of value by event_type."""
     ev = load_table(spark, sf_dir, "events")
@@ -183,6 +205,25 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec(
+        "interval_overlap_join",
+        q_interval_overlap,
+        oracle="""
+        WITH a AS (
+            SELECT event_id AS a_id, epoch_ms(ts) AS a_start,
+                   epoch_ms(ts) + 600000 AS a_end
+            FROM events WHERE event_type = 'error'
+        ), b AS (
+            SELECT event_id AS b_id, epoch_ms(ts) AS b_start,
+                   epoch_ms(ts) + 600000 AS b_end
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT a_id, b_id, a_start, a_end, b_start, b_end,
+               least(a_end, b_end) - greatest(a_start, b_start)
+                   AS overlap_ms
+        FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        """,
+    ),
     QuerySpec(
         "funnel_conversion",
         q_funnel_conversion,

@@ -90,3 +90,26 @@ def test_asof_forward_at_or_after_semantics(spark):
     # ts=100 -> next right at 200; ts=200 -> the simultaneous row IS
     # visible (at-or-after); ts=300 -> nothing follows
     assert out == {1: 20.0, 2: 20.0, 3: None}
+
+
+def test_interval_overlap_join_exact_pairs_and_boundaries(spark):
+    from demo_flink_spark.operators.temporal import interval_overlap_join
+
+    # grid 10: a1 spans 3 buckets; touching intervals (end == start) do
+    # NOT overlap (half-open); a3/b3 overlap within one bucket
+    left = spark.createDataFrame(
+        [(1, 5, 35), (2, 40, 50), (3, 100, 104)],
+        "id long, start_ms long, end_ms long",
+    )
+    right = spark.createDataFrame(
+        [(10, 30, 41), (11, 50, 60), (12, 101, 102), (13, 0, 5)],
+        "id long, start_ms long, end_ms long",
+    )
+    out = interval_overlap_join(left, right, grid_ms=10)
+    rows = {(r["a_id"], r["b_id"]): r["overlap_ms"] for r in out.collect()}
+    # a1 x b10: [5,35) x [30,41) -> 5; a2 x b10: [40,50) x [30,41) -> 1;
+    # a3 x b12 -> 1. a2 x b11 touch at 50 (no); a1 x b13 touch at 5 (no).
+    assert rows == {(1, 10): 5, (2, 10): 1, (3, 12): 1}
+    # exactly-once: no duplicate pair rows even when spans share
+    # multiple buckets
+    assert out.count() == out.select("a_id", "b_id").distinct().count()

@@ -281,6 +281,12 @@ CHECKS = {
         ["Generate", "HashAggregate"],
         ["Join", "CartesianProduct"],
     ),
+    # interval overlap: grid-bucket equi-join — the inequality
+    # predicates must be post-join filters, never a BNL/cartesian
+    "interval_overlap_join": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
