@@ -84,3 +84,124 @@ def bm25_scores(
         F.count(F.lit(1)).cast("long").alias("n_matched"),
         dsum(F.col("term_score")).alias("score"),
     )
+
+
+def bm25_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """BM25 of EVERY query document against the corpus in one plan:
+    (query_id, doc_id, n_matched, score) for each (query, doc) pair
+    sharing at least one term.
+
+    Scale shape: the corpus is tokenized ONCE (shared with dl/df
+    stats); the query term table is small (|Q| · |terms per query|)
+    and rides **broadcast** joins twice — a semi-join that prunes the
+    exploded corpus token stream to query terms BEFORE the (doc, term)
+    count shuffle, then the scoring join that fans each matched term
+    out to its queries. Nothing is ever keyed by (query, doc) until
+    the final partial-aggregated sum, so the plan is one corpus scan
+    + one tf shuffle regardless of |Q| — the batch twin of
+    `bm25_scores`, which it reproduces exactly for a single query.
+
+    Determinism contract matches `bm25_scores`: softln idf rounded to
+    9 dp per element, decimal-exact per-pair sum.
+    """
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z\s]", "")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(norm)).alias("term"),
+    )
+    qnorm = F.regexp_replace(F.lower(F.col(query_text_col)), r"[^a-z\s]", "")
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_tokens(qnorm)).alias("term"),
+        )
+        .distinct()
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    term_set = qterms.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(term_set), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        -softln_ratio(
+            F.lit(2) * F.col("df") + F.lit(1),
+            F.lit(2) * F.col("n_docs") + F.lit(2),
+        ),
+        9,
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", (idf * tf_norm).alias("term_score"))
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        dsum(F.col("term_score")).alias("score"),
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k_rrf: int = 60,
+    topn: int = 10,
+    rk_a_name: str = "rk_a",
+    rk_b_name: str = "rk_b",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query ranked lists.
+
+    Inputs carry (query_id, vec_id, rk); a doc absent from one list
+    contributes 0 from that source. ``rrf = Σ 1/(k + rank)`` — each
+    source term is one IEEE division of small integers (bit-identical
+    on any engine) and the fuse is ONE addition, so the fused ordering
+    is engine-portable with a vec_id tiebreak.
+
+    The join is per-query rank lists (|Q|·depth rows each side) — a
+    full-outer hash join on (query_id, vec_id); at any corpus size
+    this is query-set-sized, never corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    a = ranked_a.select("query_id", "vec_id", F.col("rk").alias("_rka"))
+    bdf = ranked_b.select("query_id", "vec_id", F.col("rk").alias("_rkb"))
+    fused = a.join(bdf, ["query_id", "vec_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("_rka")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("_rkb")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("vec_id")
+    )
+    return (
+        fused.select(
+            "query_id",
+            "vec_id",
+            F.col("_rka").alias(rk_a_name),
+            F.col("_rkb").alias(rk_b_name),
+            score.alias("rrf_score"),
+        )
+        .withColumn("fused_rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rk") <= topn)
+    )

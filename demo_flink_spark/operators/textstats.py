@@ -655,3 +655,85 @@ def quality_classifier(
             (F.coalesce(logit, F.lit(0.0)) > 0).alias("keep"),
         )
     )
+
+
+# Gopher document-quality rules (Rae et al. 2021, Appendix A) — the
+# word-level subset; line-level rules (bullet/ellipsis line ratios)
+# live with the line-structured cleaning in webtext.c4_line_filter.
+# 'a' joins the paper's stopword list so the signal splits this
+# corpus's vocabulary (the original list: the be to of and that have
+# with).
+GOPHER_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    max_symbol_ratio_pct: int = 10,
+    min_alpha_pct: int = 80,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules over a text column.
+
+    One narrow projection (higher-order functions over the token
+    array), zero exchanges — the same pure-scan shape as
+    `quality_score`, but emitting the PASS/FAIL rule flags a curation
+    pipeline filters on rather than raw ratios.
+
+    Every flag is decided in INTEGER arithmetic (cross-multiplied
+    thresholds: ``3·n ≤ Σlen ≤ 10·n``, ``10·symbols ≤ n``,
+    ``5·alpha ≥ 4·n``), so no float rounding can sit on a rule
+    boundary on any engine — the r3/r4 cross-engine hazard class.
+    The raw ratios are still emitted for observability; each is one
+    division of exact integers, bit-identical on both engines.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_len, max_mean_len]; symbol-to-word ratio (``#`` and
+    ``...``) at most max_symbol_ratio_pct/100; at least min_alpha_pct%
+    of words contain an alphabetic character; at least min_stopwords
+    distinct GOPHER_STOPWORDS present.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).cast(
+        "long"
+    )
+    n_sym = (
+        F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("long")
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    ).cast("long")
+    nz = n > 0
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.when(nz, sum_len / n).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(nz, n_sym / n).otherwise(F.lit(0.0)).alias("symbol_word_ratio"),
+        F.when(nz, n_alpha / n).otherwise(F.lit(0.0)).alias("frac_alpha_words"),
+        n_stop.alias("n_stop_present"),
+        ((n >= min_words) & (n <= max_words)).alias("ok_word_count"),
+        (
+            nz
+            & (sum_len >= min_mean_len * n)
+            & (sum_len <= max_mean_len * n)
+        ).alias("ok_mean_len"),
+        (nz & (n_sym * 100 <= max_symbol_ratio_pct * n)).alias("ok_symbol"),
+        (nz & (n_alpha * 100 >= min_alpha_pct * n)).alias("ok_alpha"),
+        (n_stop >= min_stopwords).alias("ok_stop"),
+    ).withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_len")
+        & F.col("ok_symbol")
+        & F.col("ok_alpha")
+        & F.col("ok_stop"),
+    )

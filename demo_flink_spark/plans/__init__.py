@@ -64,6 +64,10 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # emitting them first makes round 4's sample cover them
     # (VERDICT.md round 3, item 3).
     never_driver_checked = (
+        "perceptron_quality_train",  # new in r4
+        "c4_line_filter",  # new in r4
+        "gopher_quality_filter",  # new in r4
+        "hybrid_search_rrf",  # new in r4
         "html_text_extract",  # new in r4
         "domain_quota_curation",  # new in r4
         "dsir_importance_weights",  # new in r4

@@ -60,6 +60,130 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_RRF_DEPTH = 20
+_RRF_TOPN = 10
+_RRF_K = 60
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical, over `documents`) and exact
+    cosine (dense, over `embeddings`) rank lists fused per query by
+    reciprocal-rank fusion (operators/search.py::bm25_batch +
+    rrf_fuse). Queries are the 10 lowest ids playing both roles —
+    their text against the corpus text, their embedding against the
+    corpus vectors (doc_id and vec_id are the same entity id). Each
+    retriever contributes its top-20 (self-matches excluded); RRF
+    keeps the fused top-10."""
+    from pyspark.sql.window import Window
+
+    from demo_flink_spark.operators.search import bm25_batch, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdocs = docs.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    bm = bm25_batch(docs, qdocs).filter(F.col("doc_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    bm_ranked = (
+        bm.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _RRF_DEPTH)
+        .select("query_id", F.col("doc_id").alias("vec_id"), "rk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cos_ranked = sim.cosine_topk_bruteforce(
+        emb, _queries_df(spark, sf_dir), k=_RRF_DEPTH
+    ).select("query_id", "vec_id", "rk")
+    return rrf_fuse(
+        bm_ranked,
+        cos_ranked,
+        k_rrf=_RRF_K,
+        topn=_RRF_TOPN,
+        rk_a_name="rk_bm25",
+        rk_b_name="rk_cos",
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from demo_flink_spark.operators.relational import softln_ratio_sql
+
+    softln = softln_ratio_sql("(2 * df + 1)", "(2 * n_docs + 2)")
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+            w -> length(w) > 0)) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    qt AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+           WHERE doc_id < {_N_QUERIES}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN (SELECT term FROM qt)
+           GROUP BY doc_id, term),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               round(- {softln}, 9)
+                 * ((tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)))
+                 AS term_score
+        FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        WHERE tf.doc_id <> qt.query_id
+    ),
+    bm AS (SELECT query_id, doc_id,
+                  -- double cast to rank on the SAME key Spark's dsum
+                  -- emits (decimal ties could order differently)
+                  CAST(sum(CAST(term_score AS DECIMAL(38,6))) AS DOUBLE) AS s
+           FROM scored GROUP BY query_id, doc_id),
+    bmr AS (SELECT query_id, doc_id AS vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, doc_id ASC) AS rk
+            FROM bm),
+    bmk AS (SELECT * FROM bmr WHERE rk <= {_RRF_DEPTH}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {_N_QUERIES}),
+    cscored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS c
+        FROM q JOIN e ON q.query_id <> e.vec_id
+    ),
+    cr AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, vec_id ASC) AS rk
+           FROM cscored),
+    ck AS (SELECT * FROM cr WHERE rk <= {_RRF_DEPTH}),
+    fused AS (
+        SELECT coalesce(b.query_id, c.query_id) AS query_id,
+               coalesce(b.vec_id, c.vec_id) AS vec_id,
+               b.rk AS rk_bm25, c.rk AS rk_cos
+        FROM bmk b FULL OUTER JOIN ck c
+          ON b.query_id = c.query_id AND b.vec_id = c.vec_id
+    ),
+    sc AS (
+        SELECT query_id, vec_id, rk_bm25, rk_cos,
+               coalesce(1.0 / ({_RRF_K} + rk_bm25), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + rk_cos), 0.0) AS rrf_score
+        FROM fused
+    )
+    SELECT query_id, vec_id, rk_bm25, rk_cos, rrf_score,
+           fused_rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, vec_id ASC) AS fused_rk
+          FROM sc)
+    WHERE fused_rk <= {_RRF_TOPN}
+    """
+
+
 def _srp_lsh_oracle() -> str:
     """SQL twin of the SRP-LSH query, generated from the SAME seeded
     hyperplanes the operator uses (embedded as float literals — repr()
@@ -143,6 +267,7 @@ SPECS = [
         """,
     ),
     QuerySpec("similarity_topk_srp_lsh", q_topk_srp_lsh, oracle=_srp_lsh_oracle()),
+    QuerySpec("hybrid_search_rrf", q_hybrid_rrf, oracle=_hybrid_rrf_oracle()),
     # full-probe IVF == exact -> shares the brute-force oracle; the
     # approximate (nprobe < n_cells) regime is recall-tested in
     # tests/test_dedup_similarity.py

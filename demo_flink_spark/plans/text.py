@@ -345,6 +345,159 @@ def q_parse_csv_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (operators/textstats.py::
+    gopher_quality_filter) over documents with deterministic noise
+    appended so every rule has both passing and failing docs: doc_id%5
+    ``#tag`` words (symbol ratio), doc_id%9 numeric words (alpha
+    fraction), a triple ellipsis every 7th doc, word-count floor 20
+    (the corpus spans ~10-70 words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit(" #tag"), (F.col("doc_id") % 5).cast("int")),
+            F.repeat(F.lit(" 12345"), (F.col("doc_id") % 9).cast("int")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" ... ... ...")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    from demo_flink_spark.operators.textstats import gopher_quality_filter
+
+    return gopher_quality_filter(noisy, min_words=20)
+
+
+def _gopher_oracle() -> str:
+    from demo_flink_spark.operators.textstats import GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    return rf"""
+    WITH noisy AS (
+        SELECT doc_id,
+               text || repeat(' #tag', CAST(doc_id % 5 AS INT))
+                    || repeat(' 12345', CAST(doc_id % 9 AS INT))
+                    || CASE WHEN doc_id % 7 = 0 THEN ' ... ... ...'
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'),
+                           w -> w <> '') AS t
+        FROM noisy
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n,
+               CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\.\.\.'))
+                    AS BIGINT) AS n_sym,
+               CAST({stop_sum} AS BIGINT) AS n_stop
+        FROM tok
+    )
+    SELECT doc_id,
+           n AS n_words,
+           CASE WHEN n > 0 THEN CAST(sum_len AS DOUBLE) / n
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n > 0 THEN CAST(n_sym AS DOUBLE) / n
+                ELSE 0.0 END AS symbol_word_ratio,
+           CASE WHEN n > 0 THEN CAST(n_alpha AS DOUBLE) / n
+                ELSE 0.0 END AS frac_alpha_words,
+           n_stop AS n_stop_present,
+           n >= 20 AND n <= 100000 AS ok_word_count,
+           n > 0 AND sum_len >= 3 * n AND sum_len <= 10 * n AS ok_mean_len,
+           n > 0 AND n_sym * 100 <= 10 * n AS ok_symbol,
+           n > 0 AND n_alpha * 100 >= 80 * n AS ok_alpha,
+           n_stop >= 2 AS ok_stop,
+           (n >= 20 AND n <= 100000)
+           AND (n > 0 AND sum_len >= 3 * n AND sum_len <= 10 * n)
+           AND (n > 0 AND n_sym * 100 <= 10 * n)
+           AND (n > 0 AND n_alpha * 100 >= 80 * n)
+           AND n_stop >= 2 AS keep
+    FROM m
+    """
+
+
+_PERCEPTRON_ITERS = 3
+
+
+def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch-perceptron training (operators/training.py::
+    perceptron_train): 3 parameter-server iterations over hashed
+    bag-of-words features, lang=='en' as the positive class — every
+    weight, margin and update is an integer, so the trained margins
+    are engine-exact and the whole training loop is value-hash
+    checked against the oracle's unrolled CTE iterations."""
+    from demo_flink_spark.operators.training import perceptron_train
+
+    return perceptron_train(
+        load_table(spark, sf_dir, "documents"), n_iters=_PERCEPTRON_ITERS
+    )
+
+
+def _perceptron_oracle(n_iters: int = _PERCEPTRON_ITERS) -> str:
+    from demo_flink_spark.plans.dedup import _CANON
+
+    ctes = [
+        rf"""toks AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               unnest(list_filter(string_split({_CANON}, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, y,
+               CAST(md5_number_upper(token) % 256 AS INT) AS j,
+               count(*) AS cnt
+        FROM toks GROUP BY doc_id, y, j
+    ),
+    w1 AS (SELECT j, sum(y * cnt) AS w FROM feats GROUP BY j)"""
+    ]
+    for t in range(2, n_iters + 1):
+        ctes.append(
+            f"""m{t - 1} AS (
+        SELECT f.doc_id, f.y, sum(w{t - 1}.w * f.cnt) AS m
+        FROM feats f JOIN w{t - 1} USING (j) GROUP BY f.doc_id, f.y
+    ),
+    d{t} AS (
+        SELECT j, sum(y * cnt) AS dw FROM feats
+        WHERE doc_id IN (SELECT doc_id FROM m{t - 1} WHERE y * m <= 0)
+        GROUP BY j
+    ),
+    w{t} AS (
+        SELECT coalesce(a.j, b.j) AS j,
+               coalesce(a.w, 0) + coalesce(b.dw, 0) AS w
+        FROM w{t - 1} a FULL JOIN d{t} b ON a.j = b.j
+    )"""
+        )
+    ctes.append(
+        f"""mf AS (
+        SELECT f.doc_id, sum(w{n_iters}.w * f.cnt) AS m
+        FROM feats f JOIN w{n_iters} USING (j) GROUP BY f.doc_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT d.doc_id,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS label,
+           CAST(coalesce(mf.m, 0) AS BIGINT) AS margin,
+           coalesce(mf.m, 0) > 0 AS pred,
+           (coalesce(mf.m, 0) > 0)
+             = (CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END > 0) AS correct
+    FROM documents d LEFT JOIN mf ON d.doc_id = mf.doc_id
+    """
+
+
 SPECS = [
     QuerySpec(
         "word_count",
@@ -853,5 +1006,9 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
                  AS score
         FROM scored GROUP BY doc_id
         """,
+    ),
+    QuerySpec("gopher_quality_filter", q_gopher_quality, oracle=_gopher_oracle()),
+    QuerySpec(
+        "perceptron_quality_train", q_perceptron_train, oracle=_perceptron_oracle()
     ),
 ]

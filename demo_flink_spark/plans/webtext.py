@@ -124,7 +124,126 @@ FROM cur
 """
 
 
+def synthesize_page(docs: DataFrame) -> DataFrame:
+    """Multi-line 'web page' per document, exercising every C4 rule:
+    a good intro line, a no-terminal-punct line, a body line that is
+    word-soup (no punctuation) for ``doc_id % 11 == 0`` docs (starves
+    the sentence minimum), a javascript line, a too-short line, a
+    closing question, plus a curly-brace code line (``% 13 == 0``) and
+    a lorem-ipsum line (``% 17 == 3``) that each ban the whole page."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    head = F.array_join(F.slice(toks, 1, 5), " ")
+    mid = F.array_join(F.slice(toks, 6, 10), " ")
+    tail = F.array_join(F.slice(toks, 16, 100000), " ")
+    body = F.when(
+        F.col("doc_id") % 11 != 0,
+        F.concat(F.lit("Body: "), mid, F.lit(". More details follow. Indeed.")),
+    ).otherwise(F.lit("Body words only"))
+    page = F.concat(
+        F.lit("Intro line: "), head, F.lit(".\n"),
+        F.lit("Click here to subscribe now\n"),
+        body, F.lit("\n"),
+        F.lit("Please enable javascript to continue.\n"),
+        F.lit("Ok.\n"),
+        F.lit("Closing remarks: "), tail, F.lit("?"),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nfunction f() { return 1; }"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 3,
+            F.lit("\nLorem ipsum dolor sit amet."),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", page.alias("page"))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (operators/webtext.py::c4_line_filter)
+    over synthesized pages: per doc the operator must keep exactly the
+    intro / body / closing lines, drop the subscribe (no terminal
+    punctuation), javascript, and two-word lines, count sentence
+    marks, and ban pages with braces, lorem ipsum, or a starved
+    sentence count — compared by md5 of the reassembled text."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = webtext.c4_line_filter(synthesize_page(docs))
+    return out.select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        "n_sentences",
+        "page_kept",
+        F.md5("cleaned").alias("cleaned_md5"),
+    )
+
+
+_C4_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), w -> w <> '') AS t
+    FROM documents
+),
+page AS (
+    SELECT doc_id,
+           -- array_to_string([]) is NULL in DuckDB (not ''): coalesce
+           -- to mirror Spark's array_join on short documents
+           'Intro line: ' || coalesce(array_to_string(t[1:5], ' '), '')
+           || '.' || chr(10)
+           || 'Click here to subscribe now' || chr(10)
+           || CASE WHEN doc_id % 11 <> 0
+                   THEN 'Body: '
+                        || coalesce(array_to_string(t[6:15], ' '), '')
+                        || '. More details follow. Indeed.'
+                   ELSE 'Body words only' END || chr(10)
+           || 'Please enable javascript to continue.' || chr(10)
+           || 'Ok.' || chr(10)
+           || 'Closing remarks: '
+           || coalesce(array_to_string(t[16:], ' '), '') || '?'
+           || CASE WHEN doc_id % 13 = 0
+                   THEN chr(10) || 'function f() { return 1; }'
+                   ELSE '' END
+           || CASE WHEN doc_id % 17 = 3
+                   THEN chr(10) || 'Lorem ipsum dolor sit amet.'
+                   ELSE '' END AS pg
+    FROM toks
+),
+split_lines AS (
+    SELECT doc_id, pg,
+           list_filter(list_transform(string_split(pg, chr(10)),
+                                      l -> trim(l)),
+                       l -> l <> '') AS nonempty
+    FROM page
+),
+judged AS (
+    SELECT doc_id, pg, nonempty,
+           list_filter(nonempty,
+               l -> regexp_matches(l, '[.!?"]$')
+                AND len(list_filter(string_split(l, ' '),
+                                    w -> w <> '')) >= 3
+                AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept
+    FROM split_lines
+),
+stats AS (
+    SELECT doc_id,
+           CAST(len(nonempty) AS BIGINT) AS n_lines_total,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(coalesce(list_sum(list_transform(kept,
+                l -> len(regexp_extract_all(l, '[.!?]')))), 0)
+             AS BIGINT) AS n_sentences,
+           contains(lower(pg), 'lorem ipsum')
+             OR contains(pg, '{') OR contains(pg, '}') AS banned,
+           md5(array_to_string(kept, chr(10))) AS cleaned_md5
+    FROM judged
+)
+SELECT doc_id, n_lines_total, n_lines_kept, n_sentences,
+       n_sentences >= 5 AND NOT banned AS page_kept,
+       cleaned_md5
+FROM stats
+"""
+
+
 SPECS = [
     QuerySpec("html_text_extract", q_html_text_extract, oracle=_HTML_ORACLE),
     QuerySpec("domain_quota_curation", q_domain_quota, oracle=_DOMAIN_ORACLE),
+    QuerySpec("c4_line_filter", q_c4_line_filter, oracle=_C4_ORACLE),
 ]

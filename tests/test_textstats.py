@@ -133,3 +133,45 @@ def test_dsir_short_and_empty_docs(spark):
     assert out[1]["n_feats"] == 0 and out[1]["avg_log_ir"] == 0.0
     assert out[2]["n_feats"] == 0 and not out[2]["keep"]
     assert out[3]["n_feats"] == 1
+
+
+def test_gopher_quality_filter_boundaries(spark):
+    from demo_flink_spark.operators.textstats import gopher_quality_filter
+
+    rows = [
+        # 0: clean passing doc (needs >= 2 stopwords, >= 3 mean len)
+        (0, "the quick brown fox jumps over a lazy dog today"),
+        # 1: word count below the floor
+        (1, "the and cat"),
+        # 2: mean word length below 3 (all 1-2 char words)
+        (2, "a an is it to we he of in at on by the ok hm ah eh um ma pa"),
+        # 3: symbol ratio above 10% (2 symbols / 10 words)
+        (3, "the alpha beta gamma delta epsilon zeta eta # ..."),
+        # 4: alpha fraction below 80% (3 numeric / 10 words)
+        (4, "the cat 111 222 333 and dog runs far away"),
+        # 5: only one stopword present
+        (5, "the lion tiger bear wolf eagle shark whale otter mouse"),
+        # 6: empty text
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(df, min_words=10).collect()
+    }
+    assert out[0]["keep"]
+    assert not out[1]["ok_word_count"] and not out[1]["keep"]
+    assert not out[2]["ok_mean_len"]
+    assert out[2]["mean_word_len"] < 3
+    assert not out[3]["ok_symbol"] and out[3]["symbol_word_ratio"] == 0.2
+    assert not out[4]["ok_alpha"] and out[4]["frac_alpha_words"] == 0.7
+    assert out[5]["n_stop_present"] == 1 and not out[5]["ok_stop"]
+    assert out[6]["n_words"] == 0 and not out[6]["keep"]
+    assert out[6]["mean_word_len"] == 0.0
+    # boundary: exactly 10% symbols passes (integer cross-multiply)
+    b = spark.createDataFrame(
+        [(0, "the and alpha beta gamma delta epsilon zeta eta #")],
+        "doc_id long, text string",
+    )
+    r = gopher_quality_filter(b, min_words=5).collect()[0]
+    assert r["ok_symbol"] and r["symbol_word_ratio"] == 0.1

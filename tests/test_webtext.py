@@ -96,3 +96,64 @@ def test_domain_curation_blocklist_quota_determinism(spark):
     # deterministic across runs
     again = {r["doc_id"]: r["kept"] for r in out.collect()}
     assert again == {i: got[i]["kept"] for i in range(20)}
+
+
+def _c4(spark, page, **kw):
+    from demo_flink_spark.operators.webtext import c4_line_filter
+
+    df = spark.createDataFrame([(1, page)], "doc_id long, page string")
+    return c4_line_filter(df, **kw).collect()[0]
+
+
+def test_c4_line_rules(spark):
+    page = "\n".join(
+        [
+            "This line ends properly.",  # kept
+            "no terminal punctuation here",  # dropped: punctuation
+            "Too short.",  # dropped: 2 words < 3
+            "Enable JavaScript to continue.",  # dropped: javascript
+            'He said "stop right there."',  # kept: ends in quote
+            "  padded line survives trim.  ",  # kept after trim
+            "",  # empty: not counted at all
+            "Is this enough? Yes. Indeed it is!",  # kept: 3 sentences
+        ]
+    )
+    r = _c4(spark, page)
+    assert r["n_lines_total"] == 7  # empties vanish before counting
+    assert r["n_lines_kept"] == 4
+    # sentence marks in kept lines: 1 + 1 ('."' holds one '.') + 1 + 3
+    assert r["n_sentences"] == 6
+    assert r["page_kept"]
+    assert r["cleaned"].split("\n") == [
+        "This line ends properly.",
+        'He said "stop right there."',
+        "padded line survives trim.",
+        "Is this enough? Yes. Indeed it is!",
+    ]
+
+
+def test_c4_page_bans(spark):
+    good = "One good sentence. Two! Three? Four. Five here too."
+    # curly brace bans the page even though the line itself is dropped
+    r = _c4(spark, good + "\nif (x) { fail }")
+    assert not r["page_kept"] and r["n_sentences"] == 5
+    # lorem ipsum bans case-insensitively, wherever it appears
+    r = _c4(spark, good + "\nLOREM IPSUM dolor sit amet.")
+    assert not r["page_kept"]
+    # starved sentence count bans; threshold is configurable
+    r = _c4(spark, "Only two sentences. Right here.")
+    assert not r["page_kept"]
+    assert _c4(spark, "Only two sentences. Right here.", min_sentences=2)[
+        "page_kept"
+    ]
+    # javascript as a SUBSTRING does not kill the line (word boundary)
+    r = _c4(spark, good + "\nThe javascripty framework is fine.")
+    assert r["n_lines_kept"] == 2 and r["page_kept"]
+
+
+def test_c4_empty_and_wordcount_boundary(spark):
+    r = _c4(spark, "")
+    assert r["n_lines_total"] == 0 and not r["page_kept"]
+    assert r["cleaned"] == ""
+    # exactly min_words words is kept
+    assert _c4(spark, "Three word line.", min_sentences=1)["n_lines_kept"] == 1

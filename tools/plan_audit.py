@@ -287,6 +287,22 @@ CHECKS = {
         [],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # C4 line cleaning / Gopher rules: higher-order column exprs only,
+    # shuffle-free narrow maps (pure scan throughput at 100 TB)
+    "c4_line_filter": ([], ["Exchange", "Join", "CartesianProduct"]),
+    "gopher_quality_filter": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # hybrid RRF: query-term table and df/stats ride broadcasts (the
+    # bm25_batch shape); the 1-row stats crossJoin broadcasts as BNLJ;
+    # fused lists are query-set-sized — never a cartesian
+    "hybrid_search_rrf": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct"],
+    ),
+    # perceptron: the returned plan is the final-margin pass — hashed
+    # features fold in a map-side-combinable aggregate; the trained
+    # weight vector is an array literal (parameter-server collect),
+    # never a weights join
+    "perceptron_quality_train": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 
