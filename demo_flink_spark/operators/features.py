@@ -277,3 +277,46 @@ def pca_project(
 
     schema = "vec_id long, " + ", ".join(f"pc{c + 1} double" for c in range(k))
     return df.select("vec_id", vec_col).mapInPandas(project, schema)
+
+
+def rp_signs(out_dim: int, in_dim: int, seed: int = 11) -> np.ndarray:
+    """Seeded Achlioptas sparse sign matrix, shape (out_dim, in_dim):
+    entries +1 / -1 with probability 1/6 each, else 0 — deterministic
+    across runs and executors (the `similarity.srp_planes` recipe)."""
+    rng = np.random.RandomState(seed)
+    draws = rng.randint(0, 6, size=(out_dim, in_dim))
+    return np.where(draws == 0, 1, np.where(draws == 5, -1, 0))
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Achlioptas sparse random projection of an embedding column:
+    ``y_k = sqrt(3/out_dim) · Σ_j sign_kj · x_j`` — the JL-lemma
+    dimensionality reduction that preserves pairwise distances within
+    (1 ± ε) while cutting vector storage 4× (64→16 dims here).
+
+    The sign matrix is a plan literal (seeded, ~2/3 zeros); each
+    output coordinate is a left-to-right double accumulation via
+    `zip_with`/`aggregate` (the `dedup.cosine` portability pattern, so
+    DuckDB's `list_dot_product` over the same literals reproduces
+    every coordinate bit-for-bit). Zero exchanges — pure scan
+    throughput, JVM-side, whole-stage codegen.
+    """
+    signs = rp_signs(out_dim, in_dim, seed)
+    scale = float(np.sqrt(3.0 / out_dim))
+    v = F.col(vec_col)
+    coords = []
+    for k in range(out_dim):
+        sarr = F.array(*[F.lit(float(s)) for s in signs[k]])
+        dot = F.aggregate(
+            F.zip_with(v, sarr, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        coords.append((dot * F.lit(scale)).alias(f"y{k}"))
+    return df.select("vec_id", F.array(*coords).alias("proj"))

@@ -39,6 +39,8 @@ __all__ = [
     "domain_curation",
     "registered_domain",
     "c4_line_filter",
+    "canonicalize_url",
+    "url_dedup",
 ]
 
 # Block-level closers that terminate a text block. Alternation-only
@@ -292,4 +294,73 @@ def c4_line_filter(
             & ~F.col("_page_banned")
         ).alias("page_kept"),
         "cleaned",
+    )
+
+
+# Tracking parameters stripped during URL canonicalization (the
+# CCNet/C4-style crawl-dedup key; extend per deployment).
+_TRACKING_PARAM = r"^(utm_[a-z0-9_]+|gclid|fbclid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level deduplication.
+
+    Lowercases scheme and host, drops default ports (:80 http /
+    :443 https), strips the fragment, removes tracking query
+    parameters (keeping the rest in their original order), and trims
+    a trailing slash from non-root paths. Pure regexp/array column
+    expressions — RE2-safe character classes only, so the DuckDB
+    oracle applies the identical grammar.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).otherwise(hostport)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    rawq = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+    )
+    query = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", key_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL crawl deduplication: annotate each row with its
+    canonical URL, the canonical group's size, and whether this row is
+    the group's keeper (lowest key — deterministic).
+
+    The canonicalization is a zero-exchange narrow map; the dedup is
+    ONE canonical-URL-keyed window (count + min over the group) —
+    the same single-exchange shape as `domain_curation`. At crawl
+    scale the canonical key is near-unique, so the window groups are
+    tiny and skew-free.
+    """
+    cur = df.select(
+        key_col, canonicalize_url(F.col(url_col)).alias("canonical_url")
+    )
+    w = Window.partitionBy("canonical_url")
+    return cur.select(
+        key_col,
+        "canonical_url",
+        F.count(F.lit(1)).over(w).cast("long").alias("grp_size"),
+        (F.col(key_col) == F.min(key_col).over(w)).alias("keeper"),
     )

@@ -69,7 +69,49 @@ def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ft.pca_project(emb, comps)
 
 
+_RP_OUT = 16
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achlioptas sparse random projection 64→16 dims
+    (operators/features.py::random_projection) — seeded sign matrix as
+    plan literals, one left-to-right accumulation per coordinate, zero
+    exchanges; every projected coordinate is hash-compared at full
+    double precision."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ft.random_projection(emb, out_dim=_RP_OUT)
+    return out.select(
+        "vec_id",
+        *[F.col("proj").getItem(k).alias(f"y{k}") for k in range(_RP_OUT)],
+    )
+
+
+def _rp_oracle() -> str:
+    import numpy as np
+
+    signs = ft.rp_signs(_RP_OUT, 64)
+    scale = repr(float(np.sqrt(3.0 / _RP_OUT)))
+    cols = []
+    for k in range(_RP_OUT):
+        lits = ", ".join(repr(float(s)) for s in signs[k])
+        cols.append(
+            f"list_dot_product(v, [{lits}]) * {scale} AS y{k}"
+        )
+    body = ",\n               ".join(cols)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT vec_id,
+               {body}
+        FROM e
+        """
+
+
 SPECS = [
+    QuerySpec(
+        "embedding_random_projection", q_random_projection, oracle=_rp_oracle()
+    ),
     QuerySpec(
         "embedding_quantize_int8",
         q_quantize_int8,

@@ -242,8 +242,69 @@ FROM stats
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup (operators/webtext.py::url_dedup):
+    four synthesized variants of the same logical URL per page id —
+    uppercase scheme/host with :443 and a trailing slash, a clean
+    form, a fragment form, and a tracking-params+fragment form — must
+    all collapse to one canonical group; the oracle derives the
+    canonical directly from the doc_id arithmetic, so the operator's
+    parsing has to invert the synthesis exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 40).cast("string")
+    k = (F.col("doc_id") % 40 % 3).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example"), k, F.lit(".COM:443/p/"),
+                page, F.lit("/?utm_source=x&id="), page,
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://www.example"), k, F.lit(".com/p/"),
+                page, F.lit("?id="), page,
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://www.example"), k, F.lit(".com/p/"),
+                page, F.lit("?id="), page, F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example"), k, F.lit(".com/p/"),
+                page, F.lit("?id="), page, F.lit("&utm_campaign=y#sec"),
+            )
+        )
+    )
+    return webtext.url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+_URL_DEDUP_ORACLE = """
+WITH cur AS (
+    SELECT doc_id,
+           'https://www.example' || CAST(doc_id % 40 % 3 AS VARCHAR)
+           || '.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+           || '?id=' || CAST(doc_id % 40 AS VARCHAR) AS canonical_url
+    FROM documents
+)
+SELECT doc_id, canonical_url,
+       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+         AS grp_size,
+       doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keeper
+FROM cur
+"""
+
+
 SPECS = [
     QuerySpec("html_text_extract", q_html_text_extract, oracle=_HTML_ORACLE),
     QuerySpec("domain_quota_curation", q_domain_quota, oracle=_DOMAIN_ORACLE),
     QuerySpec("c4_line_filter", q_c4_line_filter, oracle=_C4_ORACLE),
+    QuerySpec("url_canonical_dedup", q_url_dedup, oracle=_URL_DEDUP_ORACLE),
 ]

@@ -114,3 +114,45 @@ def test_label_centroids_match_numpy(spark):
             c, n = got[(label, i)]
             assert n == len(mat)
             assert abs(c - mean[i]) < 2e-6  # 6-dp grid + Q24 quantization
+
+
+def test_random_projection_preserves_distances(spark):
+    # JL property: with 16 output dims the pairwise distance distortion
+    # of 64-d unit-ish vectors stays bounded in aggregate
+    import numpy as np
+
+    from demo_flink_spark.operators.features import random_projection, rp_signs
+
+    rng = np.random.RandomState(3)
+    X = rng.standard_normal((40, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(df, out_dim=16).collect()
+    Y = np.zeros((40, 16))
+    for r in out:
+        Y[r["vec_id"]] = r["proj"]
+    # projection must equal the literal sign matrix applied in numpy
+    S = rp_signs(16, 64)
+    want = (X.astype(np.float64) @ S.T) * np.sqrt(3.0 / 16)
+    assert np.allclose(Y, want, rtol=1e-9)
+    # aggregate distance distortion: median ratio within 25%
+    ratios = []
+    for i in range(0, 40, 3):
+        for j in range(i + 1, 40, 7):
+            dx = np.linalg.norm(X[i] - X[j])
+            dy = np.linalg.norm(Y[i] - Y[j])
+            ratios.append(dy / dx)
+    med = float(np.median(ratios))
+    assert 0.75 < med < 1.25, med
+
+
+def test_rp_signs_deterministic_and_sparse(spark):
+    from demo_flink_spark.operators.features import rp_signs
+
+    a, b = rp_signs(8, 64, seed=11), rp_signs(8, 64, seed=11)
+    assert (a == b).all()
+    frac_zero = (a == 0).mean()
+    assert 0.5 < frac_zero < 0.8  # ~2/3 sparse
+    assert set(a.flatten().tolist()) <= {-1, 0, 1}

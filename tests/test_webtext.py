@@ -157,3 +157,57 @@ def test_c4_empty_and_wordcount_boundary(spark):
     assert r["cleaned"] == ""
     # exactly min_words words is kept
     assert _c4(spark, "Three word line.", min_sentences=1)["n_lines_kept"] == 1
+
+
+def test_canonicalize_url_rules(spark):
+    from demo_flink_spark.operators.webtext import canonicalize_url
+
+    cases = [
+        # scheme/host case + default port
+        ("HTTPS://WWW.Ex.COM:443/a", "https://www.ex.com/a"),
+        ("HTTP://ex.com:80/a", "http://ex.com/a"),
+        # non-default port survives
+        ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+        # :80 on https is NOT a default port
+        ("https://ex.com:80/a", "https://ex.com:80/a"),
+        # trailing slash trimmed, root kept
+        ("https://ex.com/a/b/", "https://ex.com/a/b"),
+        ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com", "https://ex.com"),
+        # fragment dropped, tracking params stripped, order kept
+        ("https://ex.com/p?b=2&utm_source=x&a=1#frag", "https://ex.com/p?b=2&a=1"),
+        ("https://ex.com/p?utm_campaign=y&gclid=z", "https://ex.com/p"),
+        ("https://ex.com/p?ref=feed&fbclid=1&q=ok", "https://ex.com/p?q=ok"),
+        # path CASE is preserved (only scheme/host fold)
+        ("https://ex.com/CaseSensitive", "https://ex.com/CaseSensitive"),
+        # utm-like param that is NOT tracking (utmx) survives
+        ("https://ex.com/p?utmx=1", "https://ex.com/p?utmx=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_groups_and_keeper(spark):
+    from demo_flink_spark.operators.webtext import url_dedup
+
+    rows = [
+        (3, "https://EX.com/a?utm_source=s"),
+        (1, "https://ex.com/a/"),
+        (2, "https://ex.com/a#f"),
+        (9, "https://ex.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert out[1]["grp_size"] == 3 and out[1]["keeper"]
+    assert out[2]["grp_size"] == 3 and not out[2]["keeper"]
+    assert not out[3]["keeper"]
+    assert out[9]["grp_size"] == 1 and out[9]["keeper"]

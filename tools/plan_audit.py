@@ -303,6 +303,12 @@ CHECKS = {
     # weight vector is an array literal (parameter-server collect),
     # never a weights join
     "perceptron_quality_train": (["HashAggregate"], ["CartesianProduct"]),
+    # URL canonicalization is a narrow map; the dedup is ONE
+    # canonical-keyed window exchange (the domain_curation shape)
+    "url_canonical_dedup": (["Window"], ["Join", "CartesianProduct"]),
+    # random projection: sign matrix is a plan literal — zero
+    # exchanges, pure scan throughput
+    "embedding_random_projection": ([], ["Exchange", "Join"]),
 }
 
 
