@@ -227,3 +227,106 @@ def pack_sequences(
         .cast("long")
         .alias("bin_id"),
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    text_col: str = "text",
+    span_len: int = 3,
+    tokens_per_span: int = 20,
+    salt: str = "t5",
+) -> DataFrame:
+    """T5-style span-corruption sample prep: mask deterministic
+    3-token spans (~15% of tokens at the defaults: one span per 20
+    tokens), replacing each span with a ``<Xs>`` sentinel in the input
+    and emitting ``<Xs> span tokens`` as the target sequence.
+
+    Span placement is seeded, not sampled: the document is cut into
+    ``n_spans = n div tokens_per_span`` strata of width
+    ``W = n div n_spans``; stratum ``s`` hides the span at offset
+    ``md5(salt‖doc_id‖s) byte mod (W - span_len + 1)`` — fully
+    reproducible on any engine and never overlapping (W > span_len by
+    construction). Docs shorter than `tokens_per_span` pass through
+    uncorrupted.
+
+    Everything is higher-order column expressions over the token
+    array — a zero-exchange narrow map (pure scan throughput at
+    100 TB), like `chunk_documents` beside it.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(toks)
+    ns = F.floor(n / tokens_per_span).cast("int")
+    w = F.when(ns > 0, F.floor(n / ns).cast("int")).otherwise(F.lit(0))
+
+    def offset(s: Column) -> Column:
+        h8 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("doc_id").cast("string"),
+                        F.lit("_"),
+                        s.cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        return h8 % (w - (span_len - 1))
+
+    def piece(tok: Column, i: Column) -> Column:
+        s = F.floor(i / w).cast("int")
+        within = i - s * w
+        o = offset(s)
+        return (
+            F.when(
+                (ns > 0) & (s < ns) & (within == o),
+                F.concat(F.lit("<X"), s.cast("string"), F.lit(">")),
+            )
+            .when(
+                (ns > 0) & (s < ns) & (within > o) & (within < o + span_len),
+                F.lit(""),
+            )
+            .otherwise(tok)
+        )
+
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    input_txt = F.array_join(
+        F.filter(F.zip_with(toks, idx, piece), lambda x: x != ""), " "
+    )
+
+    def target_of(s: Column) -> Column:
+        start = s * w + offset(s)  # 0-based span start
+        span = F.transform(
+            F.sequence(F.lit(1), F.lit(span_len)),
+            lambda d: F.element_at(toks, start + d),
+        )
+        return F.concat(
+            F.lit("<X"),
+            s.cast("string"),
+            F.lit("> "),
+            F.array_join(span, " "),
+        )
+
+    targets_txt = F.when(
+        ns > 0,
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), ns - 1), target_of), " "
+        ),
+    ).otherwise(F.lit(""))
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        ns.cast("long").alias("n_spans"),
+        F.when(n > 0, (F.lit(span_len) * ns).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("frac_masked"),
+        input_txt.alias("input_txt"),
+        targets_txt.alias("targets_txt"),
+    )

@@ -439,3 +439,38 @@ def cosine_topk_srp_lsh(
         .withColumn("_cos_raw", cosine(F.col("qvec"), F.col("cvec")))
     )
     return _topk_neighbors(scored, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most cosine-similar corpus vectors with a DIFFERENT
+    label — the negatives that actually teach a bi-encoder something.
+
+    Same broadcast scan shape as `cosine_topk_bruteforce` (query set
+    broadcast, corpus streams, per-query top-k); the label-mismatch
+    predicate rides the join condition, so same-class pairs are
+    dropped before scoring. `queries` needs (query_id, embedding,
+    label)."""
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    scored = (
+        corpus.select("vec_id", F.col(vec_col).alias("cvec"), label_col)
+        .join(
+            q,
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col(label_col) != F.col("qlabel")),
+        )
+        .withColumn("_cos_raw", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    return _topk_neighbors(scored, k)

@@ -64,6 +64,8 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # emitting them first makes round 4's sample cover them
     # (VERDICT.md round 3, item 3).
     never_driver_checked = (
+        "span_corruption_t5",  # new in r4
+        "hard_negative_mining",  # new in r4
         "url_canonical_dedup",  # new in r4
         "embedding_random_projection",  # new in r4
         "perceptron_quality_train",  # new in r4

@@ -103,6 +103,80 @@ def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/pipeline.py::
+    span_corruption): seeded 3-token spans, one per 20 tokens, masked
+    to <Xs> sentinels; input and target sequences md5-compared — the
+    oracle rebuilds both strings from the same strata/hash arithmetic,
+    so span placement, sentinel numbering and token order must all
+    invert exactly."""
+    out = pl.span_corruption(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "frac_masked",
+        F.md5("input_txt").alias("input_md5"),
+        F.md5("targets_txt").alias("target_md5"),
+    )
+
+
+def _span_corruption_oracle() -> str:
+    def h(s_expr: str) -> str:
+        return (
+            f"(md5_number_upper('t5' || CAST(doc_id AS VARCHAR) || '_' "
+            f"|| CAST({s_expr} AS VARCHAR)) % 256 % (w - 2))"
+        )
+
+    hi = h("i // w")
+    hs = h("s")
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, t, len(t) AS n, len(t) // 20 AS ns FROM tok
+    ),
+    p2 AS (
+        SELECT doc_id, t, n, ns,
+               CASE WHEN ns > 0 THEN n // ns ELSE 0 END AS w
+        FROM p
+    ),
+    built AS (
+        SELECT doc_id, n, ns,
+               CASE WHEN ns = 0 THEN array_to_string(t, ' ')
+               ELSE array_to_string(list_filter(list_transform(
+                   range(0, n), i ->
+                   CASE WHEN i // w < ns AND i - (i // w) * w = {hi}
+                        THEN '<X' || CAST(i // w AS VARCHAR) || '>'
+                        WHEN i // w < ns
+                             AND i - (i // w) * w > {hi}
+                             AND i - (i // w) * w < {hi} + 3
+                        THEN ''
+                        ELSE t[i + 1] END),
+                   x -> x <> ''), ' ')
+               END AS input_txt,
+               CASE WHEN ns = 0 THEN ''
+               ELSE array_to_string(list_transform(range(0, ns), s ->
+                   '<X' || CAST(s AS VARCHAR) || '> '
+                   || array_to_string(list_transform(range(1, 4),
+                        d -> t[CAST(s * w + {hs} + d AS BIGINT)]), ' ')), ' ')
+               END AS target_txt
+        FROM p2
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(ns AS BIGINT) AS n_spans,
+           CASE WHEN n > 0 THEN CAST(3 * ns AS DOUBLE) / n
+                ELSE 0.0 END AS frac_masked,
+           md5(input_txt) AS input_md5,
+           md5(target_txt) AS target_md5
+    FROM built
+    """
+
+
 SPECS = [
     QuerySpec(
         "source_file_provenance",
@@ -204,5 +278,9 @@ SPECS = [
                CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id
         FROM cum
         """,
+    ),
+    QuerySpec(
+        "span_corruption_t5", q_span_corruption,
+        oracle=_span_corruption_oracle(),
     ),
 ]

@@ -60,6 +60,42 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    per query, the top-5 most similar OTHER-label vectors — the
+    contrastive-training negative set. Label-mismatch rides the join
+    predicate; scores compared at 6dp with rank tiebreaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return sim.hard_negatives(emb, queries, k=_K)
+
+
+_HARD_NEG_ORACLE = f"""
+WITH e AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS c
+    FROM q JOIN e
+      ON q.query_id <> e.vec_id AND e.label <> q.qlabel
+),
+ranked AS (
+    SELECT query_id, vec_id, c,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, vec_id ASC) AS rk
+    FROM scored
+)
+SELECT query_id, vec_id, round(c, 6) AS cos, rk
+FROM ranked WHERE rk <= {_K}
+"""
+
+
 _RRF_DEPTH = 20
 _RRF_TOPN = 10
 _RRF_K = 60
@@ -268,6 +304,7 @@ SPECS = [
     ),
     QuerySpec("similarity_topk_srp_lsh", q_topk_srp_lsh, oracle=_srp_lsh_oracle()),
     QuerySpec("hybrid_search_rrf", q_hybrid_rrf, oracle=_hybrid_rrf_oracle()),
+    QuerySpec("hard_negative_mining", q_hard_negatives, oracle=_HARD_NEG_ORACLE),
     # full-probe IVF == exact -> shares the brute-force oracle; the
     # approximate (nprobe < n_cells) regime is recall-tested in
     # tests/test_dedup_similarity.py

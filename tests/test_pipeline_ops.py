@@ -103,3 +103,71 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # short doc -> one partial chunk; empty doc -> no rows
     assert [r.chunk_text for r in by_doc[2]] == ["a b"]
     assert 3 not in by_doc
+
+
+def test_span_corruption_structure(spark):
+    import hashlib
+
+    from demo_flink_spark.operators.pipeline import span_corruption
+
+    # 40 tokens -> 2 spans of 3 in strata of width 20
+    toks = [f"w{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(7, " ".join(toks))], "doc_id long, text string"
+    )
+    r = span_corruption(df).collect()[0]
+    assert r["n_tokens"] == 40 and r["n_spans"] == 2
+    assert r["frac_masked"] == 6 / 40
+    # reproduce the seeded offsets: first md5 byte of 't5<doc>_<s>'
+    offs = [
+        int(hashlib.md5(f"t57_{s}".encode()).hexdigest()[:2], 16) % 18
+        for s in range(2)
+    ]
+    starts = [0 * 20 + offs[0], 1 * 20 + offs[1]]
+    expect_inp = []
+    for i, t in enumerate(toks):
+        if i in starts:
+            expect_inp.append(f"<X{starts.index(i)}>")
+        elif any(st < i < st + 3 for st in starts):
+            continue
+        else:
+            expect_inp.append(t)
+    assert r["input_txt"] == " ".join(expect_inp)
+    want_tgt = " ".join(
+        f"<X{s}> " + " ".join(toks[starts[s] : starts[s] + 3])
+        for s in range(2)
+    )
+    assert r["targets_txt"] == want_tgt
+    # round trip: sentinels in input match targets, masked tokens gone
+    assert "<X0>" in r["input_txt"] and "<X1>" in r["input_txt"]
+    for s in range(2):
+        for tok in toks[starts[s] + 1 : starts[s] + 3]:
+            assert tok not in r["input_txt"].split(" ")
+
+
+def test_span_corruption_short_doc_passthrough(spark):
+    from demo_flink_spark.operators.pipeline import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, "only five words right here"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_corruption(df).collect()}
+    assert out[1]["n_spans"] == 0
+    assert out[1]["input_txt"] == "only five words right here"
+    assert out[1]["targets_txt"] == ""
+    assert out[2]["n_tokens"] == 0 and out[2]["input_txt"] == ""
+    assert out[2]["frac_masked"] == 0.0
+
+
+def test_span_corruption_token_conservation(spark):
+    # every original token appears in input or in exactly one target
+    from demo_flink_spark.operators.pipeline import span_corruption
+
+    toks = [f"tok{i}" for i in range(47)]
+    df = spark.createDataFrame([(3, " ".join(toks))], "doc_id long, text string")
+    r = span_corruption(df).collect()[0]
+    inp = [w for w in r["input_txt"].split(" ") if not w.startswith("<X")]
+    tgt = [w for w in r["targets_txt"].split(" ") if not w.startswith("<X")]
+    assert sorted(inp + tgt) == sorted(toks)
+    assert len(tgt) == 3 * r["n_spans"]

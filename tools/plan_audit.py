@@ -309,6 +309,11 @@ CHECKS = {
     # random projection: sign matrix is a plan literal — zero
     # exchanges, pure scan throughput
     "embedding_random_projection": ([], ["Exchange", "Join"]),
+    # span corruption: seeded strata arithmetic in one narrow map
+    "span_corruption_t5": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # hard negatives: query set broadcast against the corpus stream
+    # (the bruteforce top-k shape) — BNLJ is the intended plan
+    "hard_negative_mining": (["BroadcastNestedLoopJoin"], []),
 }
 
 
