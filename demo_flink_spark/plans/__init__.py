@@ -23,6 +23,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         modern,
         multimodal,
         pipeline,
+        quality,
         relational,
         similarity,
         stateful,
@@ -41,6 +42,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
         features,
         graph,
         pipeline,
+        quality,
         tpch_ext,
         temporal,
         dedup,
@@ -64,6 +66,8 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # emitting them first makes round 4's sample cover them
     # (VERDICT.md round 3, item 3).
     never_driver_checked = (
+        "dq_constraint_report",  # new in r4
+        "skew_report_events",  # new in r4
         "span_corruption_t5",  # new in r4
         "hard_negative_mining",  # new in r4
         "url_canonical_dedup",  # new in r4

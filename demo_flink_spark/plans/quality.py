@@ -1,0 +1,102 @@
+"""Declared queries: data-quality constraint report and shuffle-skew
+diagnostics (operators/quality_checks.py) — the operational checks a
+warehouse/corpus build runs before trusting or joining a table.
+
+The synthetic lineitem makes the report non-trivial deterministically:
+(l_orderkey, l_linenumber) is NOT unique (45832/60000 at sf0.01) and
+only ~65% of discounts sit under 0.06, so the report carries both
+passing and failing constraints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from demo_flink_spark.operators.quality_checks import dq_report, skew_report
+from demo_flink_spark.plans.spec import QuerySpec
+from demo_flink_spark.sources import load_table
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint report over lineitem in ONE
+    multi-aggregate scan: completeness, compound-key uniqueness,
+    numeric ranges, accepted sets — pass/fail by integer
+    cross-multiplication, ratio as a single exact-long division."""
+    return dq_report(
+        load_table(spark, sf_dir, "lineitem"),
+        completeness={"l_orderkey": 100, "l_shipdate": 100},
+        unique=[("l_orderkey", "l_linenumber")],
+        ranges={"l_quantity": (1, 50), "l_discount": (0.0, 0.06)},
+        accepted={"l_returnflag": ("A", "N", "R"), "l_linestatus": ("F",)},
+    )
+
+
+_DQ_ORACLE = """
+WITH a AS (
+    SELECT count(*) AS n,
+           count(l_orderkey) AS c_ok,
+           count(l_shipdate) AS c_sd,
+           count(DISTINCT (l_orderkey, l_linenumber)) AS u_key,
+           sum(CASE WHEN l_quantity IS NOT NULL
+                     AND l_quantity >= 1 AND l_quantity <= 50
+                    THEN 1 ELSE 0 END) AS r_qty,
+           sum(CASE WHEN l_discount IS NOT NULL
+                     AND l_discount >= 0.0 AND l_discount <= 0.06
+                    THEN 1 ELSE 0 END) AS r_disc,
+           sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                    THEN 1 ELSE 0 END) AS s_rf,
+           sum(CASE WHEN l_linestatus IN ('F') THEN 1 ELSE 0 END) AS s_ls
+    FROM lineitem
+),
+r AS (
+    SELECT 'completeness(l_orderkey)>=100%' AS check_name, c_ok AS g, 100 AS p, n FROM a
+    UNION ALL
+    SELECT 'completeness(l_shipdate)>=100%', c_sd, 100, n FROM a
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)', u_key, 100, n FROM a
+    UNION ALL
+    SELECT 'range(l_quantity in [1,50])', r_qty, 100, n FROM a
+    UNION ALL
+    SELECT 'range(l_discount in [0.0,0.06])', r_disc, 100, n FROM a
+    UNION ALL
+    SELECT 'accepted(l_returnflag)', s_rf, 100, n FROM a
+    UNION ALL
+    SELECT 'accepted(l_linestatus)', s_ls, 100, n FROM a
+)
+SELECT check_name,
+       CAST(g AS BIGINT) AS n_good,
+       CAST(n AS BIGINT) AS n_total,
+       CASE WHEN n > 0 THEN CAST(g AS DOUBLE) / n ELSE 1.0 END AS ratio,
+       g * 100 >= p * n AS passed
+FROM r
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for events.user_id — the
+    pre-flight measurement for salting/AQE decisions: key counts,
+    top-key share, HHI concentration, exact group-size percentiles."""
+    return skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
+_SKEW_ORACLE = """
+WITH sizes AS (
+    SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_key_cnt,
+       CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top1_share,
+       (CAST(sum(cnt * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE))
+           / CAST(sum(cnt) AS DOUBLE) AS hhi,
+       quantile_cont(cnt, 0.5) AS p50_cnt,
+       quantile_cont(cnt, 0.9) AS p90_cnt,
+       quantile_cont(cnt, 0.99) AS p99_cnt
+FROM sizes
+"""
+
+
+SPECS = [
+    QuerySpec("dq_constraint_report", q_dq_report, oracle=_DQ_ORACLE),
+    QuerySpec("skew_report_events", q_skew_report, oracle=_SKEW_ORACLE),
+]

@@ -1,0 +1,69 @@
+"""dq_report / skew_report (operators/quality_checks.py): constraint
+semantics on handcrafted rows; the declared queries carry the
+cross-engine value-hash checks."""
+
+from __future__ import annotations
+
+from demo_flink_spark.operators.quality_checks import dq_report, skew_report
+
+
+def test_dq_report_thresholds_and_uniqueness(spark):
+    rows = [
+        (1, 1, "a", 5.0),
+        (2, 1, "a", 5.0),
+        (2, 1, "b", 150.0),  # dup key (2,1); value out of range
+        (3, 2, None, 7.0),  # null name
+    ]
+    df = spark.createDataFrame(rows, "k long, sub long, name string, v double")
+    out = {
+        r["check_name"]: r
+        for r in dq_report(
+            df,
+            completeness={"name": 75, "k": 100},
+            unique=[("k", "sub")],
+            ranges={"v": (0.0, 100.0)},
+            accepted={"name": ("a", "b")},
+        ).collect()
+    }
+    assert len(out) == 5
+    # 3/4 non-null names passes >=75% exactly (integer cross-multiply)
+    c = out["completeness(name)>=75%"]
+    assert c["n_good"] == 3 and c["passed"] and c["ratio"] == 0.75
+    assert out["completeness(k)>=100%"]["passed"]
+    u = out["unique(k,sub)"]
+    assert u["n_good"] == 3 and not u["passed"]
+    r = out["range(v in [0.0,100.0])"]
+    assert r["n_good"] == 3 and not r["passed"]
+    # isin(None) is null-false: accepted counts only real 'a'/'b'
+    s = out["accepted(name)"]
+    assert s["n_good"] == 3 and not s["passed"]
+
+
+def test_dq_report_empty_table(spark):
+    df = spark.createDataFrame([], "k long, sub long")
+    out = dq_report(df, completeness={"k": 100}).collect()
+    assert len(out) == 1
+    # vacuous pass on empty input, ratio pinned to 1.0
+    assert out[0]["passed"] and out[0]["ratio"] == 1.0
+
+
+def test_skew_report_hot_key(spark):
+    rows = [(i, "hot") for i in range(90)] + [
+        (100 + i, f"cold{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "i long, user_id string")
+    r = skew_report(df, "user_id").collect()[0]
+    assert r["n_rows"] == 100 and r["n_keys"] == 11
+    assert r["max_key_cnt"] == 90 and r["top1_share"] == 0.9
+    # hhi = (90^2 + 10*1)/100^2
+    assert r["hhi"] == (90 * 90 + 10) / 100 / 100
+    assert r["p50_cnt"] == 1.0  # median group is a cold singleton
+
+
+def test_skew_report_uniform(spark):
+    rows = [(i, f"u{i % 20}") for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, user_id string")
+    r = skew_report(df, "user_id").collect()[0]
+    assert r["n_keys"] == 20 and r["max_key_cnt"] == 5
+    assert r["top1_share"] == 0.05 and r["hhi"] == 1 / 20
+    assert r["p50_cnt"] == 5.0 and r["p99_cnt"] == 5.0

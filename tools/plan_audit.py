@@ -314,6 +314,15 @@ CHECKS = {
     # hard negatives: query set broadcast against the corpus stream
     # (the bruteforce top-k shape) — BNLJ is the intended plan
     "hard_negative_mining": (["BroadcastNestedLoopJoin"], []),
+    # DQ report: ONE multi-aggregate scan + constant-width Generate
+    # (stack) — never a second scan or a join
+    "dq_constraint_report": (
+        ["HashAggregate", "Generate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # skew report: key-count aggregate (one shuffle) + bounded
+    # second aggregate over distinct keys
+    "skew_report_events": (["HashAggregate"], ["Join", "CartesianProduct"]),
 }
 
 
