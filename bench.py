@@ -100,6 +100,7 @@ def main() -> None:
         "similarity_topk_ivf",
         "graph_pagerank_copurchase",
         "tf_idf_top3",
+        "hybrid_search_rrf",
         "sequence_packing",
         "profile_lineitem",
         "ts_anomaly_zscore",
