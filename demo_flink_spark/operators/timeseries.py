@@ -161,3 +161,52 @@ def zscore_anomalies(
         .filter((F.col("n_win") >= 8) & (F.abs(F.col("z")) > threshold))
         .drop("n_win")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "15 minutes",
+) -> DataFrame:
+    """Downsample a (key, ts, value) stream to OHLC bars per bucket:
+    open/high/low/close, tick count, and a decimal-exact value sum —
+    the classic telemetry/market resample.
+
+    Open and close are decided by an explicit total order
+    (ts, then a tiebreak column if present — the corpus has unique
+    timestamps per key, but determinism must not depend on data
+    luck): ONE window pass assigns first/last row numbers, then a
+    single aggregate per (key, bucket) folds everything. The groupBy
+    reuses the window's hash partitioning, so the whole resample is
+    one exchange. At 100 TB this is the standard keyed-shuffle shape;
+    bars per key-bucket are tiny and skew-free.
+    """
+    from demo_flink_spark.operators.relational import dsum
+
+    b = bucket(F.col(ts_col), step).alias("bucket_ts")
+    tie = (
+        [F.col("event_id")] if "event_id" in df.columns else []
+    )
+    base = df.select(
+        F.col(key_col).alias("key"), b, F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("v"), *tie
+    )
+    order = [F.col("_ts").asc(), *[t.asc() for t in tie]]
+    w = Window.partitionBy("key", "bucket_ts")
+    rn_a = F.row_number().over(w.orderBy(*order))
+    rn_d = F.row_number().over(
+        w.orderBy(F.col("_ts").desc(), *[t.desc() for t in tie])
+    )
+    marked = base.select(
+        "key", "bucket_ts", "v", rn_a.alias("_ra"), rn_d.alias("_rd")
+    )
+    return marked.groupBy("key", "bucket_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.max(F.when(F.col("_ra") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
+        dsum(F.col("v")).alias("vsum"),
+    )

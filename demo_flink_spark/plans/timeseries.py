@@ -41,7 +41,55 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute OHLC resample of events per event_type
+    (operators/timeseries.py::ohlc_bars): open/close by explicit
+    (ts, event_id) total order, high/low/count, decimal-exact sum —
+    one keyed exchange for the whole resample."""
+    from demo_flink_spark.operators.timeseries import ohlc_bars
+
+    return ohlc_bars(load_table(spark, sf_dir, "events")).select(
+        F.col("key").alias("event_type"),
+        "bucket_ts",
+        "n_ticks",
+        "open",
+        "high",
+        "low",
+        "close",
+        "vsum",
+    )
+
+
+_OHLC_ORACLE = """
+WITH base AS (
+    SELECT event_type AS key,
+           to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900)
+               AT TIME ZONE 'UTC' AS bucket_ts,
+           ts, event_id, value AS v
+    FROM events
+),
+marked AS (
+    SELECT key, bucket_ts, v,
+           row_number() OVER (PARTITION BY key, bucket_ts
+                              ORDER BY ts ASC, event_id ASC) AS ra,
+           row_number() OVER (PARTITION BY key, bucket_ts
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM base
+)
+SELECT key AS event_type, bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       max(CASE WHEN ra = 1 THEN v END) AS open,
+       max(v) AS high,
+       min(v) AS low,
+       max(CASE WHEN rd = 1 THEN v END) AS close,
+       CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS vsum
+FROM marked
+GROUP BY key, bucket_ts
+"""
+
+
 SPECS = [
+    QuerySpec("ohlc_bars_15m", q_ohlc_bars, oracle=_OHLC_ORACLE),
     QuerySpec(
         "ts_gapfill_locf",
         q_gapfill_locf,

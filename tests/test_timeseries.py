@@ -84,3 +84,40 @@ def test_bucket_generic_step_floors_pre1970(spark):
         .collect()
     ]
     assert got == ["1969-12-31 23:45:00", "1970-01-01 00:00:00"]
+
+
+def test_ohlc_bars_semantics(spark):
+    from datetime import datetime
+
+    from demo_flink_spark.operators.timeseries import ohlc_bars
+
+    def t(m, s):
+        return datetime(2024, 1, 1, 0, m, s)
+
+    rows = [
+        # bucket 00:00 — open decided by ts, close by ts; high/low inside
+        (1, t(0, 10), "a", 5.0),
+        (2, t(3, 0), "a", 9.0),
+        (3, t(14, 59), "a", 2.0),
+        # same ts as event 3: event_id tiebreak decides close
+        (4, t(14, 59), "a", 7.0),
+        # bucket 00:15
+        (5, t(15, 0), "a", 4.0),
+        # other key, same buckets
+        (6, t(0, 30), "b", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["key"], str(r["bucket_ts"])): r
+        for r in ohlc_bars(df, step="15 minutes").collect()
+    }
+    a0 = out[("a", "2024-01-01 00:00:00")]
+    assert a0["n_ticks"] == 4
+    assert a0["open"] == 5.0 and a0["close"] == 7.0  # id 4 wins the tie
+    assert a0["high"] == 9.0 and a0["low"] == 2.0
+    assert a0["vsum"] == 23.0
+    a1 = out[("a", "2024-01-01 00:15:00")]
+    assert a1["n_ticks"] == 1 and a1["open"] == a1["close"] == 4.0
+    assert out[("b", "2024-01-01 00:00:00")]["n_ticks"] == 1

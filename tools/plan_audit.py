@@ -323,6 +323,9 @@ CHECKS = {
     # skew report: key-count aggregate (one shuffle) + bounded
     # second aggregate over distinct keys
     "skew_report_events": (["HashAggregate"], ["Join", "CartesianProduct"]),
+    # OHLC resample: both direction windows AND the final aggregate
+    # share one (key, bucket) exchange — no join, no second shuffle
+    "ohlc_bars_15m": (["Window", "HashAggregate"], ["Join", "CartesianProduct"]),
 }
 
 
