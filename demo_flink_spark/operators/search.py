@@ -205,3 +205,81 @@ def rrf_fuse(
         .withColumn("fused_rk", F.row_number().over(w).cast("long"))
         .filter(F.col("fused_rk") <= topn)
     )
+
+
+def _ndcg_gains(k: int) -> list[float]:
+    """1/log2(r+1) for r = 1..k — computed once driver-side and
+    embedded as literals, so both engines consume IDENTICAL doubles
+    (no runtime log2 whose libm could drift)."""
+    import math
+
+    return [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    approx: DataFrame,
+    truth: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k, MRR and nDCG@k of an approximate ranked list against
+    exact ground truth, per query — the evaluation harness for ANN /
+    hybrid retrieval, AS a distributed query.
+
+    `approx` and `truth` carry (query_id, vec_id, rk); `queries` is
+    the query-id universe (queries with zero retrieved rows still get
+    a metrics row). Numerics are engine-portable by construction:
+    recall and MRR are single divisions of exact integers; DCG sums
+    literal 1/log2(r+1) gains through decimal (order-independent) and
+    divides by the literal ideal DCG.
+
+    Scale shape: rank lists are |Q|·k rows — every join and aggregate
+    here is query-set-sized, independent of corpus size.
+    """
+    # gains quantized to integer micro-units IN PYTHON: a runtime
+    # double->decimal cast of an irrational gain is the r3/r4
+    # cross-engine rounding hazard (Spark converts the exact binary
+    # expansion, DuckDB float-multiplies) — caught live by this
+    # query's first oracle run. Integer gains make DCG an exact long
+    # sum and nDCG one division of exact longs.
+    gains = [round(g * 1_000_000) for g in _ndcg_gains(k)]
+    idcg = sum(gains)
+    garr = F.array(*[F.lit(int(g)) for g in gains])
+    a = approx.filter(F.col("rk") <= k).select("query_id", "vec_id", "rk")
+    t = (
+        truth.filter(F.col("rk") <= k)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(True))
+    )
+    j = a.join(t, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "rk",
+        F.coalesce("_hit", F.lit(False)).alias("hit"),
+    )
+    m = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum(F.col("hit").cast("long")).alias("_hits"),
+        F.min(F.when(F.col("hit"), F.col("rk"))).alias("_first_hit"),
+        F.sum(
+            F.when(F.col("hit"), F.element_at(garr, F.col("rk").cast("int")))
+        ).cast("long").alias("_dcg"),
+    )
+    return (
+        queries.select("query_id")
+        .join(m, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_retrieved", F.lit(0)).cast("long").alias(
+                "n_retrieved"
+            ),
+            (F.coalesce("_hits", F.lit(0)) / F.lit(float(k))).alias(
+                f"recall{k}"
+            ),
+            F.coalesce(F.lit(1.0) / F.col("_first_hit"), F.lit(0.0)).alias(
+                "mrr"
+            ),
+            (F.coalesce("_dcg", F.lit(0)) / F.lit(int(idcg))).alias(
+                f"ndcg{k}"
+            ),
+        )
+    )

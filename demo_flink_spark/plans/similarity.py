@@ -96,6 +96,103 @@ FROM ranked WHERE rk <= {_K}
 """
 
 
+_EVAL_K = 10
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation as a distributed query (operators/search.py::
+    retrieval_metrics): recall@10 / MRR / nDCG@10 of the SRP-LSH index
+    against brute-force exact ground truth, per query — the quality
+    measurement an ANN deployment reruns on every index rebuild. All
+    metric arithmetic is exact-integer sums (nDCG gains pre-quantized
+    to micro-units driver-side) and single divisions, so the metrics
+    themselves hash-match cross-engine."""
+    from demo_flink_spark.operators.search import retrieval_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    approx = sim.cosine_topk_srp_lsh(emb, q, k=_EVAL_K)
+    truth = sim.cosine_topk_bruteforce(emb, q, k=_EVAL_K)
+    return retrieval_metrics(
+        approx, truth, q.select("query_id"), k=_EVAL_K
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    from demo_flink_spark.operators.search import _ndcg_gains
+
+    gains = [round(g * 1_000_000) for g in _ndcg_gains(_EVAL_K)]
+    glist = "[" + ", ".join(str(g) for g in gains) + "]"
+    idcg = str(sum(gains))
+    cbuck = _srp_bucket_union()
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cbuck AS (
+        {cbuck}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+        FROM cbuck qb JOIN cbuck cb
+          ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+         AND qb.vec_id < {_N_QUERIES} AND qb.vec_id <> cb.vec_id
+    ),
+    ascored AS (
+        SELECT c.query_id, c.vec_id,
+               list_dot_product(q.v, x.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(x.v, x.v))) AS c
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e x ON x.vec_id = c.vec_id
+    ),
+    appr AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id ASC) AS rk
+        FROM ascored
+        QUALIFY rk <= {_EVAL_K}
+    ),
+    tscored AS (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(e.v, e.v))) AS c
+        FROM e q JOIN e ON q.vec_id <> e.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    tr AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id ASC) AS rk
+        FROM tscored
+        QUALIFY rk <= {_EVAL_K}
+    ),
+    j AS (
+        SELECT a.query_id, a.rk, t.vec_id IS NOT NULL AS hit
+        FROM appr a LEFT JOIN tr t
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    ),
+    m AS (
+        SELECT query_id,
+               count(*) AS n_retrieved,
+               sum(CASE WHEN hit THEN 1 ELSE 0 END) AS hits,
+               min(CASE WHEN hit THEN rk END) AS first_hit,
+               CAST(sum(CASE WHEN hit
+                        THEN {glist}[CAST(rk AS BIGINT)] END)
+                    AS BIGINT) AS dcg
+        FROM j GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(m.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           coalesce(m.hits, 0) / {float(_EVAL_K)!r} AS recall{_EVAL_K},
+           coalesce(1.0 / m.first_hit, 0.0) AS mrr,
+           CAST(coalesce(m.dcg, 0) AS DOUBLE) / {idcg} AS ndcg{_EVAL_K}
+    FROM (SELECT vec_id AS query_id FROM embeddings
+          WHERE vec_id < {_N_QUERIES}) q
+    LEFT JOIN m ON q.query_id = m.query_id
+    """
+
+
 _RRF_DEPTH = 20
 _RRF_TOPN = 10
 _RRF_K = 60
@@ -220,17 +317,10 @@ def _hybrid_rrf_oracle() -> str:
     """
 
 
-def _srp_lsh_oracle() -> str:
-    """SQL twin of the SRP-LSH query, generated from the SAME seeded
-    hyperplanes the operator uses (embedded as float literals — repr()
-    round-trips doubles exactly). Bucket bits compare plane dot
-    products to zero; a numpy-vs-DuckDB summation-order discrepancy
-    could only flip a bit when |dot| is within float noise of 0
-    (P ~ 1e-13 per projection — not observed at any tested SF).
-    Candidates (>= 1 shared (table, bucket)) and the exact-cosine
-    re-rank then mirror the operator one-to-one, so LSH's recall trade
-    is identical on both engines.
-    """
+def _srp_bucket_union() -> str:
+    """UNION-ALL SQL computing every (vec_id, table, bucket) from the
+    operator's own seeded hyperplanes (shared by the SRP oracle and
+    the retrieval-metrics oracle)."""
     from demo_flink_spark.operators.similarity import srp_planes
 
     planes = srp_planes(64, 16, 4, 42)
@@ -246,7 +336,21 @@ def _srp_lsh_oracle() -> str:
             for j in range(4)
         )
         tables_sql.append(f"SELECT vec_id, {t} AS tbl, {terms} AS bucket FROM e")
-    cbuck = "\n            UNION ALL\n            ".join(tables_sql)
+    return "\n            UNION ALL\n            ".join(tables_sql)
+
+
+def _srp_lsh_oracle() -> str:
+    """SQL twin of the SRP-LSH query, generated from the SAME seeded
+    hyperplanes the operator uses (embedded as float literals — repr()
+    round-trips doubles exactly). Bucket bits compare plane dot
+    products to zero; a numpy-vs-DuckDB summation-order discrepancy
+    could only flip a bit when |dot| is within float noise of 0
+    (P ~ 1e-13 per projection — not observed at any tested SF).
+    Candidates (>= 1 shared (table, bucket)) and the exact-cosine
+    re-rank then mirror the operator one-to-one, so LSH's recall trade
+    is identical on both engines.
+    """
+    cbuck = _srp_bucket_union()
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cbuck AS (
@@ -305,6 +409,10 @@ SPECS = [
     QuerySpec("similarity_topk_srp_lsh", q_topk_srp_lsh, oracle=_srp_lsh_oracle()),
     QuerySpec("hybrid_search_rrf", q_hybrid_rrf, oracle=_hybrid_rrf_oracle()),
     QuerySpec("hard_negative_mining", q_hard_negatives, oracle=_HARD_NEG_ORACLE),
+    QuerySpec(
+        "retrieval_eval_metrics", q_retrieval_eval,
+        oracle=_retrieval_eval_oracle(),
+    ),
     # full-probe IVF == exact -> shares the brute-force oracle; the
     # approximate (nprobe < n_cells) regime is recall-tested in
     # tests/test_dedup_similarity.py

@@ -74,3 +74,44 @@ def test_rrf_topn_cut_per_query(spark):
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["fused_rk"])
     assert sorted(per_q[1]) == [1, 2, 3] and sorted(per_q[2]) == [1, 2, 3]
+
+
+def test_retrieval_metrics_handcrafted(spark):
+    from demo_flink_spark.operators.search import (
+        _ndcg_gains,
+        retrieval_metrics,
+    )
+
+    # truth top-3 for q1: [10, 11, 12]; approx returns [10, 99, 12]
+    truth = _ranked(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    approx = _ranked(spark, [(1, 10, 1), (1, 99, 2), (1, 12, 3)])
+    queries = spark.createDataFrame([(1,), (2,)], "query_id long")
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(approx, truth, queries, k=3).collect()
+    }
+    r1 = out[1]
+    assert r1["n_retrieved"] == 3
+    assert r1["recall3"] == 2 / 3
+    assert r1["mrr"] == 1.0  # first retrieved item is relevant
+    g = [round(x * 1_000_000) for x in _ndcg_gains(3)]
+    assert r1["ndcg3"] == (g[0] + g[2]) / sum(g)
+    # query 2 retrieved nothing: zero row still present
+    r2 = out[2]
+    assert r2["n_retrieved"] == 0 and r2["recall3"] == 0.0
+    assert r2["mrr"] == 0.0 and r2["ndcg3"] == 0.0
+
+
+def test_retrieval_metrics_miss_everything(spark):
+    truth = _ranked(spark, [(1, 10, 1), (1, 11, 2)])
+    approx = _ranked(spark, [(1, 50, 1), (1, 51, 2)])
+    queries = spark.createDataFrame([(1,)], "query_id long")
+    r = retrieval_metrics_import()(approx, truth, queries, k=2).collect()[0]
+    assert r["recall2"] == 0.0 and r["mrr"] == 0.0 and r["ndcg2"] == 0.0
+    assert r["n_retrieved"] == 2
+
+
+def retrieval_metrics_import():
+    from demo_flink_spark.operators.search import retrieval_metrics
+
+    return retrieval_metrics

@@ -326,6 +326,9 @@ CHECKS = {
     # OHLC resample: both direction windows AND the final aggregate
     # share one (key, bucket) exchange — no join, no second shuffle
     "ohlc_bars_15m": (["Window", "HashAggregate"], ["Join", "CartesianProduct"]),
+    # retrieval eval: rank lists are |Q|·k rows; truth side is the
+    # broadcast-bruteforce shape, metric joins never touch the corpus
+    "retrieval_eval_metrics": (["Window"], ["CartesianProduct"]),
 }
 
 
