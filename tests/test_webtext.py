@@ -211,3 +211,59 @@ def test_url_dedup_groups_and_keeper(spark):
     assert out[2]["grp_size"] == 3 and not out[2]["keeper"]
     assert not out[3]["keeper"]
     assert out[9]["grp_size"] == 1 and out[9]["keeper"]
+
+
+def test_canonicalize_url_idempotent_bulk(spark):
+    # canonical output must be a fixed point of the grammar — checked
+    # over seeded structured-random URLs in ONE Spark pass
+    import random
+
+    from demo_flink_spark.operators.webtext import canonicalize_url
+
+    rng = random.Random(7)
+    schemes = ["http", "HTTPS", "https", "HTTP"]
+    hosts = ["Ex.COM", "a.b.example.org", "X.Y", "site.net:8080",
+             "s.com:443", "h.org:80"]
+    paths = ["", "/", "/a", "/a/b/", "/CaseSens/p/", "/x//y/"]
+    queries = ["", "?a=1", "?utm_source=x", "?b=2&utm_cmp=1&a=1",
+               "?ref=r&q=ok", "?gclid=g"]
+    frags = ["", "#f", "#sec2"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonicalize_url(F.col("url")).alias("c1")
+    ).select(
+        "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+def test_c4_cleaned_text_is_stable(spark):
+    # re-cleaning already-cleaned text keeps every line and sentence
+    from demo_flink_spark.operators.webtext import c4_line_filter
+
+    page = "\n".join(
+        [
+            "A good first sentence here.",
+            "drop me, no punctuation",
+            "Ok.",
+            "Another fine line with words. And two marks!",
+            "Final thoughts are recorded here?",
+        ]
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, page string")
+    first = c4_line_filter(df, min_sentences=1).collect()[0]
+    again = c4_line_filter(
+        spark.createDataFrame(
+            [(1, first["cleaned"])], "doc_id long, page string"
+        ),
+        min_sentences=1,
+    ).collect()[0]
+    assert again["cleaned"] == first["cleaned"]
+    assert again["n_lines_kept"] == first["n_lines_kept"]
+    assert again["n_sentences"] == first["n_sentences"]
