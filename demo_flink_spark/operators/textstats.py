@@ -737,3 +737,68 @@ def gopher_quality_filter(
         & F.col("ok_alpha")
         & F.col("ok_stop"),
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_pair_count: int = 3,
+) -> DataFrame:
+    """Pointwise mutual information over skip-gram co-occurrences:
+    unordered token pairs within `window` positions, scored
+    ``PMI = ln( (c12/Npairs) / ((c1/N)·(c2/N)) )`` — the classic
+    distributional-similarity statistic (collocation mining, phrase
+    detection, embedding-corpus diagnostics).
+
+    Shape: tokenize once to (doc, pos, token); pairs come from a
+    doc-keyed self-equi-join with the position offset as a post-join
+    filter (each row meets at most `window` partners — linear, not
+    quadratic); one (w1, w2) aggregate; unigram counts and the two
+    scalar totals ride broadcasts back on. PMI's log runs through the
+    engine-portable `softln_ratio` on INTEGER products (c12·N²,
+    Npairs·c1·c2 — exact in long up to ~10^9 tokens; production-scale
+    corpora promote the ratio to decimal before the same series),
+    negated when the ratio exceeds 1, so every score is bit-identical
+    cross-engine.
+    """
+    from demo_flink_spark.operators.dedup import _canonical
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(_canonical(F.col(text_col)), " "), lambda x: x != ""
+            )
+        ).alias("pos", "w"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") > F.col("a.pos"))
+        & (F.col("b.pos") <= F.col("a.pos") + window),
+    ).select(
+        F.least(F.col("a.w"), F.col("b.w")).alias("w1"),
+        F.greatest(F.col("a.w"), F.col("b.w")).alias("w2"),
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = tok.agg(F.count(F.lit(1)).cast("long").alias("n_tokens")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    scored = (
+        c12.filter(F.col("c12") >= min_pair_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    num = F.col("c12") * F.col("n_tokens") * F.col("n_tokens")
+    den = F.col("n_pairs") * F.col("c1") * F.col("c2")
+    pmi = F.when(num <= den, softln_ratio(num, den)).otherwise(
+        -softln_ratio(den, num)
+    )
+    return scored.select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))

@@ -427,6 +427,60 @@ def _gopher_oracle() -> str:
     """
 
 
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram PMI collocations (operators/textstats.py::
+    pmi_cooccurrence): window-2 unordered pairs, counts >= 3, PMI via
+    the portable softln over integer products — every score
+    bit-identical cross-engine."""
+    return textstats.pmi_cooccurrence(load_table(spark, sf_dir, "documents"))
+
+
+def _pmi_oracle() -> str:
+    from demo_flink_spark.operators.relational import softln_ratio_sql
+    from demo_flink_spark.plans.dedup import _CANON
+
+    num = "(c12 * n_tokens * n_tokens)"
+    den = "(n_pairs * c1 * c2)"
+    pos_branch = softln_ratio_sql(num, den)
+    neg_branch = softln_ratio_sql(den, num)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split({_CANON}, ' '),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i AS pos, t[i + 1] AS w
+        FROM base, unnest(range(0, len(t))) AS u(i)
+    ),
+    pairs AS (
+        SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id
+         AND b.pos > a.pos AND b.pos <= a.pos + 2
+    ),
+    c12t AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM pairs GROUP BY w1, w2
+    ),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_tokens,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs),
+    scored AS (
+        SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2, n_tokens, n_pairs
+        FROM c12t
+        JOIN uni u1 ON u1.w = c12t.w1
+        JOIN uni u2 ON u2.w = c12t.w2
+        CROSS JOIN tot
+        WHERE c12 >= 3
+    )
+    SELECT w1, w2, c12, c1, c2,
+           CASE WHEN {num} <= {den} THEN {pos_branch}
+                ELSE -({neg_branch}) END AS pmi
+    FROM scored
+    """
+
+
 _PERCEPTRON_ITERS = 3
 
 
@@ -1011,4 +1065,5 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
     QuerySpec(
         "perceptron_quality_train", q_perceptron_train, oracle=_perceptron_oracle()
     ),
+    QuerySpec("pmi_cooccurrence", q_pmi_cooccurrence, oracle=_pmi_oracle()),
 ]

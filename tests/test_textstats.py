@@ -175,3 +175,43 @@ def test_gopher_quality_filter_boundaries(spark):
     )
     r = gopher_quality_filter(b, min_words=5).collect()[0]
     assert r["ok_symbol"] and r["symbol_word_ratio"] == 0.1
+
+
+def test_pmi_cooccurrence_handcrafted(spark):
+    import math
+
+    from demo_flink_spark.operators.textstats import pmi_cooccurrence
+
+    # "alpha beta" always adjacent; "gamma" floats alone
+    rows = [(i, "alpha beta gamma") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_cooccurrence(df, min_pair_count=1).collect()
+    }
+    # pairs per doc (window 2): (a,b), (a,g), (b,g) -> 6 each
+    assert set(out) == {
+        ("alpha", "beta"),
+        ("alpha", "gamma"),
+        ("beta", "gamma"),
+    }
+    r = out[("alpha", "beta")]
+    assert r["c12"] == 6 and r["c1"] == 6 and r["c2"] == 6
+    # N=18, Npairs=18: PMI = ln(6*18*18 / (18*6*6)) = ln(3)
+    assert abs(r["pmi"] - math.log(3)) < 1e-9
+    # window=1 drops the skip pair (alpha, gamma)
+    out1 = {
+        (r["w1"], r["w2"])
+        for r in pmi_cooccurrence(df, window=1, min_pair_count=1).collect()
+    }
+    assert ("alpha", "gamma") not in out1 and ("alpha", "beta") in out1
+
+
+def test_pmi_min_count_filter(spark):
+    from demo_flink_spark.operators.textstats import pmi_cooccurrence
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "p q")], "doc_id long, text string"
+    )
+    out = pmi_cooccurrence(df, min_pair_count=2).collect()
+    assert {(r["w1"], r["w2"]) for r in out} == {("x", "y")}

@@ -329,6 +329,9 @@ CHECKS = {
     # retrieval eval: rank lists are |Q|·k rows; truth side is the
     # broadcast-bruteforce shape, metric joins never touch the corpus
     "retrieval_eval_metrics": (["Window"], ["CartesianProduct"]),
+    # PMI: doc-keyed pair self-join (position offset post-filtered),
+    # unigram/totals ride broadcasts — never a cartesian
+    "pmi_cooccurrence": (["BroadcastHashJoin"], ["CartesianProduct"]),
 }
 
 
