@@ -152,3 +152,60 @@ def mixture_resample(
         .filter(bucket < F.col("keep_rate") * 256)
         .drop("keep_rate")
     )
+
+
+def token_budget_cut(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    text_col: str = "text",
+    salt: str = "tb1",
+) -> DataFrame:
+    """Exact per-group token-budget selection: keep a deterministic
+    pseudo-random prefix of each group's documents until the group's
+    token budget is spent — the "give me exactly ≤ N tokens of each
+    language" cut a training-mixture recipe specifies (by budget, not
+    by rate: `mixture_resample` keeps an EXPECTED fraction, this
+    keeps a hard token ceiling).
+
+    Mechanics: token counts are a narrow projection; docs rank within
+    their group by md5(salt‖doc_id) (reproducible on any engine); a
+    per-group running token sum (ONE window exchange) decides `kept`
+    = cumulative ≤ budget. Groups without a declared budget keep
+    everything (budget −1 sentinel = unlimited). The first document
+    that would overflow the ceiling is dropped — the ceiling is hard.
+
+    All arithmetic is exact integers; `kept` can never sit on a float
+    boundary.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    rank_key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    cur = docs.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce(
+            budget_map.getItem(F.col(group_col)), F.lit(-1)
+        ).cast("long").alias("budget"),
+        rank_key.alias("_rk"),
+    )
+    w2 = (
+        Window.partitionBy("grp")
+        .orderBy("_rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cur.select(
+        "doc_id",
+        "grp",
+        "n_tokens",
+        "budget",
+        F.sum("n_tokens").over(w2).cast("long").alias("cum_tokens"),
+    ).withColumn(
+        "kept",
+        (F.col("budget") < 0) | (F.col("cum_tokens") <= F.col("budget")),
+    )

@@ -427,6 +427,45 @@ def _gopher_oracle() -> str:
     """
 
 
+_TOKEN_BUDGETS = {"en": 4000, "de": 1500, "zh": 0}
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-language token-budget cut (operators/sampling.py::
+    token_budget_cut): en capped at 4000 tokens, de at 1500, zh fully
+    excluded, other languages unlimited — the exact-budget mixture
+    recipe (vs mixture_resample's rate-based expected fraction)."""
+    from demo_flink_spark.operators.sampling import token_budget_cut
+
+    return token_budget_cut(
+        load_table(spark, sf_dir, "documents"), _TOKEN_BUDGETS
+    )
+
+
+def _token_budget_oracle() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _TOKEN_BUDGETS.items()
+    )
+    return rf"""
+    WITH cur AS (
+        SELECT doc_id, lang AS grp,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens,
+               CAST(CASE lang {whens} ELSE -1 END AS BIGINT) AS budget,
+               md5('tb1' || CAST(doc_id AS VARCHAR)) AS rk
+        FROM documents
+    )
+    SELECT doc_id, grp, n_tokens, budget,
+           CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY rk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens,
+           budget < 0 OR sum(n_tokens) OVER (PARTITION BY grp ORDER BY rk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                <= budget AS kept
+    FROM cur
+    """
+
+
 def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram PMI collocations (operators/textstats.py::
     pmi_cooccurrence): window-2 unordered pairs, counts >= 3, PMI via
@@ -1066,4 +1105,7 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
         "perceptron_quality_train", q_perceptron_train, oracle=_perceptron_oracle()
     ),
     QuerySpec("pmi_cooccurrence", q_pmi_cooccurrence, oracle=_pmi_oracle()),
+    QuerySpec(
+        "token_budget_mixture", q_token_budget, oracle=_token_budget_oracle()
+    ),
 ]

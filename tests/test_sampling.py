@@ -120,3 +120,32 @@ def test_mixture_resample_general_temperature_path(spark):
               .withColumnRenamed("count", "cnt").collect()}
     assert 20 < counts.get("big", 0) < 90      # ~50 expected
     assert 30 < counts.get("small", 0) < 70    # ~50 expected
+
+
+def test_token_budget_cut_hard_ceiling(spark):
+    from demo_flink_spark.operators.sampling import token_budget_cut
+
+    # ten 5-token docs per group; en budget 23 -> exactly 4 kept
+    # (4*5=20 <= 23, 5th would hit 25)
+    rows = []
+    for i in range(10):
+        rows.append((i, "a b c d e", "en"))
+        rows.append((100 + i, "a b c d e", "fr"))
+        rows.append((200 + i, "a b c d e", "zz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = token_budget_cut(df, {"en": 23, "zz": 0}).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    en_kept = [r for r in by_grp["en"] if r["kept"]]
+    assert len(en_kept) == 4
+    assert max(r["cum_tokens"] for r in en_kept) == 20
+    # undeclared group keeps everything; zero budget keeps nothing
+    assert all(r["kept"] for r in by_grp["fr"])
+    assert not any(r["kept"] for r in by_grp["zz"])
+    # deterministic: same cut on a second run
+    again = {
+        r["doc_id"]: r["kept"]
+        for r in token_budget_cut(df, {"en": 23, "zz": 0}).collect()
+    }
+    assert again == {r["doc_id"]: r["kept"] for r in out}

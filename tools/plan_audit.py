@@ -332,6 +332,8 @@ CHECKS = {
     # PMI: doc-keyed pair self-join (position offset post-filtered),
     # unigram/totals ride broadcasts — never a cartesian
     "pmi_cooccurrence": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # token budget: narrow count + ONE group-keyed running-sum window
+    "token_budget_mixture": (["Window"], ["Join", "CartesianProduct"]),
 }
 
 
