@@ -253,7 +253,10 @@ def span_corruption(
     array — a zero-exchange narrow map (pure scan throughput at
     100 TB), like `chunk_documents` beside it.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != "",
+    )  # NULL text = empty doc
     n = F.size(toks)
     ns = F.floor(n / tokens_per_span).cast("int")
     w = F.when(ns > 0, F.floor(n / ns).cast("int")).otherwise(F.lit(0))

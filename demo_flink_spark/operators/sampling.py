@@ -180,7 +180,10 @@ def token_budget_cut(
     """
     from pyspark.sql.window import Window
 
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != "",
+    )  # NULL text = zero tokens, never a -1 in the running sum
     budget_map = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )

@@ -697,7 +697,7 @@ def gopher_quality_filter(
     of words contain an alphabetic character; at least min_stopwords
     distinct GOPHER_STOPWORDS present.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
     toks = _tokens(t)
     n = F.size(toks).cast("long")
     sum_len = F.aggregate(

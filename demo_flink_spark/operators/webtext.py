@@ -252,7 +252,7 @@ def c4_line_filter(
     ``cleaned`` (retained lines re-joined; computed even for dropped
     pages so callers can audit what the filter would have kept).
     """
-    raw = F.col(page_col)
+    raw = F.coalesce(F.col(page_col), F.lit(""))  # NULL page = empty
     # NOTE: the lambda must be explicit — F.trim passed bare would
     # receive transform's (element, index) pair as (col, trim chars)
     lines = F.filter(
