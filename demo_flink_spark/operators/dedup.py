@@ -1038,3 +1038,40 @@ def semantic_dedup_cells(
     return joined.groupBy("cell").applyInPandas(
         per_cell, f"{id_col} long, cell int, is_dup boolean, max_prior_sim double"
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster near-dup pairs and keep the BEST-scoring member of each
+    cluster — the policy real corpus builds use when near-duplicates
+    differ in completeness (keep the longest / highest-quality copy,
+    not blindly the lowest id; `dedup_keep_list` is the min-id twin).
+
+    (id, cluster_id, score, is_kept): cluster_id is the component's
+    min label (stable cluster identity), is_kept marks the argmax by
+    (score desc, id asc) — an explicit total order, so the choice is
+    deterministic on any engine. Components broadcast (tiny relative
+    to the corpus); the winner is ONE cluster-keyed window.
+    """
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs)
+    scored = (
+        docs.select(F.col(id_col), score.alias("score"))
+        .join(F.broadcast(comp), docs[id_col] == comp.node, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+            "score",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return scored.withColumn(
+        "is_kept", F.row_number().over(w) == 1
+    )

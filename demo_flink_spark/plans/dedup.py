@@ -95,6 +95,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_keep_list(docs, pairs)
 
 
+def q_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters resolved by the keep-LONGEST policy
+    (operators/dedup.py::dedup_keep_best): the argmax-by-(token count,
+    id) member of each cluster survives — the completeness-preserving
+    twin of dedup_clusters_ngram's keep-min-id."""
+    from demo_flink_spark.operators.textstats import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = max(int(0.01 * docs.count()), 100)
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+    return dd.dedup_keep_best(
+        docs, pairs, F.size(_tokens(F.col("text"))).cast("long")
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
@@ -272,6 +287,39 @@ SPECS = [
                coalesce(c.c, d.doc_id) AS canonical_id,
                coalesce(c.c, d.doc_id) = d.doc_id AS is_kept
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
+    ),
+    QuerySpec(
+        "dedup_cluster_keep_longest",
+        q_cluster_keep_longest,
+        oracle=rf"""
+        WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT s, t FROM edges
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+            WHERE e.t <> r.s
+        ),
+        comp AS (
+            SELECT s AS node, least(s, min(t)) AS c FROM reach GROUP BY s
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   coalesce(c.c, d.doc_id) AS cluster_id,
+                   CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                                        w -> w <> '')) AS BIGINT) AS score
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        )
+        SELECT doc_id, cluster_id, score,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY score DESC, doc_id ASC) = 1
+                 AS is_kept
+        FROM scored
         """,
     ),
     QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=_minhash_lsh_oracle()),

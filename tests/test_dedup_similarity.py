@@ -266,3 +266,38 @@ def test_semantic_dedup_cells_custom_id_col(spark):
     got = {r.my_id: r.is_dup for r in out.collect()}
     # every odd id has an identical lower-id twin -> must be flagged
     assert all(got[i] for i in range(1, 16, 2))
+
+
+def test_dedup_keep_best_longest_policy(spark):
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short copy"),
+            (2, "the much longer and more complete copy of it"),
+            (3, "the much longer and complete copy"),
+            (9, "unrelated standalone document"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    score = F.size(F.split("text", " ")).cast("long")
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs, score).collect()}
+    # one cluster {1,2,3} labeled by min id; doc 2 is longest -> kept
+    assert all(out[d]["cluster_id"] == 1 for d in (1, 2, 3))
+    assert out[2]["is_kept"] and not out[1]["is_kept"] and not out[3]["is_kept"]
+    # singleton keeps itself
+    assert out[9]["is_kept"] and out[9]["cluster_id"] == 9
+    # tie on score resolves to the lower id
+    tie = spark.createDataFrame(
+        [(5, "a b c"), (6, "x y z")], "doc_id long, text string"
+    )
+    tpairs = spark.createDataFrame([(5, 6)], "doc_a long, doc_b long")
+    tout = {
+        r["doc_id"]: r for r in dedup_keep_best(tie, tpairs, score).collect()
+    }
+    assert tout[5]["is_kept"] and not tout[6]["is_kept"]

@@ -334,6 +334,9 @@ CHECKS = {
     "pmi_cooccurrence": (["BroadcastHashJoin"], ["CartesianProduct"]),
     # token budget: narrow count + ONE group-keyed running-sum window
     "token_budget_mixture": (["Window"], ["Join", "CartesianProduct"]),
+    # keep-longest: inverted-index pairs -> CC -> one cluster window;
+    # components broadcast; never an all-pairs product
+    "dedup_cluster_keep_longest": (["Window"], ["CartesianProduct"]),
 }
 
 
