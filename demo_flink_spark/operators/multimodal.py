@@ -196,3 +196,60 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
             ).astype({"frame_idx": "int32"})
 
     return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, max_side: int = 128
+) -> DataFrame:
+    """Resize stage of an image/video preprocessing pipeline: compute
+    fit-within-`max_side` target dimensions (aspect preserved) and a
+    proportionally-downsampled payload.
+
+    Target dims are EXACT integer arithmetic (scale = max_side /
+    longest side, floor, min 1) — no float in the contract. The pixel
+    resample itself is the stub (real deployments put PIL's
+    `Image.resize` inside the same Arrow batch; the container ships no
+    media libs): the stub keeps every `stride`-th byte with ``stride =
+    ceil(in_pixels / out_pixels)`` — deterministic, size-proportional,
+    and byte-content-dependent so the oracle must reproduce the actual
+    sampling, not just the lengths.
+
+    Same scale shape as `decoded_media_stats`: payload-hash
+    repartition (decode/resize cost follows payload size, not row
+    count), one Arrow-batched mapInPandas, metadata carried through.
+    """
+    n_part = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                longest = max(w, h)
+                if longest <= max_side:
+                    tw, th = w, h
+                else:
+                    tw = max(w * max_side // longest, 1)
+                    th = max(h * max_side // longest, 1)
+                in_px, out_px = w * h, tw * th
+                stride = -(-in_px // out_px)  # ceil
+                body = bytes(payload)[::stride] if stride > 1 else bytes(payload)
+                rows.append((int(doc_id), w, h, tw, th, len(body), body))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "target_w", "target_h", "out_bytes", "resized",
+                ],
+            )
+
+    return (
+        media.repartition(int(n_part), F.xxhash64("payload"))
+        .mapInPandas(
+            resize,
+            "doc_id long, width int, height int, target_w int, "
+            "target_h int, out_bytes long, resized binary",
+        )
+    )

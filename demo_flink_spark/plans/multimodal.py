@@ -9,6 +9,7 @@ are Python-side → rows-only checks + pytest goldens.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from demo_flink_spark.operators import multimodal as mm
 from demo_flink_spark.plans.spec import QuerySpec
@@ -40,7 +41,65 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(_media(spark, sf_dir), n_frames=4)
 
 
+def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (operators/multimodal.py::resize_media): exact
+    integer fit-within-128 target dims + the stride-sampled stub
+    payload, compared by md5 — the oracle must reproduce the actual
+    byte sampling, not just the dimension arithmetic."""
+    out = mm.resize_media(_media(spark, sf_dir), max_side=128)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        "out_bytes",
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
+_RESIZE_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, text,
+           CAST(doc_id % 640 + 32 AS BIGINT) AS w,
+           CAST(doc_id % 480 + 32 AS BIGINT) AS h
+    FROM documents
+),
+t AS (
+    SELECT doc_id, text, w, h,
+           CASE WHEN greatest(w, h) <= 128 THEN w
+                ELSE greatest(w * 128 // greatest(w, h), 1) END AS tw,
+           CASE WHEN greatest(w, h) <= 128 THEN h
+                ELSE greatest(h * 128 // greatest(w, h), 1) END AS th
+    FROM dims
+),
+s AS (
+    SELECT doc_id, text, w, h, tw, th,
+           (w * h + tw * th - 1) // (tw * th) AS stride
+    FROM t
+),
+r AS (
+    SELECT doc_id, w, h, tw, th,
+           CASE WHEN stride > 1
+                THEN array_to_string(list_transform(
+                     range(1, length(text) + 1, CAST(stride AS BIGINT)),
+                     i -> substring(text, CAST(i AS INT), 1)), '')
+                ELSE text END AS body
+    FROM s
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(tw AS INTEGER) AS target_w,
+       CAST(th AS INTEGER) AS target_h,
+       CAST(length(body) AS BIGINT) AS out_bytes,
+       md5(body) AS resized_md5
+FROM r
+"""
+
+
 SPECS = [
+    QuerySpec("multimodal_resize", q_resize, oracle=_RESIZE_ORACLE),
     QuerySpec(
         "multimodal_decode_meta",
         q_decode_meta,

@@ -72,3 +72,30 @@ def test_pil_branch_uses_real_decoder(monkeypatch):
     meta_img = {"mime": "image/png", "width": 5, "height": 6}
     w, h, luma = mm._decode_one(b"junk", meta_img)
     assert (w, h) == (5, 6) and abs(luma - mm._fake_decode(b"junk")) < 1e-12
+
+
+def test_resize_media_dims_and_stride(spark):
+    from demo_flink_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(608, "x" * 100), (32, "y" * 50)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_media(attach_fake_media(docs), max_side=128).collect()
+    }
+    # doc 608: w=608%640+32=640, h=608%480+32=160 -> scale by 128/640:
+    # tw=128, th=160*128//640=32
+    r = out[608]
+    assert (r["width"], r["height"]) == (640, 160)
+    assert (r["target_w"], r["target_h"]) == (128, 32)
+    stride = -(-(640 * 160) // (128 * 32))  # 25
+    assert bytes(r["resized"]) == ("x" * 100).encode()[::stride]
+    assert r["out_bytes"] == len(bytes(r["resized"]))
+    # doc 32: w=64, h=64 -> under max_side, untouched payload
+    r2 = out[32]
+    assert (r2["target_w"], r2["target_h"]) == (64, 64)
+    assert bytes(r2["resized"]) == b"y" * 50

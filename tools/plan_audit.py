@@ -337,6 +337,8 @@ CHECKS = {
     # keep-longest: inverted-index pairs -> CC -> one cluster window;
     # components broadcast; never an all-pairs product
     "dedup_cluster_keep_longest": (["Window"], ["CartesianProduct"]),
+    # resize: payload-hash repartition + ONE Arrow-batched pass
+    "multimodal_resize": (["MapInPandas"], ["Join", "CartesianProduct"]),
 }
 
 
