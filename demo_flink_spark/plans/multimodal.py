@@ -1,9 +1,11 @@
 """Declared queries: multimodal column plumbing (north-star extension).
 
 The decode internals are stubbed (no media libs in the container) but
-deterministic, so the metadata-derived half of the decode output gets
-a full DuckDB oracle; the byte-level stats (mean_luma, frame split)
-are Python-side → rows-only checks + pytest goldens.
+deterministic, so EVERY query here carries a full DuckDB value-hash
+oracle: the byte-level stats (mean_luma, frame split, resize stride
+sampling) are reproducible as ascii()/substring arithmetic over the
+synthesized ASCII payloads; pytest goldens additionally exercise the
+real-PIL branch via monkeypatching.
 """
 
 from __future__ import annotations
