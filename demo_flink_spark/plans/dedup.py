@@ -115,6 +115,51 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
 
 
+def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index evaluation as a query (the retrieval_eval_metrics
+    pattern applied to near-dup detection): MinHash-LSH pairs scored
+    against the exact inverted-index ground truth — pair counts,
+    precision, recall and F1 in one row, every metric a single
+    division of exact integers. This is the measurement that tells
+    you whether the banding parameters (16 bands x 4 rows) hold the
+    recall you think they do, re-runnable on every corpus. On this
+    fixture all three metrics are 1.0 — the synthetic near-dups sit
+    far above the 0.2 threshold, where 16x4 banding is lossless (and
+    the exact-Jaccard verify step pins precision at 1 by
+    construction); the lossy borderline regime is exercised by the
+    measured-recall pytest in tests/test_dedup_similarity.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = max(int(0.01 * docs.count()), 100)
+    exact = dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=max_df
+    ).select("doc_a", "doc_b")
+    approx = dd.minhash_lsh_pairs(docs, n=3, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    common = exact.join(approx, ["doc_a", "doc_b"], "inner")
+    e = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    a = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
+    c = common.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    row = e.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(c))
+    nz = lambda col: F.when(col > 0, col)  # noqa: E731
+    return row.select(
+        "n_exact",
+        "n_approx",
+        "n_common",
+        F.coalesce(
+            F.col("n_common") / nz(F.col("n_approx")), F.lit(1.0)
+        ).alias("precision"),
+        F.coalesce(
+            F.col("n_common") / nz(F.col("n_exact")), F.lit(1.0)
+        ).alias("recall"),
+        F.coalesce(
+            (F.lit(2) * F.col("n_common"))
+            / nz(F.col("n_exact") + F.col("n_approx")),
+            F.lit(1.0),
+        ).alias("f1"),
+    )
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_fingerprints(docs)
@@ -323,6 +368,32 @@ SPECS = [
         """,
     ),
     QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=_minhash_lsh_oracle()),
+    QuerySpec(
+        "dedup_eval_minhash",
+        q_dedup_eval_minhash,
+        oracle=f"""
+        WITH exact_p AS ({_NGRAM_PAIRS_SQL}),
+        approx_p AS ({_minhash_lsh_oracle()}),
+        e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_p),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_approx FROM approx_p),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM
+              (SELECT doc_a, doc_b FROM exact_p
+               INTERSECT
+               SELECT doc_a, doc_b FROM approx_p))
+        SELECT n_exact, n_approx, n_common,
+               CASE WHEN n_approx > 0
+                    THEN CAST(n_common AS DOUBLE) / n_approx
+                    ELSE 1.0 END AS precision,
+               CASE WHEN n_exact > 0
+                    THEN CAST(n_common AS DOUBLE) / n_exact
+                    ELSE 1.0 END AS recall,
+               CASE WHEN n_exact + n_approx > 0
+                    THEN CAST(2 * n_common AS DOUBLE)
+                         / (n_exact + n_approx)
+                    ELSE 1.0 END AS f1
+        FROM e, a, c
+        """,
+    ),
     # the token hash is md5 (= DuckDB md5_number_upper), so the whole
     # simhash bit-vote is reproducible in SQL; the banded pairs query is
     # COMPLETE for hamming <= 7 (pigeonhole over 8 chunks), so its

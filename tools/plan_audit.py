@@ -339,6 +339,9 @@ CHECKS = {
     "dedup_cluster_keep_longest": (["Window"], ["CartesianProduct"]),
     # resize: payload-hash repartition + ONE Arrow-batched pass
     "multimodal_resize": (["MapInPandas"], ["Join", "CartesianProduct"]),
+    # dedup eval: two banded/inverted-index pair pipelines + 1-row
+    # metric crossJoins (broadcast) — never an all-pairs product
+    "dedup_eval_minhash": ([], ["CartesianProduct"]),
 }
 
 
