@@ -122,3 +122,78 @@ def skew_report(
         ).alias("hhi"),
         *pcols,
     )
+
+
+def corpus_health_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus scorecard — the numbers a data lead reads before
+    green-lighting a training run:
+
+    - ``n_docs``, ``n_tokens`` (whitespace), ``n_chars``
+    - ``exact_dup_rate``: 1 − distinct(canonical-text hash)/n — the
+      zero-cost health proxy before full near-dup runs
+    - ``lang_entropy_nats``: Shannon entropy of the language mix,
+      Σ (c/N)·ln(N/c) — 0 = monolingual, ln(k) = uniform over k
+    - ``top_lang_share``: largest language's fraction
+    - ``mean_doc_tokens``: corpus mean length
+
+    Portability: entropy terms are `softln_ratio` over integer counts
+    (bit-identical series both engines), each term rounded to 9 dp and
+    summed through decimal (order-independent); every other field is
+    an exact integer or one division of exact integers.
+
+    Scale shape: one corpus scan feeding (a) a global multi-aggregate,
+    (b) a canonical-hash distinct, (c) a per-language count — three
+    map-side-combinable aggregates, 1-row outputs crossJoined
+    (broadcast). No full-width shuffles.
+    """
+    from demo_flink_spark.operators.dedup import _canonical
+    from demo_flink_spark.operators.relational import dsum, softln_ratio
+
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != "",
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+        F.xxhash64(_canonical(F.col(text_col))).alias("chash"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.count_distinct("chash").cast("long").alias("n_distinct"),
+    )
+    lang = base.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ent = (
+        lang.crossJoin(F.broadcast(g.select("n_docs")))
+        .select(
+            F.round(
+                (F.col("c") / F.col("n_docs"))
+                * -softln_ratio(F.col("c"), F.col("n_docs")),
+                9,
+            ).alias("term"),
+            F.col("c"),
+        )
+        .agg(
+            dsum(F.col("term")).alias("lang_entropy_nats"),
+            F.max("c").cast("long").alias("top_lang_c"),
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            ((F.col("n_docs") - F.col("n_distinct"))
+             / F.col("n_docs")).alias("exact_dup_rate"),
+            "lang_entropy_nats",
+            (F.col("top_lang_c") / F.col("n_docs")).alias("top_lang_share"),
+            (F.col("n_tokens") / F.col("n_docs")).alias("mean_doc_tokens"),
+        )
+    )

@@ -66,6 +66,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # emitting them first makes round 4's sample cover them
     # (VERDICT.md round 3, item 3).
     never_driver_checked = (
+        "corpus_health_report",  # new in r4
         "dedup_eval_minhash",  # new in r4
         "multimodal_resize",  # new in r4
         "dedup_cluster_keep_longest",  # new in r4

@@ -96,7 +96,58 @@ FROM sizes
 """
 
 
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus scorecard (operators/quality_checks.py::
+    corpus_health_report): sizes, exact-dup rate, language-mix
+    entropy (portable softln), top-language share, mean length."""
+    from demo_flink_spark.operators.quality_checks import corpus_health_report
+
+    return corpus_health_report(load_table(spark, sf_dir, "documents"))
+
+
+def _health_oracle() -> str:
+    from demo_flink_spark.operators.relational import softln_ratio_sql
+    from demo_flink_spark.plans.dedup import _CANON
+
+    softln = softln_ratio_sql("c", "n_docs")
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(
+                    coalesce(text, ''), '\s+'), w -> w <> ''))
+                 AS BIGINT) AS n_toks,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS nc,
+               {_CANON} AS canon
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT canon) AS BIGINT) AS n_distinct
+        FROM base
+    ),
+    lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY lang
+    ),
+    ent AS (
+        SELECT CAST(sum(CAST(round(
+                   (CAST(c AS DOUBLE) / n_docs) * -({softln}), 9)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS lang_entropy_nats,
+               CAST(max(c) AS BIGINT) AS top_lang_c
+        FROM lang, g
+    )
+    SELECT n_docs, n_tokens, n_chars,
+           CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS exact_dup_rate,
+           lang_entropy_nats,
+           CAST(top_lang_c AS DOUBLE) / n_docs AS top_lang_share,
+           CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
+    FROM g, ent
+    """
+
+
 SPECS = [
     QuerySpec("dq_constraint_report", q_dq_report, oracle=_DQ_ORACLE),
     QuerySpec("skew_report_events", q_skew_report, oracle=_SKEW_ORACLE),
+    QuerySpec("corpus_health_report", q_corpus_health, oracle=_health_oracle()),
 ]

@@ -67,3 +67,30 @@ def test_skew_report_uniform(spark):
     assert r["n_keys"] == 20 and r["max_key_cnt"] == 5
     assert r["top1_share"] == 0.05 and r["hhi"] == 1 / 20
     assert r["p50_cnt"] == 5.0 and r["p99_cnt"] == 5.0
+
+
+def test_corpus_health_report_values(spark):
+    import math
+
+    from demo_flink_spark.operators.quality_checks import corpus_health_report
+
+    rows = [
+        (1, "one two three", "en"),
+        (2, "one two three", "en"),  # exact dup of 1
+        (3, "vier funf", "de"),
+        (4, None, "de"),  # null text: counted, zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = corpus_health_report(df).collect()[0]
+    assert r["n_docs"] == 4 and r["n_tokens"] == 8
+    # 3 distinct canonical texts (null == '' is its own value)
+    assert r["exact_dup_rate"] == 0.25
+    assert r["top_lang_share"] == 0.5 and r["mean_doc_tokens"] == 2.0
+    # 2/2 split -> ln(2) entropy (9dp-rounded terms through decimal)
+    assert abs(r["lang_entropy_nats"] - math.log(2)) < 1e-6
+    # monolingual corpus -> zero entropy
+    mono = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "c d", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert corpus_health_report(mono).collect()[0]["lang_entropy_nats"] == 0.0

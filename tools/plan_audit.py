@@ -342,6 +342,9 @@ CHECKS = {
     # dedup eval: two banded/inverted-index pair pipelines + 1-row
     # metric crossJoins (broadcast) — never an all-pairs product
     "dedup_eval_minhash": ([], ["CartesianProduct"]),
+    # health report: three map-side-combinable aggregates over one
+    # scan + 1-row broadcast crossJoins
+    "corpus_health_report": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 
