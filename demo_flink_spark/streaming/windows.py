@@ -98,3 +98,55 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def ohlc_bars_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_duration: str = "15 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of `operators.timeseries.ohlc_bars`: watermarked
+    tumbling-window OHLC bars over an event stream.
+
+    The batch operator decides open/close with row_number over an
+    explicit (ts, id) order; a streaming aggregate can't rank, so the
+    same total order rides `min_by`/`max_by` with a (ts, id) struct
+    key — identical semantics (verified by the batch/streaming parity
+    test), expressible as an incremental aggregate the state store
+    maintains per (key, window). Late ticks inside the watermark
+    update their bar (update mode); ticks beyond it are dropped —
+    route them with `late_data.LateRouter` when they must be kept.
+    """
+    from demo_flink_spark.operators.relational import dsum
+
+    ordk = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.min_by(v, ordk).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordk).alias("close"),
+            dsum(v).alias("vsum"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_ts"),
+            "key",
+            "n_ticks",
+            "open",
+            "high",
+            "low",
+            "close",
+            "vsum",
+        )
+    )

@@ -315,3 +315,60 @@ def test_streaming_windowed_topn_matches_batch(spark):
     )
     # and the ranking genuinely revised: batch-0 snapshot had u1 first
     assert (w0, "u1", 2, 1) in snapshots[0]
+
+
+def test_ohlc_stream_matches_batch_twin(spark):
+    from demo_flink_spark.operators.timeseries import ohlc_bars
+    from demo_flink_spark.streaming.windows import ohlc_bars_stream
+
+    # two micro-batches of ticks, out of order within the watermark,
+    # a same-ts pair (id tiebreak decides close), two keys
+    base = 1_700_000_000_000  # ms, on a 15-min boundary? normalize below
+    base -= base % 900_000  # align to a 15-min boundary
+    rows = [
+        # (batch, event_id, ts_ms, event_type, value)
+        (0, 1, base + 10_000, "x", 5.0),
+        (0, 2, base + 200_000, "x", 9.0),
+        (0, 3, base + 60_000, "y", 100.0),
+        # batch 1: late-but-inside-watermark tick updates the open
+        (1, 4, base + 5_000, "x", 7.0),
+        # same-ts pair: higher id wins close
+        (1, 5, base + 890_000, "x", 2.0),
+        (1, 6, base + 890_000, "x", 3.0),
+        # next window
+        (1, 7, base + 910_000, "x", 4.0),
+    ]
+    stage, schema = _write_batches(
+        spark, rows, "b int, event_id long, ts_ms long, event_type string, value double"
+    )
+    stream = _with_ts(file_stream(spark, stage, schema))
+    bars = ohlc_bars_stream(stream, watermark_delay="30 minutes")
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode re-emits corrected bars: keep the LAST emission per key
+    final = {}
+    for r in spark.table(name).collect():
+        final[(r["key"], str(r["bucket_ts"]))] = r
+    batch_df = spark.createDataFrame(rows, "b int, event_id long, ts_ms long, event_type string, value double")
+    batch = ohlc_bars(
+        batch_df.withColumn("ts", F.timestamp_millis("ts_ms")).drop("b", "ts_ms"),
+        step="15 minutes",
+    )
+    want = {(r["key"], str(r["bucket_ts"])): r for r in batch.collect()}
+    assert set(final) == set(want)
+    for k in want:
+        for c in ("n_ticks", "open", "high", "low", "close", "vsum"):
+            assert final[k][c] == want[k][c], (k, c, final[k][c], want[k][c])
+    # spot-check the interesting bar: late tick owns open, id-6 close
+    xbar = want[("x", str(final[("x", sorted(ts for kk, ts in final if kk == "x")[0])]["bucket_ts"]))]
+    assert xbar["open"] == 7.0 and xbar["close"] == 3.0 and xbar["n_ticks"] == 5
