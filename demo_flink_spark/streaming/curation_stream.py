@@ -71,10 +71,17 @@ def curation_gate(
             "n_words",
             F.lit(epoch_id).alias("epoch_id"),
         )
-        kept.write.mode("append").partitionBy("epoch_id").parquet(kept_dir)
-        rejected.write.mode("append").partitionBy("epoch_id").parquet(
-            rejected_dir
-        )
+        # exactly-once per epoch: dynamic partition overwrite replaces
+        # ONLY the epoch partitions present in this batch, so a
+        # foreachBatch replay after failure rewrites its epoch instead
+        # of appending duplicates (plain append is NOT idempotent)
+        for df_out, path in ((kept, kept_dir), (rejected, rejected_dir)):
+            (
+                df_out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(path)
+            )
 
     writer = incoming.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint_dir:
