@@ -123,3 +123,44 @@ def test_intra_batch_duplicates_resolve_to_lower_id(spark, tmp_path):
     v = {r.doc_id: r for r in spark.read.parquet(verdict_dir).collect()}
     assert not v[20].is_dup  # lower id wins
     assert v[21].is_dup and v[21].matched_id == 20
+
+
+def test_epoch_replay_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: replaying an epoch must rewrite
+    # its partitions, not duplicate them — and the replay must not see
+    # its own earlier index write as "history" (self-dup hazard)
+    from demo_flink_spark.streaming.dedup_stream import process_dedup_batch
+
+    index_dir = str(tmp_path / "idx")
+    verdict_dir = str(tmp_path / "v")
+    seed_index(
+        spark.createDataFrame([(1, HIST_1)], "doc_id long, text string"),
+        index_dir,
+    )
+    batch = spark.createDataFrame(
+        [(10, _near_copy(HIST_1)), (11, NEW_UNIQUE)],
+        "doc_id long, text string",
+    )
+    process_dedup_batch(batch, 0, index_dir, verdict_dir, threshold=0.4)
+    first_v = sorted(
+        (r.doc_id, r.is_dup, r.matched_id)
+        for r in spark.read.parquet(verdict_dir).collect()
+    )
+    first_idx = spark.read.parquet(index_dir).count()
+    # replay the SAME epoch
+    process_dedup_batch(batch, 0, index_dir, verdict_dir, threshold=0.4)
+    again_v = sorted(
+        (r.doc_id, r.is_dup, r.matched_id)
+        for r in spark.read.parquet(verdict_dir).collect()
+    )
+    assert again_v == first_v  # no duplicate rows, same verdicts
+    # doc 11 must STILL be novel (not a dup of its own replayed bands)
+    assert (11, False, None) in again_v
+    assert spark.read.parquet(index_dir).count() == first_idx
+    # a LATER epoch still sees epoch-0 novel docs as history
+    batch2 = spark.createDataFrame(
+        [(12, _near_copy(NEW_UNIQUE))], "doc_id long, text string"
+    )
+    process_dedup_batch(batch2, 1, index_dir, verdict_dir, threshold=0.4)
+    v = {r.doc_id: r for r in spark.read.parquet(verdict_dir).collect()}
+    assert v[12].is_dup and v[12].matched_id == 11
