@@ -277,3 +277,55 @@ def rollup_time_multi(
         # Spark and DuckDB round doubles differently in the last ulp.
         F.col("_sum").cast("double").alias("sum_value"),
     )
+
+
+def sequence_pattern_matches(
+    events: DataFrame,
+    pattern: Sequence[str],
+    within: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CEP-lite sequential pattern detection: per key, every run of
+    STRICTLY CONSECUTIVE events matching `pattern` whose first→last
+    span fits in `within` — the core of Flink-CEP's
+    ``begin.next.next.within`` chain (strict contiguity, no
+    quantifiers/negation), expressed as ONE keyed window pass.
+
+    Each match row reports the key, the starting event id/ts and the
+    span end ts. Overlapping matches all emit (CEP's default). The
+    k−1 `lead` columns share one (key, order) window spec, so the
+    whole detection is a single exchange + sort — no self-joins, no
+    per-stage scans, the same scale shape as the funnel.
+
+    `within` must be a Spark interval string; the span check compares
+    exact timestamps (microsecond integers under the hood — no float
+    boundary).
+    """
+    k = len(pattern)
+    if k < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    cols = [
+        F.col(key_col),
+        F.col(id_col).alias("start_event_id"),
+        F.col(ts_col).alias("start_ts"),
+        F.col(type_col).alias("_t0"),
+    ]
+    for j in range(1, k):
+        cols.append(F.lead(type_col, j).over(w).alias(f"_t{j}"))
+    cols.append(F.lead(ts_col, k - 1).over(w).alias("end_ts"))
+    staged = events.select(*cols)
+    cond = F.lit(True)
+    for j, step in enumerate(pattern):
+        cond = cond & (F.col(f"_t{j}") == step)
+    cond = cond & (
+        F.col("end_ts") <= F.col("start_ts") + F.expr(f"INTERVAL {within}")
+    )
+    return staged.filter(cond).select(
+        key_col, "start_event_id", "start_ts", "end_ts"
+    )

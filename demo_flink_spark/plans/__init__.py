@@ -66,6 +66,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
     # emitting them first makes round 4's sample cover them
     # (VERDICT.md round 3, item 3).
     never_driver_checked = (
+        "cep_pattern_view_click_purchase",  # new in r4
         "corpus_health_report",  # new in r4
         "dedup_eval_minhash",  # new in r4
         "multimodal_resize",  # new in r4

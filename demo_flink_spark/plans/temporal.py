@@ -120,6 +120,41 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite strict-contiguity pattern (operators/temporal.py::
+    sequence_pattern_matches): per user, every consecutive
+    view→click→purchase run completing within 12 hours (the bound
+    excludes roughly half the unbounded runs on this fixture — the
+    within clause is load-bearing, not decorative) — the Flink-CEP
+    begin.next.next.within chain as one keyed window pass."""
+    from demo_flink_spark.operators.temporal import sequence_pattern_matches
+
+    return sequence_pattern_matches(
+        load_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within="12 hours",
+    )
+
+
+_CEP_ORACLE = """
+WITH staged AS (
+    SELECT user_id,
+           event_id AS start_event_id,
+           ts AS start_ts,
+           event_type AS t0,
+           lead(event_type, 1) OVER w AS t1,
+           lead(event_type, 2) OVER w AS t2,
+           lead(ts, 2) OVER w AS end_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, start_event_id, start_ts, end_ts
+FROM staged
+WHERE t0 = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND end_ts <= start_ts + INTERVAL 12 HOUR
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel: per-stage user counts and the
     strictly-ordered conversion count.
@@ -223,6 +258,9 @@ SPECS = [
                    AS overlap_ms
         FROM a JOIN b ON a_start < b_end AND b_start < a_end
         """,
+    ),
+    QuerySpec(
+        "cep_pattern_view_click_purchase", q_cep_pattern, oracle=_CEP_ORACLE
     ),
     QuerySpec(
         "funnel_conversion",

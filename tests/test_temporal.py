@@ -113,3 +113,56 @@ def test_interval_overlap_join_exact_pairs_and_boundaries(spark):
     # exactly-once: no duplicate pair rows even when spans share
     # multiple buckets
     assert out.count() == out.select("a_id", "b_id").distinct().count()
+
+
+def test_cep_pattern_strict_contiguity_and_within(spark):
+    from datetime import datetime
+
+    from demo_flink_spark.operators.temporal import sequence_pattern_matches
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m, 0)
+
+    rows = [
+        # user a: clean view->click->purchase run inside the window
+        (1, t(0), "a", "view"),
+        (2, t(1), "a", "click"),
+        (3, t(2), "a", "purchase"),
+        # user b: pattern broken by an interleaved error (strict!)
+        (4, t(0), "b", "view"),
+        (5, t(1), "b", "error"),
+        (6, t(2), "b", "click"),
+        (7, t(3), "b", "purchase"),
+        # user c: right sequence but too slow (within=5 minutes)
+        (8, t(0), "c", "view"),
+        (9, t(2), "c", "click"),
+        (10, t(20), "c", "purchase"),
+        # user d: overlapping double match (view click view... no)
+        (11, t(0), "d", "view"),
+        (12, t(1), "d", "click"),
+        (13, t(2), "d", "purchase"),
+        (14, t(3), "d", "view"),
+        (15, t(4), "d", "click"),
+        (16, t(5), "d", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    out = sequence_pattern_matches(
+        df, ["view", "click", "purchase"], within="5 minutes"
+    ).collect()
+    got = {(r["user_id"], r["start_event_id"]) for r in out}
+    assert got == {("a", 1), ("d", 11), ("d", 14)}
+    # boundary: span exactly equal to `within` is INCLUDED (<=)
+    edge = spark.createDataFrame(
+        [
+            (1, t(0), "e", "view"),
+            (2, t(1), "e", "click"),
+            (3, t(5), "e", "purchase"),
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string",
+    )
+    hit = sequence_pattern_matches(
+        edge, ["view", "click", "purchase"], within="5 minutes"
+    ).collect()
+    assert len(hit) == 1 and str(hit[0]["end_ts"]).endswith("00:05:00")

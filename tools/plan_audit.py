@@ -345,6 +345,12 @@ CHECKS = {
     # health report: three map-side-combinable aggregates over one
     # scan + 1-row broadcast crossJoins
     "corpus_health_report": (["HashAggregate"], ["CartesianProduct"]),
+    # CEP pattern: all lead columns share ONE (key, order) window —
+    # single exchange, no self-joins
+    "cep_pattern_view_click_purchase": (
+        ["Window"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 
