@@ -33,6 +33,7 @@ from pyspark.sql.types import LongType
 from demo_flink_spark.operators.wordcount import normalize_text
 
 from demo_flink_spark.operators.checkpointing import cut_lineage, cut_lineage_lazy
+from demo_flink_spark.operators.hints import broadcast_if_small
 
 
 def _canonical(col: Column) -> Column:
@@ -962,12 +963,19 @@ def dedup_keep_list(
     and docs in no pair keep themselves.
 
     This is the step that turns pair detection into an actual deduped
-    corpus: downstream filters on `is_kept`. Components are tiny
-    relative to the corpus, so the final join broadcasts them.
+    corpus: downstream filters on `is_kept`. Components are usually
+    tiny relative to the corpus, so the final join broadcasts them —
+    but only while the component map fits the session's broadcast
+    threshold (it is one row per paired node, which can grow with the
+    corpus); past that it degrades to a shuffle join instead of an
+    executor OOM. The count is ~free: `connected_components` returns a
+    checkpoint-materialized frame.
     """
     comp = connected_components(pairs)
     return docs.select(id_col).join(
-        F.broadcast(comp), docs[id_col] == comp.node, "left"
+        broadcast_if_small(comp, comp.count()),
+        docs[id_col] == comp.node,
+        "left",
     ).select(
         F.col(id_col),
         F.coalesce("comp", F.col(id_col)).alias("canonical_id"),
@@ -1054,15 +1062,21 @@ def dedup_keep_best(
     (id, cluster_id, score, is_kept): cluster_id is the component's
     min label (stable cluster identity), is_kept marks the argmax by
     (score desc, id asc) — an explicit total order, so the choice is
-    deterministic on any engine. Components broadcast (tiny relative
-    to the corpus); the winner is ONE cluster-keyed window.
+    deterministic on any engine. Components broadcast while they fit
+    the session's broadcast threshold (shuffle-join fallback past it,
+    same rationale as `dedup_keep_list`); the winner is ONE
+    cluster-keyed window.
     """
     from pyspark.sql.window import Window
 
     comp = connected_components(pairs)
     scored = (
         docs.select(F.col(id_col), score.alias("score"))
-        .join(F.broadcast(comp), docs[id_col] == comp.node, "left")
+        .join(
+            broadcast_if_small(comp, comp.count()),
+            docs[id_col] == comp.node,
+            "left",
+        )
         .select(
             id_col,
             F.coalesce("comp", F.col(id_col)).alias("cluster_id"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from demo_flink_spark.operators.checkpointing import cut_lineage, cut_lineage_lazy
+from demo_flink_spark.operators.hints import broadcast_if_small
 
 # Q52 fixed-point scale for exact, engine-portable contribution sums
 _Q52 = float(1 << 52)
@@ -86,12 +87,18 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(n_iter):
-        # rank vector is |V| rows — tiny next to |E| — so it rides an
-        # explicit broadcast and the edge list never moves; the only
-        # per-iteration shuffle is the per-dst contribution sum, which
-        # map-side partials compress to ~|V| rows per task
+        # rank vector is |V| rows — on catalog-keyed graphs tiny next
+        # to |E|, so it rides a broadcast and the edge list never
+        # moves. But |V| can grow with the data (user/URL graphs), and
+        # a forced broadcast there is an OOM, not a slow plan — so the
+        # hint is conditional on |V| fitting the session's broadcast
+        # threshold (n is already counted above for the base term; the
+        # estimate costs nothing) and degrades to a shuffle join. The
+        # only unconditional per-iteration shuffle is the per-dst
+        # contribution sum, which map-side partials compress to ~|V|
+        # rows per task.
         contribs = (
-            withdeg.join(F.broadcast(ranks), withdeg.src == ranks.node)
+            withdeg.join(broadcast_if_small(ranks, n), withdeg.src == ranks.node)
             .select("dst", (F.col("rank") * F.col("inv_deg")).alias("c"))
             .groupBy("dst")
             # Q52 fixed-point accumulation (see docstring): exact,
@@ -104,10 +111,10 @@ def pagerank(
                 ).alias("contrib")
             )
         )
-        # contribs is also |V|-sized: broadcast it too, or the rank
-        # rebuild becomes a sort-merge join of two tiny relations
+        # contribs is also ≤|V|-sized: same conditional hint, so small
+        # graphs get a broadcast rebuild and large ones a shuffle join
         ranks = nodes.join(
-            F.broadcast(contribs), nodes.node == contribs.dst, "left"
+            broadcast_if_small(contribs, n), nodes.node == contribs.dst, "left"
         ).select(
             "node",
             (
