@@ -8,7 +8,11 @@ The stdout line's `queries` map carries the HEADLINE queries only
 captures a bounded tail of stdout, and round 3's full 139-entry map
 (~5 KB) overflowed it — BENCH_r03 recorded `parsed: null`. The full
 per-query timing map still runs and is written to
-`BENCH_DETAIL_local.json` next to this script.
+`BENCH_DETAIL_{$SPARK_GRAFT_BENCH_TAG:-local}.json` next to this
+script: the driver's untagged runs land in `BENCH_DETAIL_local.json`,
+while the builder tags its own uncontended runs (e.g.
+`SPARK_GRAFT_BENCH_TAG=builder_r05`) so the two provenances stay
+separately comparable round over round.
 
 Each query is executed to completion via count() — an action that
 runs the whole plan without materializing results on the driver. Run
@@ -105,8 +109,10 @@ def main() -> None:
         "profile_lineitem",
         "ts_anomaly_zscore",
     ]
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "local")
+    detail_name = f"BENCH_DETAIL_{tag}.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_local.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     summary = {
         "metric": "total_query_wall_clock",
@@ -116,7 +122,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "failed": failed,
-        "detail": "BENCH_DETAIL_local.json",
+        "detail": detail_name,
     }
     if not only:
         with open(detail_path, "w") as f:

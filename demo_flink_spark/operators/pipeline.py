@@ -253,6 +253,17 @@ def span_corruption(
     array — a zero-exchange narrow map (pure scan throughput at
     100 TB), like `chunk_documents` beside it.
     """
+    if span_len >= tokens_per_span:
+        # W can reach tokens_per_span exactly, so span_len >= that
+        # bound makes the offset modulus (W - span_len + 1) zero or
+        # negative → NULL offsets → spans that silently never match.
+        # Fail loudly instead (mirrors sequence_pattern_matches' k<2
+        # guard).
+        raise ValueError(
+            f"span_len ({span_len}) must be < tokens_per_span "
+            f"({tokens_per_span}): each width-W stratum (W <= "
+            "tokens_per_span) must fit a full span"
+        )
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
         lambda w: w != "",

@@ -52,6 +52,13 @@ def dq_report(
     from that single row with literal check names — a constant-width
     stack, not a second scan.
     """
+    if not any((completeness, unique, ranges, accepted)):
+        # zero constraints would build stack(0, ) — a SQL parse error
+        # at action time; fail at call time with the actual problem
+        raise ValueError(
+            "dq_report: at least one constraint required "
+            "(completeness / unique / ranges / accepted)"
+        )
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
     rows: list[tuple[str, str, int]] = []  # (check name, agg alias, pct)
     for col, pct in (completeness or {}).items():

@@ -456,7 +456,9 @@ def hard_negatives(
     broadcast, corpus streams, per-query top-k); the label-mismatch
     predicate rides the join condition, so same-class pairs are
     dropped before scoring. `queries` needs (query_id, embedding,
-    label)."""
+    label). The label comparison is null-safe (NULL is a distinct
+    label value, SQL `IS DISTINCT FROM`): a plain `!=` would silently
+    exclude every NULL-labeled row from negative mining."""
     q = F.broadcast(
         queries.select(
             F.col("query_id"),
@@ -469,7 +471,7 @@ def hard_negatives(
         .join(
             q,
             (F.col("query_id") != F.col("vec_id"))
-            & (F.col(label_col) != F.col("qlabel")),
+            & ~F.col(label_col).eqNullSafe(F.col("qlabel")),
         )
         .withColumn("_cos_raw", cosine(F.col("qvec"), F.col("cvec")))
     )

@@ -332,13 +332,19 @@ def canonicalize_url(url: Column) -> Column:
         lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
     )
     query = F.array_join(kept, "&")
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
+    # Scheme-less / malformed inputs ('example.com?id=1', '//cdn/x',
+    # relative paths) make every component regex come back empty, so
+    # distinct inputs would all collapse to '://?...' — one canonical
+    # group, i.e. silent data loss in url_dedup. Pass them through
+    # unchanged instead: an uncanonicalizable URL stays its own key.
+    return F.when(scheme != "", canonical).otherwise(url)
 
 
 def url_dedup(

@@ -130,11 +130,19 @@ def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured-recall pytest in tests/test_dedup_similarity.py."""
     docs = load_table(spark, sf_dir, "documents")
     max_df = max(int(0.01 * docs.count()), 100)
-    exact = dd.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.2, max_df=max_df
-    ).select("doc_a", "doc_b")
-    approx = dd.minhash_lsh_pairs(docs, n=3, threshold=0.2).select(
-        "doc_a", "doc_b"
+    # set semantics on both pair lists: the DuckDB oracle uses
+    # INTERSECT (a set op), so a duplicate (doc_a, doc_b) row from
+    # either generator would inflate n_common under the inner join's
+    # bag semantics (precision/recall could exceed 1)
+    exact = (
+        dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    approx = (
+        dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     common = exact.join(approx, ["doc_a", "doc_b"], "inner")
     e = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))

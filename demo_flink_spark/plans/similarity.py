@@ -83,7 +83,7 @@ scored AS (
            / (sqrt(list_dot_product(q.qv, q.qv))
               * sqrt(list_dot_product(e.v, e.v))) AS c
     FROM q JOIN e
-      ON q.query_id <> e.vec_id AND e.label <> q.qlabel
+      ON q.query_id <> e.vec_id AND e.label IS DISTINCT FROM q.qlabel
 ),
 ranked AS (
     SELECT query_id, vec_id, c,

@@ -301,3 +301,25 @@ def test_dedup_keep_best_longest_policy(spark):
         r["doc_id"]: r for r in dedup_keep_best(tie, tpairs, score).collect()
     }
     assert tout[5]["is_kept"] and not tout[6]["is_kept"]
+
+
+def test_hard_negatives_null_label_is_distinct(spark):
+    """NULL-labeled corpus rows are negatives for non-NULL queries
+    (IS DISTINCT FROM semantics), not silently dropped by a null-
+    unsafe != predicate."""
+    from demo_flink_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], "a"),   # same label as query: excluded
+            (11, [1.0, 0.1], None),  # NULL label: must be a negative
+            (12, [0.0, 1.0], "b"),   # other label: negative
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a")],
+        "query_id long, embedding array<double>, label string",
+    )
+    got = {r["vec_id"] for r in hard_negatives(corpus, queries, k=5).collect()}
+    assert got == {11, 12}

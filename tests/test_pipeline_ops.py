@@ -171,3 +171,18 @@ def test_span_corruption_token_conservation(spark):
     tgt = [w for w in r["targets_txt"].split(" ") if not w.startswith("<X")]
     assert sorted(inp + tgt) == sorted(toks)
     assert len(tgt) == 3 * r["n_spans"]
+
+
+def test_span_corruption_rejects_span_wider_than_stratum(spark):
+    """span_len >= tokens_per_span would make the offset modulus zero
+    or negative (NULL offsets, silently unmatched spans) — must raise
+    at call time instead."""
+    import pytest
+
+    from demo_flink_spark.operators.pipeline import span_corruption
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="span_len"):
+        span_corruption(df, span_len=20, tokens_per_span=20)
+    with pytest.raises(ValueError, match="span_len"):
+        span_corruption(df, span_len=25, tokens_per_span=20)

@@ -94,3 +94,13 @@ def test_corpus_health_report_values(spark):
         "doc_id long, text string, lang string",
     )
     assert corpus_health_report(mono).collect()[0]["lang_entropy_nats"] == 0.0
+
+
+def test_dq_report_requires_a_constraint(spark):
+    """Zero constraints would build stack(0, ) — a SQL parse error at
+    action time; the operator must fail at call time instead."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="at least one constraint"):
+        dq_report(df)

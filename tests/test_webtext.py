@@ -267,3 +267,21 @@ def test_c4_cleaned_text_is_stable(spark):
     assert again["cleaned"] == first["cleaned"]
     assert again["n_lines_kept"] == first["n_lines_kept"]
     assert again["n_sentences"] == first["n_sentences"]
+
+
+def test_canonicalize_url_malformed_passthrough(spark):
+    """Scheme-less / malformed URLs pass through unchanged instead of
+    all collapsing to '://?...' (which made url_dedup drop distinct
+    documents as duplicates of each other)."""
+    from demo_flink_spark.operators.webtext import canonicalize_url
+
+    raw = [
+        "example.com?id=1",
+        "other.org?id=1",
+        "//cdn.example.com/asset.js",
+        "/relative/path?x=1",
+        "not a url at all",
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    out = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert out == raw  # unchanged, therefore still distinct dedup keys
