@@ -1,0 +1,157 @@
+"""Streaming twin of `operators.sampling.token_budget_cut`: a hard
+per-group token budget enforced continuously as documents arrive.
+
+This completes the batch/streaming story for the curation pipeline
+(the quality gate and LSH dedup already have streaming twins): a
+training-mixture recipe says "at most N tokens of each language", and
+the ingest stream must converge to EXACTLY the cut the batch operator
+would have chosen over the same corpus — not a greedy
+first-come-first-kept approximation, which would make the selected
+subset depend on arrival order and differ run to run.
+
+Batch semantics being mirrored (`operators/sampling.py:157`): docs
+rank within their group by md5(salt‖doc_id) and the kept set is the
+longest rank-prefix whose token sum fits the budget. The streaming
+kernel maintains, per group, the CURRENTLY-KEPT prefix as state.
+Key monotonicity property that makes this tractable: inserting a new
+doc into the ranked prefix only *increases* cumulative sums at later
+ranks, so docs can flip kept→dropped (eviction) but never
+dropped→kept. Therefore:
+
+- state holds only the kept docs (bounded by budget/min-doc-tokens,
+  NOT by stream length — a group's state cannot outgrow its budget);
+- an arrival whose own cumulative already overflows is dropped
+  forever, with no state footprint;
+- an eviction is emitted as a retraction row (same doc_id, kept=false,
+  higher seq), so a downstream upsert sink (`streaming/materialized`
+  keyed-snapshot pattern) converges to the batch answer: take each
+  doc's highest-seq row.
+
+The md5 rank is computed in the kernel with hashlib — bit-identical
+to the batch operator's `F.md5(concat(salt, doc_id))` string, so the
+two paths order identically on any engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from demo_flink_spark.streaming.stateful_ops import StatefulOp
+
+OUTPUT_SCHEMA = "doc_id long, grp string, n_tokens long, kept boolean, seq long"
+# kept-prefix parallel arrays, sorted by rank key; seq is the per-key
+# emission revision counter (retractions carry a higher seq than the
+# original kept row, so "max seq per doc" is the converged answer)
+STATE_SCHEMA = (
+    "rks array<string>, ids array<long>, toks array<long>, seq long"
+)
+
+
+def _rank_key(doc_id: int, salt: str) -> str:
+    return hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+
+
+def _count_tokens(text) -> int:
+    if text is None or (isinstance(text, float) and pd.isna(text)):
+        return 0
+    return len([w for w in str(text).split() if w])
+
+
+def token_budget_op(
+    budgets: dict[str, int], salt: str = "tb1"
+) -> StatefulOp:
+    """Build the keyed stateful op (key = group column, e.g. lang).
+
+    Groups without a declared budget are unlimited: every arrival is
+    emitted kept=true and no state accumulates.
+    """
+
+    def fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+        (grp,) = key
+        budget = budgets.get(grp, -1)
+        arrivals: list[tuple[str, int, int]] = []  # (rk, doc_id, n_tokens)
+        for pdf in pdfs:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                arrivals.append(
+                    (_rank_key(int(doc_id), salt), int(doc_id),
+                     _count_tokens(text))
+                )
+        if not arrivals:
+            return
+        # deterministic in-batch order (same discipline as the other
+        # stateful kernels: batch contents must not depend on Arrow
+        # chunking order)
+        arrivals.sort()
+
+        if state.exists:
+            rks, ids, toks, seq = state.get
+            kept_old = list(zip(rks, ids, toks))
+        else:
+            kept_old, seq = [], 0
+        seq += 1
+
+        if budget < 0:
+            # unlimited group: stateless pass-through
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d for _, d, _ in arrivals],
+                    "grp": grp,
+                    "n_tokens": [t for _, _, t in arrivals],
+                    "kept": True,
+                    "seq": seq,
+                }
+            )
+            state.update(([], [], [], seq))
+            return
+
+        old_ids = {d for _, d, _ in kept_old}
+        merged = sorted(kept_old + arrivals)
+        cum = 0
+        kept_new: list[tuple[str, int, int]] = []
+        kept_ids: set[int] = set()
+        for rk, d, t in merged:
+            cum += t
+            if cum <= budget:
+                kept_new.append((rk, d, t))
+                kept_ids.add(d)
+            else:
+                break  # prefix cut: everything after is out
+        out_ids, out_toks, out_kept = [], [], []
+        for _, d, t in arrivals:
+            out_ids.append(d)
+            out_toks.append(t)
+            out_kept.append(d in kept_ids)
+        for rk, d, t in kept_old:
+            if d not in kept_ids:
+                # retraction: a lower-ranked late arrival pushed this
+                # previously-kept doc over the budget
+                out_ids.append(d)
+                out_toks.append(t)
+                out_kept.append(False)
+        yield pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "grp": grp,
+                "n_tokens": out_toks,
+                "kept": out_kept,
+                "seq": seq,
+            }
+        )
+        state.update(
+            (
+                [rk for rk, _, _ in kept_new],
+                [d for _, d, _ in kept_new],
+                [t for _, _, t in kept_new],
+                seq,
+            )
+        )
+
+    return StatefulOp(
+        name="token_budget",
+        fn=fn,
+        output_schema=OUTPUT_SCHEMA,
+        state_schema=STATE_SCHEMA,
+    )

@@ -1,0 +1,104 @@
+"""Streaming token-budget mixture: convergence to the batch cut.
+
+`streaming/budget_stream.py` must converge — across out-of-order
+micro-batches, through real state-store boundaries — to EXACTLY the
+kept set `operators.sampling.token_budget_cut` computes over the same
+corpus, including evicting a previously-kept doc when a lower-ranked
+late arrival pushes it over the budget.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from demo_flink_spark.operators.sampling import token_budget_cut
+from demo_flink_spark.streaming.budget_stream import token_budget_op
+from demo_flink_spark.streaming.harness import run_stateful
+
+BUDGETS = {"en": 10, "fr": 5}  # de undeclared -> unlimited
+
+
+def _docs():
+    rows = []
+    for i in range(12):
+        rows.append((i, "en", " ".join(["tok"] * (2 + i % 3))))
+    for i in range(12, 18):
+        rows.append((i, "fr", " ".join(["mot"] * (1 + i % 2))))
+    for i in range(18, 21):
+        rows.append((i, "de", " ".join(["wort"] * 4)))
+    return rows
+
+
+def _final_snapshot(result_df) -> dict[int, bool]:
+    """Converged answer: each doc's highest-seq emission."""
+    pdf = result_df.toPandas()
+    pdf = pdf.sort_values("seq").groupby("doc_id").tail(1)
+    return dict(zip(pdf["doc_id"], pdf["kept"]))
+
+
+def test_streaming_budget_matches_batch_with_eviction(spark):
+    rows = _docs()
+    # hold back the LOWEST-ranked en doc to the last batch: inserting
+    # it at the front of the rank order must evict someone from the
+    # already-full en budget
+    en_ids = [i for i, g, _ in rows if g == "en"]
+    held = min(en_ids, key=lambda i: hashlib.md5(f"tb1{i}".encode()).hexdigest())
+    data = [(i, g, t, 1 if i == held else 0) for i, g, t in rows]
+    source = spark.createDataFrame(
+        data, "doc_id long, grp string, text string, batch int"
+    )
+    streamed = run_stateful(
+        spark, source, ["grp"], token_budget_op(BUDGETS),
+        n_batches=2, batch_col="batch",
+    )
+    got = _final_snapshot(streamed)
+
+    batch_df = spark.createDataFrame(
+        [(i, g, t) for i, g, t in rows], "doc_id long, grp string, text string"
+    )
+    want = {
+        r["doc_id"]: r["kept"]
+        for r in token_budget_cut(batch_df, BUDGETS, group_col="grp").collect()
+    }
+    assert got == want
+
+    # the eviction path genuinely executed: some doc was kept in an
+    # early emission and retracted later
+    pdf = streamed.toPandas()
+    flips = (
+        pdf.sort_values("seq")
+        .groupby("doc_id")["kept"]
+        .apply(lambda s: bool(s.iloc[0]) and not bool(s.iloc[-1]))
+    )
+    assert flips.any(), "expected at least one kept->retracted doc"
+    # the held-back doc itself must have been kept (lowest rank)
+    assert got[held] is True or got[held] == True  # noqa: E712
+    # unlimited group keeps everything
+    for i in (18, 19, 20):
+        assert got[i]
+
+
+def test_streaming_budget_matches_batch_random_order(spark):
+    """Three arbitrary batch splits, no engineered adversary: every
+    replay order converges to the same batch answer."""
+    rows = _docs()
+    data = [(i, g, t, (i * 7) % 3) for i, g, t in rows]
+    source = spark.createDataFrame(
+        data, "doc_id long, grp string, text string, batch int"
+    )
+    streamed = run_stateful(
+        spark, source, ["grp"], token_budget_op(BUDGETS),
+        n_batches=3, batch_col="batch",
+    )
+    got = _final_snapshot(streamed)
+    batch_df = spark.createDataFrame(
+        [(i, g, t) for i, g, t in rows], "doc_id long, grp string, text string"
+    )
+    want = {
+        r["doc_id"]: r["kept"]
+        for r in token_budget_cut(batch_df, BUDGETS, group_col="grp").collect()
+    }
+    assert got == want
