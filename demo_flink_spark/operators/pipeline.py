@@ -344,3 +344,82 @@ def span_corruption(
         input_txt.alias("input_txt"),
         targets_txt.alias("targets_txt"),
     )
+
+
+def fim_transform(
+    docs: DataFrame, text_col: str = "text", salt: str = "fim"
+) -> DataFrame:
+    """FIM (fill-in-the-middle, Bavarian et al. 2022) sample prep:
+    split each document's token sequence at two seeded cut points and
+    emit the PSM permutation `<PRE> prefix <SUF> suffix <MID> middle`
+    — training on this teaches a causal LM to infill, the standard
+    code/text-completion objective.
+
+    Cut points: c = md5(salt‖doc_id‖tag) 16-bit value mod (n+1) for
+    tags 'a'/'b', sorted — both cuts uniform over [0, n] and fully
+    reproducible on any engine (exact integer arithmetic; the DuckDB
+    twin decodes the same two md5 bytes). Degenerate splits (empty
+    prefix/middle/suffix) are legitimate FIM samples and pass through.
+
+    Zero-exchange narrow map, like `span_corruption` beside it —
+    pure scan throughput at 100 TB.
+
+    Returns (doc_id, n_tokens, pre_len, mid_len, suf_len, psm_md5):
+    the md5 of the PSM string pins the whole permutation for the
+    oracle without shipping megabyte rows through the compare.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != "",
+    )
+    n = F.size(toks)
+
+    def cut(tag: str) -> Column:
+        h16 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("doc_id").cast("string"),
+                        F.lit("_"),
+                        F.lit(tag),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h16 % (n + 1)
+
+    c1, c2 = cut("a"), cut("b")
+    p, s = F.least(c1, c2), F.greatest(c1, c2)
+
+    def piece(start: Column, length: Column) -> Column:
+        # slice() with runtime-zero length is fine, but a start past
+        # the array end is not guaranteed across engines — guard to a
+        # literal empty array instead
+        return F.when(length > 0, F.slice(toks, start, length)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    pre = piece(F.lit(1), p)
+    mid = piece(p + 1, s - p)
+    suf = piece(s + 1, n - s)
+    psm = F.concat(
+        F.lit("<PRE> "),
+        F.array_join(pre, " "),
+        F.lit(" <SUF> "),
+        F.array_join(suf, " "),
+        F.lit(" <MID> "),
+        F.array_join(mid, " "),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        p.cast("long").alias("pre_len"),
+        (s - p).cast("long").alias("mid_len"),
+        (n - s).cast("long").alias("suf_len"),
+        F.md5(psm).alias("psm_md5"),
+    )

@@ -212,3 +212,46 @@ def token_budget_cut(
         "kept",
         (F.col("budget") < 0) | (F.col("cum_tokens") <= F.col("budget")),
     )
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "exk",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group — the "give me 10k
+    benchmark docs per language" ask that rate-based
+    `stratified_sample` cannot answer (a rate keeps an EXPECTED
+    count; this keeps an exact one).
+
+    Selection ranks each group by md5(salt‖id) hex text with an id
+    tiebreak — reproducible on any engine, independent of
+    partitioning, and re-runnable: the same corpus always yields the
+    same k rows. ONE group-keyed window exchange; at 100 TB the
+    group key (language/source) has low cardinality, so rows-per-
+    group is large but the window does a single sort-per-partition
+    after the hash exchange — same shape as `token_budget_cut`.
+
+    Returns (id, grp, rn) for the kept rows, rn ∈ [1, k] being the
+    selection rank (usable downstream as a stable fold id).
+    """
+    from pyspark.sql.window import Window
+
+    rk = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.select(F.col(id_col), F.col(group_col).alias("grp"), rk.alias("_rk"))
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(
+                Window.partitionBy("grp").orderBy(
+                    F.col("_rk").asc(), F.col(id_col).asc()
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rn") <= k)
+        .drop("_rk")
+    )

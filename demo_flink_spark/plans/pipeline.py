@@ -177,6 +177,53 @@ def _span_corruption_oracle() -> str:
     """
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM PSM permutation (operators/pipeline.py::fim_transform):
+    seeded 16-bit cut points, PSM string md5-compared — the oracle
+    rebuilds the permutation from the same two md5 bytes, so cut
+    placement, slice boundaries, and piece order must invert
+    exactly."""
+    return pl.fim_transform(load_table(spark, sf_dir, "documents"))
+
+
+def _fim_oracle() -> str:
+    def h16(tag: str) -> str:
+        x = f"md5_number_upper('fim' || CAST(doc_id AS VARCHAR) || '_{tag}')"
+        # big-endian first two md5 bytes == Spark conv(substr(md5,1,4),16,10)
+        return f"CAST(({x} % 256) * 256 + ({x} // 256) % 256 AS BIGINT)"
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    cuts AS (
+        SELECT doc_id, t, len(t) AS n,
+               {h16('a')} % (len(t) + 1) AS c1,
+               {h16('b')} % (len(t) + 1) AS c2
+        FROM tok
+    ),
+    ps AS (
+        SELECT doc_id, t, n,
+               least(c1, c2) AS p, greatest(c1, c2) AS s
+        FROM cuts
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(p AS BIGINT) AS pre_len,
+           CAST(s - p AS BIGINT) AS mid_len,
+           CAST(n - s AS BIGINT) AS suf_len,
+           -- array_to_string of an EMPTY list is NULL in DuckDB
+           -- (Spark's array_join gives ''): coalesce each piece
+           md5('<PRE> ' || coalesce(array_to_string(t[1:p], ' '), '')
+               || ' <SUF> ' || coalesce(array_to_string(t[s+1:n], ' '), '')
+               || ' <MID> ' || coalesce(array_to_string(t[p+1:s], ' '), ''))
+               AS psm_md5
+    FROM ps
+    """
+
+
 SPECS = [
     QuerySpec(
         "source_file_provenance",
@@ -283,4 +330,5 @@ SPECS = [
         "span_corruption_t5", q_span_corruption,
         oracle=_span_corruption_oracle(),
     ),
+    QuerySpec("fim_transform_psm", q_fim_transform, oracle=_fim_oracle()),
 ]

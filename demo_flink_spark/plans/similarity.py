@@ -382,6 +382,150 @@ def _srp_lsh_oracle() -> str:
 """
 
 
+def q_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (operators/similarity.py::
+    cosine_topk_hamming): sign-bit words -> Hamming prune to 10k
+    candidates -> exact cosine re-rank (a 64-bit sketch of 64 dims is
+    coarse, so the prune keeps a wider margin than higher-dim
+    deployments would). All-integer candidate selection, so the whole
+    two-stage recall trade is value-hash oracle-checkable (unlike
+    seeded PQ)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_hamming(
+        emb, _queries_df(spark, sf_dir), k=_K, dim=64, candidate_mult=10
+    )
+
+
+def _hamming_oracle() -> str:
+    def word(off: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(0, 32), i -> "
+            f"CASE WHEN v[i + {off + 1}] >= 0 THEN 1::BIGINT << i "
+            "ELSE 0::BIGINT END)) AS BIGINT)"
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    w AS (
+        SELECT vec_id, v, {word(0)} AS w0, {word(32)} AS w1 FROM e
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, w0 AS qw0, w1 AS qw1
+        FROM w WHERE vec_id < {_N_QUERIES}
+    ),
+    ham AS (
+        SELECT q.query_id, w.vec_id,
+               bit_count(xor(w.w0, q.qw0)) + bit_count(xor(w.w1, q.qw1)) AS h
+        FROM q JOIN w ON q.query_id <> w.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY h ASC, vec_id ASC) AS crk
+        FROM ham
+        QUALIFY crk <= {10 * _K}
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS c
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN e ON e.vec_id = c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, c,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 6) AS cos, rk
+    FROM ranked WHERE rk <= {_K}
+    """
+
+
+_MATRYOSHKA_DIM = 16
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): how
+    much top-k recall survives truncating embeddings to their first
+    16 of 64 dims — the dimension/quality knob an MRL-trained encoder
+    exposes. Runs brute-force top-k at BOTH dims in-engine (same
+    composed-evaluation shape as `dedup_eval_minhash` /
+    `retrieval_eval_metrics`) and reports per-query overlap; exact
+    integer counts + one division, so the metric hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = F.slice(F.col("embedding"), 1, _MATRYOSHKA_DIM)
+    t_corpus = emb.select("vec_id", trunc.alias("embedding"))
+    t_queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), trunc.alias("embedding")
+    )
+    approx = sim.cosine_topk_bruteforce(t_corpus, t_queries, k=_K)
+    truth = sim.cosine_topk_bruteforce(emb, _queries_df(spark, sf_dir), k=_K)
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    qids = truth.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        (F.coalesce("n_common", F.lit(0)) / F.lit(_K)).alias("recall_at_k"),
+    )
+
+
+def _matryoshka_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    et AS (SELECT vec_id, v[1:{_MATRYOSHKA_DIM}] AS v FROM e),
+    tq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    tscored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS c
+        FROM tq q JOIN e ON q.query_id <> e.vec_id
+    ),
+    truth AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id ASC) AS rk
+        FROM tscored
+        QUALIFY rk <= {_K}
+    ),
+    aq AS (SELECT vec_id AS query_id, v AS qv FROM et WHERE vec_id < {_N_QUERIES}),
+    ascored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS c
+        FROM aq q JOIN et e ON q.query_id <> e.vec_id
+    ),
+    appr AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id ASC) AS rk
+        FROM ascored
+        QUALIFY rk <= {_K}
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS n_common
+        FROM appr a JOIN truth t
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+           coalesce(h.n_common, 0) / CAST({_K} AS DOUBLE) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """
+
+
 SPECS = [
     QuerySpec(
         "similarity_topk_bruteforce",
@@ -438,6 +582,11 @@ SPECS = [
         SELECT query_id, vec_id, round(c, 6) AS cos, rk
         FROM ranked WHERE rk <= {_K}
         """,
+    ),
+    QuerySpec("similarity_topk_hamming", q_topk_hamming, oracle=_hamming_oracle()),
+    QuerySpec(
+        "matryoshka_topk_recall", q_matryoshka_recall,
+        oracle=_matryoshka_oracle(),
     ),
     # similarity_topk_pq is pytest-only coverage: its seeded k-means
     # codebooks have no SQL twin, so it is exercised by the

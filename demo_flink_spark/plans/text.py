@@ -326,6 +326,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified selection (operators/sampling.py::
+    exact_k_per_group): exactly min(25, |lang group|) docs per
+    language by md5 rank — the benchmark-subset ask a rate-based
+    sample cannot answer."""
+    from demo_flink_spark.operators.sampling import exact_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_k_per_group(docs, k=25, group_col="lang", salt="exk")
+
+
 def q_parse_csv_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.2 T2: parse a "ts,word" line into (long, string) with
     trim — `EventTimeWordCountDebug.java:37-42` — demonstrated by
@@ -951,6 +962,23 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
                '/docs/' || CAST(doc_id AS VARCHAR) AS path,
                lang AS q_lang
         FROM documents
+        """,
+    ),
+    QuerySpec(
+        # exactly 25 per lang by (md5 hex, id) rank — rn is the
+        # stable selection rank
+        "sample_exact_k_per_group",
+        q_exact_k_per_group,
+        oracle="""
+        SELECT doc_id, grp, rn FROM (
+            SELECT doc_id, lang AS grp,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('exk' || CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC
+                   ) AS BIGINT) AS rn
+            FROM documents
+        ) t WHERE rn <= 25
         """,
     ),
     QuerySpec(

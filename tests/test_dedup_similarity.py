@@ -323,3 +323,51 @@ def test_hard_negatives_null_label_is_distinct(spark):
     )
     got = {r["vec_id"] for r in hard_negatives(corpus, queries, k=5).collect()}
     assert got == {11, 12}
+
+
+def test_binary_quantize_words_bit_layout(spark):
+    """bit i of word w == sign of dim 32w+i; -0.0 counts as >= 0."""
+    v = [0.0] * 64
+    v[0], v[3], v[33] = 1.0, 2.0, 5.0
+    v[1] = -1.0
+    v[2] = -0.0  # >= 0 on both engines -> bit SET
+    neg = [-1.0] * 64
+    df = spark.createDataFrame(
+        [(1, v), (2, neg)], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in sim.binary_quantize_words(df, "embedding", "vec_id").collect()
+    }
+    # doc1 w0: all-zero dims >= 0 -> every bit except bit 1 set
+    assert rows[1][0] == (2**32 - 1) ^ 2
+    assert rows[1][1] == 2**32 - 1  # dims 32..63 all >= 0
+    assert rows[2] == (0, 0)
+
+
+def test_hamming_topk_recall_vs_bruteforce(spark):
+    """Binary-quantization ANN recall@5 on real embeddings: the
+    10k-candidate Hamming prune must keep most of the exact top-5
+    (a 64-bit sketch is coarse — measured 0.7 here vs 0.4 at 4k)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_hamming(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"hamming recall@5 too low: {recall}"
+
+
+def test_binary_quantize_rejects_non_multiple_of_32(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="multiple of 32"):
+        sim.binary_quantize_words(df, "embedding", "vec_id", dim=48)

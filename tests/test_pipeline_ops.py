@@ -186,3 +186,21 @@ def test_span_corruption_rejects_span_wider_than_stratum(spark):
         span_corruption(df, span_len=20, tokens_per_span=20)
     with pytest.raises(ValueError, match="span_len"):
         span_corruption(df, span_len=25, tokens_per_span=20)
+
+
+def test_fim_transform_piece_lengths_partition_doc(spark):
+    """pre+mid+suf == n for every doc, and the split is reproducible."""
+    from demo_flink_spark.operators.pipeline import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i % 7))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    rows = fim_transform(docs).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["pre_len"] + r["mid_len"] + r["suf_len"] == r["n_tokens"]
+        assert r["pre_len"] >= 0 and r["mid_len"] >= 0 and r["suf_len"] >= 0
+        assert r["psm_md5"] is not None
+    again = {r["doc_id"]: r["psm_md5"] for r in fim_transform(docs).collect()}
+    assert again == {r["doc_id"]: r["psm_md5"] for r in rows}

@@ -149,3 +149,26 @@ def test_token_budget_cut_hard_ceiling(spark):
         for r in token_budget_cut(df, {"en": 23, "zz": 0}).collect()
     }
     assert again == {r["doc_id"]: r["kept"] for r in out}
+
+
+def test_exact_k_per_group_counts_and_determinism(spark):
+    from demo_flink_spark.operators.sampling import exact_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(45)],
+        "doc_id long, lang string",
+    )
+    out = exact_k_per_group(df, k=10, group_col="lang").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append((r["rn"], r["doc_id"]))
+    # exactly k from the big group, the whole small group (5 < k)
+    assert len(by_grp["big"]) == 10
+    assert len(by_grp["small"]) == 5
+    assert sorted(rn for rn, _ in by_grp["big"]) == list(range(1, 11))
+    # deterministic: same corpus -> same selection
+    again = {
+        (r["grp"], r["rn"], r["doc_id"])
+        for r in exact_k_per_group(df, k=10, group_col="lang").collect()
+    }
+    assert again == {(g, rn, d) for g, xs in by_grp.items() for rn, d in xs}
