@@ -64,6 +64,7 @@ def all_specs() -> dict[str, "QuerySpec"]:
 
 def _rotate_by_driver_evidence(
     collected: dict[str, "QuerySpec"],
+    root: "str | None" = None,
 ) -> dict[str, "QuerySpec"]:
     """Order the registry so the driver's ~50-query sample lands on the
     queries with the least/oldest driver evidence.
@@ -86,8 +87,8 @@ def _rotate_by_driver_evidence(
     last_round: dict[str, int] = {}
     last_green: dict[str, bool] = {}
     try:
-        root = Path(__file__).resolve().parents[2]
-        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        base = Path(root) if root else Path(__file__).resolve().parents[2]
+        for f in sorted(base.glob("CORRECTNESS_r*.json")):
             m = re.search(r"r(\d+)", f.name)
             if not m:
                 continue

@@ -68,3 +68,52 @@ def test_every_plan_module_parses():
             except SyntaxError as e:
                 bad.append(f"{p}: {e}")
     assert not bad, "\n".join(bad)
+
+
+def test_rotation_orders_by_driver_evidence(tmp_path):
+    """Never-sampled first, then stale fail records, then green
+    oldest-round-first; unreadable files degrade to declaration
+    order without raising."""
+    import json
+
+    from demo_flink_spark.plans import _rotate_by_driver_evidence
+
+    class Spec:  # stand-in; rotation only touches dict keys
+        pass
+
+    collected = {n: Spec() for n in ("a", "b", "c", "d", "e")}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+        "b": {"rows_match": True, "schema_match": True,
+              "hash_match": False, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "c": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+        "d": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": "no_oracle"},
+    }))
+    out = list(_rotate_by_driver_evidence(dict(collected), root=str(tmp_path)))
+    # e never sampled; b (r1 fail) before d (r2 err); a (r1 green)
+    # before c (r2 green)
+    assert out == ["e", "b", "d", "a", "c"]
+
+    # a later green record supersedes an earlier fail
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "b": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+    }))
+    out = list(_rotate_by_driver_evidence(dict(collected), root=str(tmp_path)))
+    assert out == ["e", "d", "a", "c", "b"]
+
+    # corrupt file: skipped, not fatal
+    (tmp_path / "CORRECTNESS_r04.json").write_text("{not json")
+    out = list(_rotate_by_driver_evidence(dict(collected), root=str(tmp_path)))
+    assert out == ["e", "d", "a", "c", "b"]
+
+    # no files at all: declaration order
+    empty = tmp_path / "none"
+    empty.mkdir()
+    out = list(_rotate_by_driver_evidence(dict(collected), root=str(empty)))
+    assert out == ["a", "b", "c", "d", "e"]
