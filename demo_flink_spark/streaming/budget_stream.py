@@ -60,18 +60,26 @@ def _count_tokens(text) -> int:
     return len([w for w in str(text).split() if w])
 
 
-def token_budget_op(
-    budgets: dict[str, int], salt: str = "tb1"
+def _kept_prefix_op(
+    name: str,
+    limit_of_group,  # grp -> int limit, or -1 for unlimited
+    prefix_rule,  # (merged sorted [(rk,id,toks)], limit) -> kept list
+    salt: str,
 ) -> StatefulOp:
-    """Build the keyed stateful op (key = group column, e.g. lang).
+    """Shared kernel for monotone kept-prefix selections.
 
-    Groups without a declared budget are unlimited: every arrival is
-    emitted kept=true and no state accumulates.
+    Both selections here (token-budget sum, exact-k count) share the
+    property that inserting a lower-ranked late arrival can only push
+    docs OUT of the kept rank-prefix, never pull them in — so state
+    holds only the current prefix (bounded by the limit, not the
+    stream) and evictions emit retraction rows. `prefix_rule` is the
+    only difference: how far down the merged rank order the keep
+    extends.
     """
 
     def fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
         (grp,) = key
-        budget = budgets.get(grp, -1)
+        limit = limit_of_group(grp)
         arrivals: list[tuple[str, int, int]] = []  # (rk, doc_id, n_tokens)
         for pdf in pdfs:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -93,7 +101,7 @@ def token_budget_op(
             kept_old, seq = [], 0
         seq += 1
 
-        if budget < 0:
+        if limit < 0:
             # unlimited group: stateless pass-through
             yield pd.DataFrame(
                 {
@@ -107,18 +115,9 @@ def token_budget_op(
             state.update(([], [], [], seq))
             return
 
-        old_ids = {d for _, d, _ in kept_old}
         merged = sorted(kept_old + arrivals)
-        cum = 0
-        kept_new: list[tuple[str, int, int]] = []
-        kept_ids: set[int] = set()
-        for rk, d, t in merged:
-            cum += t
-            if cum <= budget:
-                kept_new.append((rk, d, t))
-                kept_ids.add(d)
-            else:
-                break  # prefix cut: everything after is out
+        kept_new = prefix_rule(merged, limit)
+        kept_ids = {d for _, d, _ in kept_new}
         out_ids, out_toks, out_kept = [], [], []
         for _, d, t in arrivals:
             out_ids.append(d)
@@ -127,7 +126,7 @@ def token_budget_op(
         for rk, d, t in kept_old:
             if d not in kept_ids:
                 # retraction: a lower-ranked late arrival pushed this
-                # previously-kept doc over the budget
+                # previously-kept doc out of the prefix
                 out_ids.append(d)
                 out_toks.append(t)
                 out_kept.append(False)
@@ -150,8 +149,41 @@ def token_budget_op(
         )
 
     return StatefulOp(
-        name="token_budget",
+        name=name,
         fn=fn,
         output_schema=OUTPUT_SCHEMA,
         state_schema=STATE_SCHEMA,
+    )
+
+
+def _budget_prefix(merged, budget):
+    cum, kept = 0, []
+    for rk, d, t in merged:
+        cum += t
+        if cum > budget:
+            break  # prefix cut: everything after is out
+        kept.append((rk, d, t))
+    return kept
+
+
+def token_budget_op(
+    budgets: dict[str, int], salt: str = "tb1"
+) -> StatefulOp:
+    """Build the keyed stateful op (key = group column, e.g. lang).
+
+    Groups without a declared budget are unlimited: every arrival is
+    emitted kept=true and no state accumulates.
+    """
+    return _kept_prefix_op(
+        "token_budget", lambda g: budgets.get(g, -1), _budget_prefix, salt
+    )
+
+
+def exact_k_op(k: int, salt: str = "exk") -> StatefulOp:
+    """Streaming twin of `operators.sampling.exact_k_per_group`:
+    converge to exactly min(k, |group|) kept docs per group — the
+    count-rule instance of the same monotone kept-prefix kernel
+    (state ≤ k entries per group)."""
+    return _kept_prefix_op(
+        "exact_k", lambda g: k, lambda merged, lim: merged[:lim], salt
     )

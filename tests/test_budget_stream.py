@@ -102,3 +102,43 @@ def test_streaming_budget_matches_batch_random_order(spark):
         for r in token_budget_cut(batch_df, BUDGETS, group_col="grp").collect()
     }
     assert got == want
+
+
+def test_streaming_exact_k_matches_batch(spark):
+    """exact_k streaming twin converges to the batch selection,
+    including the eviction when the lowest-ranked doc arrives last."""
+    from demo_flink_spark.operators.sampling import exact_k_per_group
+    from demo_flink_spark.streaming.budget_stream import exact_k_op
+
+    rows = _docs()
+    en_ids = [i for i, g, _ in rows if g == "en"]
+    held = min(
+        en_ids, key=lambda i: hashlib.md5(f"exk{i}".encode()).hexdigest()
+    )
+    data = [(i, g, t, 1 if i == held else 0) for i, g, t in rows]
+    source = spark.createDataFrame(
+        data, "doc_id long, grp string, text string, batch int"
+    )
+    streamed = run_stateful(
+        spark, source, ["grp"], exact_k_op(k=4),
+        n_batches=2, batch_col="batch",
+    )
+    got_kept = {d for d, k in _final_snapshot(streamed).items() if k}
+
+    batch_df = spark.createDataFrame(
+        [(i, g, t) for i, g, t in rows], "doc_id long, grp string, text string"
+    )
+    want_kept = {
+        r["doc_id"]
+        for r in exact_k_per_group(batch_df, k=4, group_col="grp").collect()
+    }
+    assert got_kept == want_kept
+    assert held in got_kept  # lowest-rank late arrival made the cut
+    # en had 12 docs, 4 kept -> the held doc's insertion evicted one
+    pdf = streamed.toPandas()
+    flips = (
+        pdf.sort_values("seq")
+        .groupby("doc_id")["kept"]
+        .apply(lambda s: bool(s.iloc[0]) and not bool(s.iloc[-1]))
+    )
+    assert flips.any()

@@ -351,6 +351,25 @@ CHECKS = {
         ["Window"],
         ["Join", "CartesianProduct"],
     ),
+    # FIM: zero-exchange narrow map — pure scan throughput; any
+    # Exchange here means the split stopped being per-row
+    "fim_transform_psm": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # exact-k: ONE group-keyed window exchange, no joins
+    "sample_exact_k_per_group": (
+        ["Window"],
+        ["Join", "CartesianProduct"],
+    ),
+    # hamming ANN: Hamming prune rides a broadcast of the QUERY words
+    # (corpus streams); candidate re-rank joins back by equality
+    "similarity_topk_hamming": (
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # matryoshka eval: two broadcast brute-force scans + count joins
+    "matryoshka_topk_recall": (
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
 }
 
 
