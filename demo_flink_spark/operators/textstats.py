@@ -312,8 +312,13 @@ def tf_idf_top_terms(docs: DataFrame, k: int = 3, n_docs: int | None = None) -> 
     from demo_flink_spark.operators.relational import softln_ratio
 
     # (1+N)/(1+df) is an integer ratio -> engine-portable softln
-    # (bit-identical doubles; libm ln ulp drift can flip roundings)
-    scored = tf.join(F.broadcast(df_tbl), "word").withColumn(
+    # (bit-identical doubles; libm ln ulp drift can flip roundings).
+    # df_tbl is VOCABULARY-sized (grows with the corpus, Heaps' law)
+    # so it is NOT force-broadcast: AQE converts the join to broadcast
+    # at runtime while the measured table is small, and keeps the
+    # shuffle join once vocabulary outgrows the threshold — a slower
+    # plan at 100 TB, never an executor OOM.
+    scored = tf.join(df_tbl, "word").withColumn(
         "_tfidf_raw",
         F.col("tf")
         * -softln_ratio(F.col("df") + F.lit(1), F.lit(int(n_docs) + 1)),
@@ -424,9 +429,13 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from demo_flink_spark.operators.relational import softln_ratio
 
     p = F.col("c_bg") / F.col("c_w1")
+    # uni/bi are vocabulary-sized (the bigram table is the larger of
+    # the two and grows faster than linearly in vocabulary): leave the
+    # join strategy to AQE — broadcast while measured-small, shuffle
+    # join past the threshold instead of an OOM at corpus scale
     scored = (
-        bigrams.join(F.broadcast(bi), "bg")
-        .join(F.broadcast(uni), "w1")
+        bigrams.join(bi, "bg")
+        .join(uni, "w1")
         .select(
             "doc_id",
             p.alias("p"),
@@ -790,10 +799,13 @@ def pmi_cooccurrence(
     totals = tok.agg(F.count(F.lit(1)).cast("long").alias("n_tokens")).crossJoin(
         pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+    # uni is vocabulary-sized: AQE picks broadcast while it measures
+    # small, shuffle join once vocabulary outgrows the threshold (the
+    # 1-row totals stays force-broadcast — it can never grow)
     scored = (
         c12.filter(F.col("c12") >= min_pair_count)
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
         .crossJoin(F.broadcast(totals))
     )
     num = F.col("c12") * F.col("n_tokens") * F.col("n_tokens")
