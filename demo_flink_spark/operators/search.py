@@ -75,7 +75,7 @@ def bm25_scores(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
     )
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * tf_norm).alias("term_score"))
@@ -151,7 +151,7 @@ def bm25_batch(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(F.broadcast(qterms), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))

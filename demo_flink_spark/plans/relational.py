@@ -93,7 +93,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -135,9 +135,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -212,7 +212,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(
-            F.broadcast(part),
+            part,
             (li.l_partkey == part.p_partkey)
             & (li.l_quantity > part.p_size.cast("double")),
         )
@@ -575,7 +575,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -749,7 +749,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(revenue).alias("revenue"))
@@ -775,8 +775,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

@@ -66,8 +66,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -105,12 +105,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -137,9 +137,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     profit = _revenue() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -200,7 +200,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -242,7 +242,7 @@ def q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFram
         f.filter(F.col("late"))
         .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -290,7 +290,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo_rev = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(F.lit(100.0) * dsum(promo_rev) / dsum(_revenue()), 6).alias(
                 "promo_revenue_pct"
@@ -317,9 +317,9 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
@@ -343,14 +343,24 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     li = load_table(spark, sf_dir, "lineitem")
-    matched = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    matched = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     thresholds = matched.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_threshold")
     )
+    # thresholds is one row per brand-filtered part: AQE will NOT
+    # convert this join (it prefers reusing matched's exchange), so
+    # the broadcast that keeps both lineitem scans shuffle-free needs
+    # the explicit hint — but conditionally: the filtered part set is
+    # SF-proportional (~1/25 of parts), and past the broadcast budget
+    # the shuffle join must stand instead of an OOM. The part-side
+    # count is a cheap dim-table scan.
+    from demo_flink_spark.operators.hints import broadcast_if_small
+
     small = matched.join(
-        F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        broadcast_if_small(thresholds, part.count(), row_bytes=32),
+        F.col("l_partkey") == F.col("t_partkey"),
     ).filter(F.col("l_quantity") < F.col("qty_threshold"))
     return small.agg(
         F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"),
@@ -370,7 +380,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     branch = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -488,12 +498,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_ps = ps.join(F.broadcast(eu_supp), ps.ps_suppkey == eu_supp.s_suppkey)
+    eu_ps = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey)
     min_cost = eu_ps.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost")
     )
     return (
-        eu_ps.join(F.broadcast(part), eu_ps.ps_partkey == part.p_partkey)
+        eu_ps.join(part, eu_ps.ps_partkey == part.p_partkey)
         .join(min_cost, "ps_partkey")
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .select(
@@ -527,7 +537,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_supp = supp.join(
         F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
     ).select("s_suppkey")
-    nat_ps = ps.join(F.broadcast(nat_supp), ps.ps_suppkey == nat_supp.s_suppkey)
+    nat_ps = ps.join(nat_supp, ps.ps_suppkey == nat_supp.s_suppkey)
     per_part = nat_ps.groupBy("ps_partkey").agg(
         dsum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value")
     )
@@ -578,7 +588,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     excess_supp = (
         ps.join(
-            F.broadcast(promo_parts), ps.ps_partkey == promo_parts.p_partkey, "semi"
+            promo_parts, ps.ps_partkey == promo_parts.p_partkey, "semi"
         )
         .join(
             shipped,
