@@ -42,11 +42,17 @@ import pandas as pd
 from demo_flink_spark.streaming.stateful_ops import StatefulOp
 
 OUTPUT_SCHEMA = "doc_id long, grp string, n_tokens long, kept boolean, seq long"
-# kept-prefix parallel arrays, sorted by rank key; seq is the per-key
-# emission revision counter (retractions carry a higher seq than the
-# original kept row, so "max seq per doc" is the converged answer)
+# kept-prefix parallel arrays, sorted by rank key; `cut` is the rank
+# key where the budget first overflowed ('' = never) — REQUIRED for
+# exactness: the batch rule's running sum includes dropped docs'
+# tokens, so any doc ranked at/after the overflow stays dropped even
+# though the dropped docs themselves are not in state. seq is the
+# per-key emission revision counter (retractions carry a higher seq
+# than the original kept row, so "max seq per doc" is the converged
+# answer).
 STATE_SCHEMA = (
-    "rks array<string>, ids array<long>, toks array<long>, seq long"
+    "rks array<string>, ids array<long>, toks array<long>, "
+    "cut string, seq long"
 )
 
 
@@ -72,9 +78,19 @@ def _kept_prefix_op(
     property that inserting a lower-ranked late arrival can only push
     docs OUT of the kept rank-prefix, never pull them in — so state
     holds only the current prefix (bounded by the limit, not the
-    stream) and evictions emit retraction rows. `prefix_rule` is the
-    only difference: how far down the merged rank order the keep
-    extends.
+    stream) plus the rank boundary where the limit first ran out, and
+    evictions emit retraction rows.
+
+    The boundary (`cut`) is what makes the sum rule EXACT: the batch
+    window's running sum includes dropped docs' tokens, so a doc
+    ranked after an overflow must stay dropped even though the
+    overflow doc is not in state (found by hypothesis replay: without
+    the cut, dropping a 4-token doc and then admitting a later-ranked
+    1-token doc "re-freed" the spent budget). Inserting earlier docs
+    only moves the cut earlier, never later, so a remembered cut is
+    permanent. `prefix_rule(merged, limit) -> (kept, cut_or_None)` is
+    the only rule-specific part; exact-k needs no cut (its prefix end
+    is always the current k-th entry, which insertions only lower).
     """
 
     def fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
@@ -95,10 +111,11 @@ def _kept_prefix_op(
         arrivals.sort()
 
         if state.exists:
-            rks, ids, toks, seq = state.get
+            rks, ids, toks, cut, seq = state.get
             kept_old = list(zip(rks, ids, toks))
+            cut = cut or None
         else:
-            kept_old, seq = [], 0
+            kept_old, cut, seq = [], None, 0
         seq += 1
 
         if limit < 0:
@@ -112,11 +129,17 @@ def _kept_prefix_op(
                     "seq": seq,
                 }
             )
-            state.update(([], [], [], seq))
+            state.update(([], [], [], "", seq))
             return
 
-        merged = sorted(kept_old + arrivals)
-        kept_new = prefix_rule(merged, limit)
+        # anything ranked at/after the overflow boundary is dropped
+        # forever — its cumulative can only have grown since the cut
+        beyond = [a for a in arrivals if cut is not None and a[0] >= cut]
+        within = [a for a in arrivals if cut is None or a[0] < cut]
+        merged = sorted(kept_old + within)
+        kept_new, new_cut = prefix_rule(merged, limit)
+        if new_cut is not None and (cut is None or new_cut < cut):
+            cut = new_cut
         kept_ids = {d for _, d, _ in kept_new}
         out_ids, out_toks, out_kept = [], [], []
         for _, d, t in arrivals:
@@ -144,6 +167,7 @@ def _kept_prefix_op(
                 [rk for rk, _, _ in kept_new],
                 [d for _, d, _ in kept_new],
                 [t for _, _, t in kept_new],
+                cut or "",
                 seq,
             )
         )
@@ -161,9 +185,12 @@ def _budget_prefix(merged, budget):
     for rk, d, t in merged:
         cum += t
         if cum > budget:
-            break  # prefix cut: everything after is out
+            # prefix cut: everything at/after this rank is out, and
+            # the boundary must be remembered (this doc's tokens are
+            # spent budget even though the doc itself is dropped)
+            return kept, rk
         kept.append((rk, d, t))
-    return kept
+    return kept, None
 
 
 def token_budget_op(
@@ -185,5 +212,5 @@ def exact_k_op(k: int, salt: str = "exk") -> StatefulOp:
     count-rule instance of the same monotone kept-prefix kernel
     (state ≤ k entries per group)."""
     return _kept_prefix_op(
-        "exact_k", lambda g: k, lambda merged, lim: merged[:lim], salt
+        "exact_k", lambda g: k, lambda merged, lim: (merged[:lim], None), salt
     )

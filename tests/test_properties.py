@@ -154,3 +154,100 @@ def test_chunk_count_closed_form_matches_loop(n_tokens, window, overlap):
         else math.ceil(max(n_tokens - window, 0) / stride) + 1
     )
     assert loop_count == closed
+
+
+# --- monotone kept-prefix kernels (streaming/budget_stream.py) --------------
+#
+# Property: for ANY batch split and arrival order, replaying the
+# kernel and taking each doc's last emission equals the batch
+# operator's selection. Runs the kernel directly against a fake
+# GroupState — no Spark session, so hypothesis can afford hundreds of
+# adversarial orders.
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _replay(op, batches, grp="g"):
+    import pandas as pd
+
+    state = _FakeState()
+    last = {}
+    for batch in batches:
+        if not batch:
+            continue
+        pdf = pd.DataFrame(
+            {"doc_id": [d for d, _ in batch], "text": [t for _, t in batch]}
+        )
+        for out in op.fn((grp,), iter([pdf]), state):
+            for d, k in zip(out["doc_id"], out["kept"]):
+                last[int(d)] = bool(k)
+    return last
+
+
+def _batch_budget(rows, budget, salt="tb1"):
+    """Reference implementation of token_budget_cut's keep rule."""
+    import hashlib
+
+    ranked = sorted(
+        rows, key=lambda r: hashlib.md5(f"{salt}{r[0]}".encode()).hexdigest()
+    )
+    kept, cum = {}, 0
+    for d, t in ranked:
+        n = len(t.split())
+        cum += n
+        kept[d] = cum <= budget
+    return kept
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=14, unique=True),
+    st.integers(1, 40),
+    st.integers(1, 4),
+    st.randoms(use_true_random=False),
+)
+def test_budget_kernel_converges_for_any_arrival_order(ids, budget, n_batches, rnd):
+    from demo_flink_spark.streaming.budget_stream import token_budget_op
+
+    rows = [(i, " ".join(["w"] * (1 + i % 5))) for i in ids]
+    rnd.shuffle(rows)
+    batches = [rows[i::n_batches] for i in range(n_batches)]
+    got = _replay(token_budget_op({"g": budget}), batches)
+    assert got == _batch_budget(rows, budget)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=14, unique=True),
+    st.integers(1, 8),
+    st.integers(1, 4),
+    st.randoms(use_true_random=False),
+)
+def test_exact_k_kernel_converges_for_any_arrival_order(ids, k, n_batches, rnd):
+    import hashlib
+
+    from demo_flink_spark.streaming.budget_stream import exact_k_op
+
+    rows = [(i, "x") for i in ids]
+    rnd.shuffle(rows)
+    batches = [rows[i::n_batches] for i in range(n_batches)]
+    got = _replay(exact_k_op(k, salt="exk"), batches)
+    ranked = sorted(
+        ids, key=lambda i: hashlib.md5(f"exk{i}".encode()).hexdigest()
+    )
+    want = {i: rank < k for rank, i in enumerate(ranked)}
+    assert got == want
