@@ -115,6 +115,66 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attrition funnel of the curation composite — the observability
+    twin of `pipeline_curation_end2end`: one row per stage with how
+    many documents entered, survived, and the survival ratio. This is
+    the report a corpus build publishes with every run (how much did
+    dedup/quality/mixture each cost us?); the stages and their
+    parameters are the composite's, so the funnel's n_out chain is
+    the composite's cardinality audit.
+
+    Counts are exact longs assembled from 1-row aggregates (broadcast
+    crossJoins — nothing scales with the corpus except the stage
+    computations themselves, which are the already-verified
+    operators); survival is one long/long IEEE division, identical on
+    any engine without rounding.
+    """
+    from demo_flink_spark.operators.checkpointing import cut_lineage_lazy
+    from demo_flink_spark.operators.dedup import exact_dedup
+    from demo_flink_spark.operators.sampling import dataset_split, mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    # each stage feeds BOTH the next stage and its own count branch —
+    # cut lineage or every rung recomputes the whole upstream pipeline
+    s1 = docs.join(reps, "doc_id", "semi").transform(cut_lineage_lazy)
+    stats = textstats.token_stats(s1)
+    s2 = s1.join(
+        stats.filter(F.col("n_tokens") >= 20).select("doc_id"), "doc_id", "semi"
+    ).transform(cut_lineage_lazy)
+    s3 = mixture_resample(
+        s2, "lang", "doc_id", budget_per_group=8.0, salt="cur"
+    ).transform(cut_lineage_lazy)
+    s4 = s3.join(
+        dataset_split(s3, "doc_id").filter(F.col("split") == "train"),
+        "doc_id",
+        "semi",
+    )
+    one = (
+        docs.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(F.broadcast(s1.agg(F.count(F.lit(1)).alias("n1"))))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("n2"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("n3"))))
+        .crossJoin(F.broadcast(s4.agg(F.count(F.lit(1)).alias("n4"))))
+    )
+    funnel = one.selectExpr(
+        "stack(4, "
+        "1, 'exact_dedup', n0, n1, "
+        "2, 'quality_floor', n1, n2, "
+        "3, 'mixture_rebalance', n2, n3, "
+        "4, 'train_split', n3, n4"
+        ") AS (stage_idx, stage, n_in, n_out)"
+    )
+    return funnel.select(
+        "stage_idx",
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        (F.col("n_out") / F.col("n_in")).alias("survival"),
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_flink_spark.operators.sampling import dataset_split
 
@@ -1075,6 +1135,63 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
                     ELSE 'test' END AS split
         FROM mixed
 """,
+    ),
+    QuerySpec(
+        # funnel over the composite's stages: the oracle chains the
+        # SAME CTEs as pipeline_curation_end2end and counts each rung
+        "pipeline_attrition_funnel",
+        q_pipeline_attrition,
+        oracle="""
+        WITH canon AS (
+            SELECT doc_id, text, lang,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z\\s]', '', 'g'), '\\s+', ' ', 'g')) AS c
+            FROM documents
+        ),
+        reps AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY c),
+        s1 AS (SELECT d.doc_id, d.text, d.lang FROM canon d JOIN reps USING (doc_id)),
+        s2 AS (
+            SELECT doc_id, lang FROM s1
+            WHERE len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> length(t) > 0)) >= 20
+        ),
+        sizes AS (SELECT lang, count(*) AS n_g FROM s2 GROUP BY lang),
+        rates AS (
+            SELECT lang, least(1.0, 8.0 / sqrt(n_g)) AS keep_rate FROM sizes
+        ),
+        s3 AS (
+            SELECT k.doc_id FROM s2 k JOIN rates r ON k.lang = r.lang
+            WHERE (strpos('0123456789abcdef',
+                          substring(md5('cur' || CAST(k.doc_id AS VARCHAR)), 1, 1)) - 1)
+                  * 16 +
+                  strpos('0123456789abcdef',
+                         substring(md5('cur' || CAST(k.doc_id AS VARCHAR)), 2, 1)) - 1
+                  < r.keep_rate * 256
+        ),
+        s4 AS (
+            SELECT doc_id FROM s3
+            WHERE substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        ),
+        n AS (
+            SELECT (SELECT count(*) FROM documents) AS n0,
+                   (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3,
+                   (SELECT count(*) FROM s4) AS n4
+        )
+        SELECT stage_idx, stage,
+               CAST(n_in AS BIGINT) AS n_in,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(n_out AS DOUBLE) / n_in AS survival
+        FROM (
+            SELECT 1 AS stage_idx, 'exact_dedup' AS stage, n0 AS n_in, n1 AS n_out FROM n
+            UNION ALL
+            SELECT 2, 'quality_floor', n1, n2 FROM n
+            UNION ALL
+            SELECT 3, 'mixture_rebalance', n2, n3 FROM n
+            UNION ALL
+            SELECT 4, 'train_split', n3, n4 FROM n
+        )
+        """,
     ),
     QuerySpec(
         # deterministic md5-threshold split (operators/sampling.py):

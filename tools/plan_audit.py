@@ -370,6 +370,9 @@ CHECKS = {
         ["BroadcastNestedLoopJoin"],
         ["CartesianProduct"],
     ),
+    # attrition funnel: stage counts assemble via 1-row broadcast
+    # crossJoins, never a real cartesian
+    "pipeline_attrition_funnel": ([], ["CartesianProduct"]),
 }
 
 
