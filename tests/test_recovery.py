@@ -67,3 +67,82 @@ def test_state_survives_query_restart(spark):
     # u1 had 2 clicks before the restart -> seq 4 must continue at 3;
     # u3 is new -> 1. Pre-restart offsets must NOT be reprocessed.
     assert dict(rows2) == {4: 3, 5: 1}
+
+
+def test_budget_prefix_state_survives_query_restart(spark):
+    """The kept-prefix state (including the overflow cut) survives a
+    full stop/restart: batch 2 after recovery must evict against the
+    state batch 1 built, and a post-cut arrival must stay dropped —
+    the cut is the part of state a naive reimplementation would lose.
+    """
+    import hashlib
+    import tempfile
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from demo_flink_spark.streaming.budget_stream import token_budget_op
+
+    stage = tempfile.mkdtemp(prefix="recov_bgt_src_")
+    ckpt = tempfile.mkdtemp(prefix="recov_bgt_ckpt_")
+    schema = "doc_id long, grp string, text string"
+    op = token_budget_op({"g": 6})
+
+    def start(sink_rows):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        transformed = stream.groupBy("grp").applyInPandasWithState(
+            op.fn,
+            outputStructType=op.output_schema,
+            stateStructType=op.state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return (
+            transformed.writeStream.foreachBatch(
+                lambda df, _bid: sink_rows.extend(
+                    (r["doc_id"], r["kept"], r["seq"]) for r in df.collect()
+                )
+            )
+            .queryName(f"recov_bgt_{uuid.uuid4().hex[:6]}")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # rank docs 0..5 by the kernel's salt to engineer the scenario
+    ranked = sorted(range(6), key=lambda i: hashlib.md5(f"tb1{i}".encode()).hexdigest())
+    first, second, third = ranked[0], ranked[1], ranked[2]
+    # batch 1: second-ranked doc with 5 tokens (cum 5 <= 6, kept) and
+    # third-ranked with 4 (cum 9 > 6: dropped, cut remembered)
+    b1 = spark.createDataFrame(
+        [(second, "g", "w w w w w"), (third, "g", "w w w w")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(stage)
+    rows1: list = []
+    q1 = start(rows1)
+    q1.processAllAvailable()
+    q1.stop()
+    got1 = {d: k for d, k, _ in rows1}
+    assert got1 == {second: True, third: False}
+
+    # restart; batch 2: first-ranked doc with 3 tokens -> evicts the
+    # 5-token doc (cum 8 > 6 at its rank); a doc ranked after the cut
+    # must stay dropped even though its own tokens would "fit"
+    after_cut = ranked[3]
+    b2 = spark.createDataFrame(
+        [(first, "g", "w w w"), (after_cut, "g", "w")], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(stage)
+    rows2: list = []
+    q2 = start(rows2)
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {d: k for d, k, _ in rows2}
+    assert got2 == {
+        first: True,       # lowest rank, 3 <= 6
+        second: False,     # retraction: 3+5 > 6 at its rank
+        after_cut: False,  # beyond the remembered cut: dropped forever
+    }

@@ -1,0 +1,94 @@
+"""Synthetic-corpus scaling probe for the dedup flagship operators.
+
+    python tools/scale_probe_synth.py [max_n]
+
+The parquet fixtures top out at 5k documents (sf0.1), where fixed
+overheads still dominate — `tools/scale_probe.py`'s slopes sit well
+under 1 because the asymptote hasn't kicked in. This probe generates
+corpora large enough (10k → 640k docs) that the asymptotic exponent
+is measurable, with NON-degenerate duplicate structure: docs come in
+pairs sharing all 25 tokens, tokens unique per pair (letters only —
+the dedup canonicalizer strips digits), so the correct answer is
+exactly n/2 pairs and posting lists stay constant-size. A quadratic
+regression in the banding/inverted-index shape would show up as a
+slope ≥ 2 here long before it OOMs a cluster.
+
+Results are appended to SCALING.md by hand (the probe prints a
+markdown table); pair counts are asserted so a recall regression
+fails the probe rather than flattering its timing.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from demo_flink_spark.session import get_spark
+
+    max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 640_000
+    spark = get_spark(
+        "scale_probe_synth",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def tok(grp, i: int):
+        return F.translate(
+            F.substring(
+                F.md5(F.concat(grp.cast("string"), F.lit("_"), F.lit(i))), 1, 8
+            ),
+            "0123456789",
+            "ghijklmnop",
+        )
+
+    def corpus(n: int):
+        grp = (F.col("id") / 2).cast("long")
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[tok(grp, i) for i in range(25)]).alias("text"),
+        )
+
+    sizes = [n for n in (10_000, 40_000, 160_000, 640_000) if n <= max_n]
+    rows = []
+    for n in sizes:
+        df = corpus(n).localCheckpoint()
+        df.count()  # materialize the checkpoint outside the timings
+        # warm run then measured run: first-touch costs (codegen,
+        # shuffle-file creation) otherwise masquerade as superlinear
+        # growth at exactly one size
+        minhash_lsh_pairs(df, n=3, threshold=0.2).count()
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(df, n=3, threshold=0.2).count()
+        t_lsh = time.time() - t0
+        assert pairs == n // 2, f"LSH recall regression: {pairs} != {n // 2}"
+        exact_dedup(df).count()
+        t0 = time.time()
+        kept = exact_dedup(df).count()
+        t_exact = time.time() - t0
+        assert kept == n // 2, f"exact dedup regression: {kept} != {n // 2}"
+        rows.append((n, t_lsh, t_exact))
+        print(f"n={n} lsh={t_lsh:.1f}s exact={t_exact:.1f}s", flush=True)
+
+    print("\n| docs | minhash_lsh_pairs | slope | exact_dedup | slope |")
+    print("|---|---|---|---|---|")
+    for i, (n, tl, te) in enumerate(rows):
+        if i == 0:
+            sl = se = "—"
+        else:
+            pn, pl, pe = rows[i - 1]
+            ratio = math.log10(n / pn)
+            sl = f"{math.log10(tl / pl) / ratio:.2f}"
+            se = f"{math.log10(te / pe) / ratio:.2f}"
+        print(f"| {n:,} | {tl:.1f}s | {sl} | {te:.1f}s | {se} |")
+
+
+if __name__ == "__main__":
+    main()
