@@ -108,6 +108,8 @@ def main() -> None:
         "sequence_packing",
         "profile_lineitem",
         "ts_anomaly_zscore",
+        "similarity_topk_hamming",
+        "pipeline_attrition_funnel",
     ]
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "local")
     detail_name = f"BENCH_DETAIL_{tag}.json"
