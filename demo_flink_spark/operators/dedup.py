@@ -955,6 +955,121 @@ def remove_duplicate_spans(
     )
 
 
+def cdc_chunk_stats(
+    docs: DataFrame, text_col: str = "text", w: int = 4
+) -> DataFrame:
+    """Content-defined chunking dedup — the rsync/LBFS boundary trick
+    applied to corpus dedup: chunk boundaries are placed where the
+    hash of the trailing `w`-token window lands in a target range, so
+    INSERTING OR DELETING TEXT ONLY RESHAPES THE CHUNKS AROUND THE
+    EDIT — every chunk whose window contents are unchanged keeps its
+    identity. Fixed-stride chunking (`chunk_documents`) loses all
+    alignment after one inserted token; `substring_span_stats` is
+    shift-robust but emits every overlapping window (k rows per
+    token). CDC gives shift-robust dedup at ~1 row per chunk.
+
+    Boundary rule (engine-portable): token position i ends a chunk iff
+    the LAST hex char of md5(window of tokens i-w+1..i) is in
+    {0,1,2,3} — P = 1/4, so the expected chunk is ~4 tokens; the final
+    token always closes the last chunk. Per doc:
+    (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac) where a chunk is
+    "dup" when its exact text occurs anywhere else in the corpus
+    (including repeats inside the same document).
+
+    Scale: boundary detection and chunk slicing are pure JVM array
+    expressions per row (no UDF, no shuffle); the only exchange is the
+    chunk-hash count — keyed on md5, uniformly distributed by
+    construction, carrying ~n_tokens/4 rows. This is the operator an
+    incremental 100 TB crawl re-run wants: re-scraped pages with small
+    edits still dedup chunk-for-chunk.
+    """
+    # canonicalize ONCE into a named column before the boundary lambda
+    # runs: expressions referenced inside higher-order functions are
+    # re-evaluated per array element, so inlining the token split here
+    # would re-run the canonicalization regexes once per token
+    tok_df = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(_canonical(F.col(text_col)), " "),
+            lambda x: F.length(x) > 0,
+        ).alias("t"),
+    )
+    t = F.col("t")
+    n = F.size(t)
+
+    def is_boundary(i):
+        window = F.array_join(F.slice(t, i - w + 2, w), " ")
+        return F.substring(F.md5(window), 32, 1).isin("0", "1", "2", "3")
+
+    bounds_raw = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i >= w - 1) & (i < n - 1) & is_boundary(i),
+    )
+    bounds = F.concat(bounds_raw, F.array(n - 1))
+    toks = tok_df.select(
+        "doc_id",
+        F.when(n > 0, bounds).otherwise(F.array().cast("array<int>")).alias(
+            "bounds"
+        ),
+        "t",
+    )
+    chunks = toks.select(
+        "doc_id",
+        "bounds",
+        "t",
+        F.posexplode_outer("bounds").alias("chunk_idx", "b"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "t",
+                    F.coalesce(F.get("bounds", F.col("chunk_idx") - 1), F.lit(-1))
+                    + 2,
+                    F.col("b")
+                    - F.coalesce(
+                        F.get("bounds", F.col("chunk_idx") - 1), F.lit(-1)
+                    ),
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    counts = chunks.filter(F.col("chunk_hash").isNotNull()).groupBy(
+        "chunk_hash"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        chunks.filter(F.col("chunk_hash").isNotNull())
+        .join(counts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("cnt") > 1).cast("long")).cast("long").alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.round(
+                F.coalesce("n_dup_chunks", F.lit(0))
+                / F.greatest(F.coalesce("n_chunks", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
 def dedup_keep_list(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

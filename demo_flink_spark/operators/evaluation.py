@@ -1,0 +1,147 @@
+"""Dataset-evaluation operators: exact classifier AUC and train/eval
+split-leakage auditing.
+
+Two measurements every corpus build runs before a model ever trains:
+
+- **binary_auc** — does a heuristic quality signal actually separate
+  the classes? Exact ROC-AUC via the Mann-Whitney U statistic with
+  midrank tie handling. The whole computation is integer counting
+  until one final double division, so the result is bit-identical on
+  any engine (no trapezoid floats, no sampling).
+
+- **split_leakage** — after near-dup detection and train/val/test
+  assignment, which EVAL documents have a near-duplicate inside the
+  training split? This is the GPT-3-style decontamination audit: a
+  benchmark number computed on a leaked eval doc is meaningless. The
+  audit is two equi-joins of the (already sub-quadratic) pair list
+  against the split map — never a corpus self-join.
+
+Reference lineage: the keyed-aggregate vocabulary of
+`AdvancedWordCount.java:30-42` (counts per key), applied to model/
+dataset evaluation instead of words.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def binary_auc(
+    df: DataFrame, score: Column, label: Column
+) -> DataFrame:
+    """Exact ROC-AUC of `score` predicting boolean `label`, one row:
+    (n_pos, n_neg, auc, gini).
+
+    Mann-Whitney with midranks: group rows by distinct score value,
+    cumulate counts in score order, and sum per-value positive counts
+    times twice-the-midrank:
+
+        2·R_pos = Σ_s  p_s · (2·c_less(s) + n_s + 1)
+        AUC     = (2·R_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+
+    Everything up to the final division is exact 64-bit integer
+    arithmetic, so ties are handled identically on every engine (a
+    trapezoidal float scan is not: its sum order depends on
+    partitioning). Degenerate single-class inputs return NULL auc
+    rather than a misleading 0/0.
+
+    Scale: one hash aggregate over the corpus (keyed by score value),
+    then a window over DISTINCT SCORE VALUES — thousands of rows for
+    a 6-dp-rounded signal, regardless of corpus size, so the single
+    unpartitioned window task is bounded by the score's cardinality,
+    not the data.
+    """
+    by_score = df.select(
+        score.alias("s"), label.cast("int").alias("y")
+    ).groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("y").cast("long").alias("p_s"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.select(
+        "s",
+        "n_s",
+        "p_s",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("c_less"),
+    )
+    agg = ranked.agg(
+        F.sum("p_s").cast("long").alias("n_pos"),
+        (F.sum("n_s") - F.sum("p_s")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p_s") * (F.lit(2) * F.col("c_less") + F.col("n_s") + 1)
+        )
+        .cast("long")
+        .alias("two_r_pos"),
+    )
+    auc = (
+        F.col("two_r_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("double") / (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc
+        ).alias("auc"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.lit(2) * auc - F.lit(1),
+        ).alias("gini"),
+    )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    train_split: str = "train",
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Eval-set decontamination audit: one row per NON-train document
+    that has at least one near-duplicate inside the training split —
+    (doc_id, split, n_train_dups, max_sim).
+
+    `pairs` is any near-dup pair list (doc_a, doc_b, <sim_col>) from
+    the dedup family (n-gram Jaccard, MinHash-LSH, SimHash, ...);
+    `splits` is (id_col, split). The pair list is symmetrized with a
+    union (each undirected pair checked in both directions), joined
+    twice against the split map, and filtered to eval-side docs whose
+    counterpart is in train. Both joins are equi-joins on the doc id;
+    the split map is corpus-sized, so no broadcast is forced — AQE
+    picks the strategy from measured sizes.
+
+    At 100 TB this inherits the pair generator's sub-quadratic shape:
+    the audit itself is linear in |pairs|.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("doc"),
+        F.col("doc_b").alias("other"),
+        F.col(sim_col).alias("sim"),
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc"),
+            F.col("doc_a").alias("other"),
+            F.col(sim_col).alias("sim"),
+        )
+    )
+    s_doc = splits.select(
+        F.col(id_col).alias("doc"), F.col("split").alias("split")
+    )
+    s_other = splits.select(
+        F.col(id_col).alias("other"), F.col("split").alias("other_split")
+    )
+    return (
+        sym.join(s_doc, "doc")
+        .join(s_other, "other")
+        .filter(
+            (F.col("split") != train_split)
+            & (F.col("other_split") == train_split)
+        )
+        .groupBy("doc", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_dups"),
+            F.max("sim").alias("max_sim"),
+        )
+        .select(F.col("doc").alias(id_col), "split", "n_train_dups", "max_sim")
+    )

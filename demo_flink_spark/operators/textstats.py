@@ -151,11 +151,14 @@ def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality signals: stopword / punctuation / distinct ratios.
 
     All ratios are plain column arithmetic over the token array — one
     narrow pass, no shuffle, rounded to 6dp for oracle stability.
+    `keep` passes extra source columns through the projection so a
+    consumer needing (score, label) gets both from ONE scan instead of
+    a doc-keyed self-join (the quality_auc_eval shape).
     """
     toks = _tokens(F.lower(F.col("text")))
     n = F.size(toks)
@@ -164,6 +167,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
     return docs.select(
         "doc_id",
+        *keep,
         n.cast("long").alias("n_tokens"),
         F.round(
             F.when(n == 0, F.lit(0.0)).otherwise(n_stop / n.cast("double")), 6
@@ -476,6 +480,171 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "    div (2 * CAST(n_bigrams AS DECIMAL(38,0)))) AS DOUBLE)"
             " / 1000000.0"
         ).alias("avg_logp"),
+    )
+
+
+def perplexity_buckets(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the corpus-self-trained bigram LM
+    (`lm_bigram_score`), then split each language into equal-count
+    head / middle / tail terciles by model score and keep head+middle —
+    the tail is where gibberish, OCR noise and boilerplate live.
+
+    Per doc: (doc_id, <group_col>, avg_logp, ppl_bucket, is_kept).
+    Bucket edges are INTEGER rank arithmetic (rank·3 ≤ n / ≤ 2n) over a
+    total order (avg_logp DESC, doc_id ASC) — no float quantile
+    boundary to disagree across engines, and ties break
+    deterministically. Documents with fewer than 2 tokens have no
+    bigrams and are excluded (CCNet drops them the same way).
+
+    Scale: the LM scoring is `lm_bigram_score`'s shape (narrow Arrow
+    pass + vocabulary-sized count joins); the bucketing adds ONE
+    window keyed by language — partitions are per-language, so the
+    sort parallelizes across languages, and within a language Spark's
+    window sort spills rather than OOMs. At 1000-executor scale a
+    heavily-skewed language mix would pre-partition by (lang,
+    rank-range) first; the fixture's 5 langs are balanced.
+    """
+    scored = lm_bigram_score(docs)
+    labeled = scored.join(docs.select("doc_id", group_col), "doc_id")
+    w = Window.partitionBy(group_col)
+    ordered = w.orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    ranked = labeled.select(
+        "doc_id",
+        group_col,
+        "avg_logp",
+        F.row_number().over(ordered).alias("rnk"),
+        F.count(F.lit(1)).over(w).alias("n_grp"),
+    )
+    bucket = (
+        F.when(F.col("rnk") * 3 <= F.col("n_grp"), F.lit("head"))
+        .when(F.col("rnk") * 3 <= F.lit(2) * F.col("n_grp"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id",
+        group_col,
+        "avg_logp",
+        bucket.alias("ppl_bucket"),
+        (bucket != "tail").alias("is_kept"),
+    )
+
+
+def ngram_diversity(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Distinct-n-gram diversity per corpus slice — the self-repetition
+    measure (distinct-1/2/3 of Li et al. 2016) used to compare sources
+    before mixing: a slice whose trigram diversity collapses is
+    template spam even when individual documents pass quality filters.
+
+    Per (group, n) for n ∈ {1,2,3}: total n-gram occurrences, distinct
+    n-grams, and diversity = distinct/total (exact-integer division).
+
+    Scale: n-gram emission is pure JVM array expressions (transform +
+    slice over the token array — codegen'd, no Python); the only
+    shuffle is the (group, n, gram)-keyed count-distinct aggregate,
+    which Spark expands map-side (partial distinct per partition), so
+    the exchange carries surviving grams, not raw occurrences.
+    """
+    # materialize the token array as a NAMED COLUMN before any lambda
+    # touches it: an expression referenced inside a higher-order
+    # function is re-evaluated PER ARRAY ELEMENT (no common-subexpr
+    # elimination across the lambda boundary), which made the two
+    # canonicalization regexes run once per gram instead of once per
+    # row — measured 2.4x on this operator at sf0.1
+    tok_df = docs.select(
+        F.col(group_col).alias("grp"),
+        _tokens(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("text")), r"[^a-z\s]", ""),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ).alias("t"),
+    )
+    t = F.col("t")
+
+    def grams(n: int):
+        # sequence(a, b) counts DOWN when a > b: guard short docs
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    exploded = None
+    for n in (1, 2, 3):
+        part = tok_df.select(
+            "grp",
+            F.lit(n).alias("n"),
+            F.explode(grams(n)).alias("gram"),
+        )
+        exploded = part if exploded is None else exploded.unionAll(part)
+    # two-level aggregate instead of count(DISTINCT): a fused
+    # count+countDistinct forces Catalyst's Expand rewrite (every input
+    # row duplicated per aggregate) — here the first level collapses
+    # occurrences to distinct grams map-side, and the second level is
+    # gram-count-sized, not corpus-sized
+    per_gram = exploded.groupBy("grp", "n", "gram").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        per_gram.groupBy("grp", "n")
+        .agg(
+            F.sum("occ").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "n_total",
+            "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_total")).alias(
+                "diversity"
+            ),
+        )
+    )
+
+
+def tokenizer_fertility(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Tokenizer budget calibration per language: BPE-ish subword
+    tokens per whitespace word (fertility) and characters per subword
+    token — the numbers that turn "100 TB of text" into a training
+    token budget, and that flag languages a tokenizer fragments badly.
+
+    One narrow scan (two regexp counts per row) + one tiny aggregate;
+    fertility/chars-per-token are single divisions of exact long sums.
+    """
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_PATTERN))
+        .cast("long")
+        .alias("bpe"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("ws"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bpe").cast("long").alias("n_bpe_tokens"),
+            F.sum("ws").cast("long").alias("n_ws_tokens"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_bpe_tokens",
+            "n_ws_tokens",
+            "n_chars",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"))
+            .alias("fertility"),
+            (F.col("n_chars").cast("double") / F.col("n_bpe_tokens"))
+            .alias("chars_per_token"),
+        )
     )
 
 

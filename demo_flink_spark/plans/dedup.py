@@ -230,6 +230,43 @@ def q_incremental_bloom(spark, sf_dir):
 
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination audit (operators/evaluation.py::
+    split_leakage): every val/test document with an n-gram-Jaccard
+    near-duplicate inside the train split — the leak that silently
+    inflates benchmark numbers. Pair detection is the sub-quadratic
+    inverted-index join; the audit adds two equi-joins on the split
+    map."""
+    from demo_flink_spark.operators.evaluation import split_leakage
+    from demo_flink_spark.operators.sampling import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = max(int(0.01 * docs.count()), 100)
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+    return split_leakage(pairs, dataset_split(docs, "doc_id"))
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.py::
+    cdc_chunk_stats): hash-gated chunk boundaries make dedup
+    shift-robust — an inserted token reshapes only the chunks around
+    the edit, unlike fixed-stride chunking which loses all alignment."""
+    return dd.cdc_chunk_stats(load_table(spark, sf_dir, "documents"))
+
+
+# md5-threshold split map (same constants as dataset_split_assign's
+# oracle in plans/text.py): train < 0xcd, val < 0xe7, else test.
+_SPLIT_SQL = """
+        SELECT doc_id,
+               CASE WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2)
+                         < 'cd' THEN 'train'
+                    WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2)
+                         < 'e7' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+"""
+
+
 def _minhash_lsh_oracle() -> str:
     """SQL twin of minhash_lsh_pairs, generated from the SAME
     permutation constants the operator uses (operators/dedup.py::
@@ -587,6 +624,70 @@ SPECS = [
     # seeded k-means training has no SQL twin, so it is exercised by
     # tests/test_dedup.py rather than declared to the driver gate
     # (r4, VERDICT item 5 option b).
+    QuerySpec(
+        "split_leakage_audit",
+        q_split_leakage,
+        oracle=f"""
+        WITH pairs AS ({_NGRAM_PAIRS_SQL}),
+        sym AS (
+            SELECT doc_a AS doc, doc_b AS other, jaccard AS sim FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a, jaccard FROM pairs
+        ),
+        sp AS ({_SPLIT_SQL})
+        SELECT s.doc AS doc_id, sd.split,
+               CAST(count(*) AS BIGINT) AS n_train_dups,
+               max(s.sim) AS max_sim
+        FROM sym s
+        JOIN sp sd ON s.doc = sd.doc_id
+        JOIN sp so ON s.other = so.doc_id
+        WHERE sd.split <> 'train' AND so.split = 'train'
+        GROUP BY s.doc, sd.split
+        """,
+    ),
+    QuerySpec(
+        "cdc_chunk_dedup",
+        q_cdc_chunks,
+        # same md5 window/chunk strings on both engines; bounds via
+        # list_filter over range, chunks via correlated lateral unnest
+        oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({_CANON}, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, t,
+                   list_append(list_filter(range(0, len(t)),
+                       i -> i >= 3 AND i < len(t) - 1 AND
+                            substring(md5(array_to_string(
+                                list_slice(t, i - 2, i + 1), ' ')), 32, 1)
+                                IN ('0', '1', '2', '3')),
+                       len(t) - 1) AS bounds
+            FROM toks WHERE len(t) > 0
+        ),
+        ch AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(t,
+                       (CASE WHEN u.j = 0 THEN -1 ELSE bounds[u.j] END) + 2,
+                       bounds[u.j + 1] + 1), ' ')) AS h
+            FROM b, unnest(range(0, len(bounds))) AS u(j)
+        ),
+        c AS (SELECT h, count(*) AS cnt FROM ch GROUP BY h),
+        per_doc AS (
+            SELECT ch.doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+            FROM ch JOIN c USING (h) GROUP BY ch.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+               round(coalesce(p.n_dup, 0)
+                     / CAST(greatest(coalesce(p.n_chunks, 0), 1) AS DOUBLE),
+                     6) AS dup_chunk_frac
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+    ),
     QuerySpec(
         "dedup_incremental_bloom",
         q_incremental_bloom,

@@ -19,6 +19,53 @@ from demo_flink_spark.sources import load_table
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in wordcount.STOPWORDS)
 
+# Engine-portable bigram-LM scoring (twin of operators/textstats.py::
+# lm_bigram_score): shared by the lm_bigram_score spec and the
+# CCNet-style perplexity-bucket filter layered on top of it.
+_LM_BIGRAM_SQL = rf"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+                lower(text), '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS t
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id, t[i + 1] AS w1,
+                   t[i + 1] || ' ' || t[i + 2] AS bg
+            FROM toks, unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
+            WHERE len(t) >= 2 AND t[1] <> ''
+        ),
+        uni AS (SELECT w1, count(*) AS c_w1 FROM bigrams GROUP BY w1),
+        bi AS (SELECT bg, count(*) AS c_bg FROM bigrams GROUP BY bg),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   sum(CAST(c_bg / CAST(c_w1 AS DOUBLE) AS DECIMAL(38,12)))
+                       AS p_sum,
+                   sum(CAST(round({{softln}}, 6)
+                       AS DECIMAL(38,6))) AS logp_sum
+            FROM bigrams JOIN bi USING (bg) JOIN uni USING (w1)
+            GROUP BY doc_id
+        )
+        -- 6-dp averages via round-half-away integer division over the
+        -- exact decimal sums (round(double,6) of sum/count quotients
+        -- sits exactly on half boundaries — the dsir doc-135 class)
+        SELECT doc_id,
+               n_bigrams,
+               CAST((CASE WHEN p_sum < 0 THEN -1 ELSE 1 END)
+                    * ((abs(CAST(p_sum * 1000000000000 AS HUGEINT)) * 2
+                        + CAST(n_bigrams AS HUGEINT) * 1000000)
+                       // (2 * CAST(n_bigrams AS HUGEINT) * 1000000))
+                    AS DOUBLE) / 1000000.0 AS avg_p,
+               CAST((CASE WHEN logp_sum < 0 THEN -1 ELSE 1 END)
+                    * ((abs(CAST(logp_sum * 1000000 AS HUGEINT)) * 2
+                        + CAST(n_bigrams AS HUGEINT))
+                       // (2 * CAST(n_bigrams AS HUGEINT))) AS DOUBLE)
+                   / 1000000.0 AS avg_logp
+        FROM agg
+""".replace(
+    "{softln}", softln_ratio_sql("c_bg", "c_w1")
+)
+
 
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordcount.word_count(load_table(spark, sf_dir, "documents"), "text")
@@ -226,6 +273,45 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (operators/textstats.py::
+    perplexity_buckets): per-language head/middle/tail terciles under
+    the corpus bigram LM; tail = the gibberish/boilerplate cut."""
+    return textstats.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/evaluation.py::binary_auc) of the
+    stopword-ratio quality signal predicting lang='en' — the
+    signal-validation measurement run before any filter threshold is
+    trusted. Integer Mann-Whitney midrank arithmetic; one final
+    division."""
+    from demo_flink_spark.operators.evaluation import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    # keep=("lang",): score and label come from ONE scan — a doc-keyed
+    # self-join here would shuffle the corpus against itself for a
+    # column both sides already had
+    scored = textstats.quality_score(docs, keep=("lang",))
+    return binary_auc(
+        scored, F.col("stopword_ratio"), F.col("lang") == "en"
+    )
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3-gram diversity per source slice
+    (operators/textstats.py::ngram_diversity): the template-spam
+    detector that works on slices whose individual docs pass filters."""
+    return textstats.ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokens per word and chars per token, per language
+    (operators/textstats.py::tokenizer_fertility) — corpus-to-token
+    budget calibration."""
+    return textstats.tokenizer_fertility(load_table(spark, sf_dir, "documents"))
 
 
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,47 +818,7 @@ SPECS = [
         # per-element softln (portable series, bit-identical across
         # engines — libm ln() ulp drift flipped a 6-dp boundary at
         # sf0.1) rounded to 6 decimals before the decimal sum
-        oracle=rf"""
-        WITH toks AS (
-            SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
-                lower(text), '[^a-z\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS t
-            FROM documents
-        ),
-        bigrams AS (
-            SELECT doc_id, t[i + 1] AS w1,
-                   t[i + 1] || ' ' || t[i + 2] AS bg
-            FROM toks, unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
-            WHERE len(t) >= 2 AND t[1] <> ''
-        ),
-        uni AS (SELECT w1, count(*) AS c_w1 FROM bigrams GROUP BY w1),
-        bi AS (SELECT bg, count(*) AS c_bg FROM bigrams GROUP BY bg),
-        agg AS (
-            SELECT doc_id,
-                   count(*) AS n_bigrams,
-                   sum(CAST(c_bg / CAST(c_w1 AS DOUBLE) AS DECIMAL(38,12)))
-                       AS p_sum,
-                   sum(CAST(round({softln_ratio_sql('c_bg', 'c_w1')}, 6)
-                       AS DECIMAL(38,6))) AS logp_sum
-            FROM bigrams JOIN bi USING (bg) JOIN uni USING (w1)
-            GROUP BY doc_id
-        )
-        -- 6-dp averages via round-half-away integer division over the
-        -- exact decimal sums (round(double,6) of sum/count quotients
-        -- sits exactly on half boundaries — the dsir doc-135 class)
-        SELECT doc_id,
-               n_bigrams,
-               CAST((CASE WHEN p_sum < 0 THEN -1 ELSE 1 END)
-                    * ((abs(CAST(p_sum * 1000000000000 AS HUGEINT)) * 2
-                        + CAST(n_bigrams AS HUGEINT) * 1000000)
-                       // (2 * CAST(n_bigrams AS HUGEINT) * 1000000))
-                    AS DOUBLE) / 1000000.0 AS avg_p,
-               CAST((CASE WHEN logp_sum < 0 THEN -1 ELSE 1 END)
-                    * ((abs(CAST(logp_sum * 1000000 AS HUGEINT)) * 2
-                        + CAST(n_bigrams AS HUGEINT))
-                       // (2 * CAST(n_bigrams AS HUGEINT))) AS DOUBLE)
-                   / 1000000.0 AS avg_logp
-        FROM agg
-        """,
+        oracle=_LM_BIGRAM_SQL,
     ),
     QuerySpec(
         "dsir_importance_weights",
@@ -1252,5 +1298,137 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
     QuerySpec("pmi_cooccurrence", q_pmi_cooccurrence, oracle=_pmi_oracle()),
     QuerySpec(
         "token_budget_mixture", q_token_budget, oracle=_token_budget_oracle()
+    ),
+    QuerySpec(
+        # CCNet-style per-language perplexity terciles over the bigram
+        # LM (lm CTE reused verbatim): bucket edges are integer rank
+        # arithmetic over a tie-broken total order, no float quantile
+        "perplexity_bucket_filter",
+        q_perplexity_buckets,
+        oracle=f"""
+        WITH lm AS ({_LM_BIGRAM_SQL}),
+        lab AS (
+            SELECT lm.doc_id, d.lang, lm.avg_logp
+            FROM lm JOIN documents d USING (doc_id)
+        ),
+        rk AS (
+            SELECT doc_id, lang, avg_logp,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY avg_logp DESC, doc_id ASC)
+                       AS rnk,
+                   count(*) OVER (PARTITION BY lang) AS n_grp
+            FROM lab
+        )
+        SELECT doc_id, lang, avg_logp,
+               CASE WHEN rnk * 3 <= n_grp THEN 'head'
+                    WHEN rnk * 3 <= 2 * n_grp THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket,
+               CASE WHEN rnk * 3 <= n_grp THEN 'head'
+                    WHEN rnk * 3 <= 2 * n_grp THEN 'middle'
+                    ELSE 'tail' END <> 'tail' AS is_kept
+        FROM rk
+        """,
+    ),
+    QuerySpec(
+        # Mann-Whitney with midranks: integer counting end-to-end, one
+        # double division at the very last step — tie handling is
+        # engine-exact by construction
+        "quality_auc_eval",
+        q_quality_auc,
+        oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> length(w) > 0) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT round(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_filter(toks, w -> w IN ({_STOPWORDS_SQL})))
+                          / CAST(len(toks) AS DOUBLE) END, 6) AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM tok
+        ),
+        by_score AS (
+            SELECT s, count(*) AS n_s, sum(y) AS p_s
+            FROM scored GROUP BY s
+        ),
+        ranked AS (
+            SELECT s, n_s, p_s,
+                   coalesce(sum(n_s) OVER (
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS c_less
+            FROM by_score
+        ),
+        agg AS (
+            SELECT CAST(sum(p_s) AS BIGINT) AS n_pos,
+                   CAST(sum(n_s) - sum(p_s) AS BIGINT) AS n_neg,
+                   CAST(sum(p_s * (2 * c_less + n_s + 1)) AS BIGINT)
+                       AS two_r_pos
+            FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   CAST(two_r_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                   / (2 * n_pos * n_neg) END AS auc,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   2 * (CAST(two_r_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                        / (2 * n_pos * n_neg)) - 1 END AS gini
+        FROM agg
+        """,
+    ),
+    QuerySpec(
+        # distinct-n diversity per source slice: n-gram emission via
+        # correlated lateral unnest, ratios are single divisions of
+        # exact counts
+        "ngram_diversity_by_source",
+        q_ngram_diversity,
+        oracle=r"""
+        WITH toks AS (
+            SELECT source,
+                   list_filter(string_split(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z\s]', '', 'g'),
+                       '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT source AS grp, nn.n AS n,
+                   array_to_string(list_slice(t, ii.i + 1, ii.i + nn.n), ' ')
+                       AS gram
+            FROM toks,
+                 unnest([1, 2, 3]) AS nn(n),
+                 unnest(range(0, greatest(len(t) - nn.n + 1, 0))) AS ii(i)
+        )
+        SELECT grp AS source, CAST(n AS INTEGER) AS n,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+               count(DISTINCT gram) / CAST(count(*) AS DOUBLE) AS diversity
+        FROM g GROUP BY grp, n
+        """,
+    ),
+    QuerySpec(
+        # tokenizer budget calibration: same BPE-ish regex as
+        # token_count_bpe, aggregated per language
+        "tokenizer_fertility_by_lang",
+        q_tokenizer_fertility,
+        oracle=r"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   w -> length(w) > 0)) AS ws,
+                   length(text) AS chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+               CAST(sum(chars) AS BIGINT) AS n_chars,
+               CAST(sum(bpe) AS DOUBLE) / sum(ws) AS fertility,
+               CAST(sum(chars) AS DOUBLE) / sum(bpe) AS chars_per_token
+        FROM per_doc GROUP BY lang
+        """,
     ),
 ]

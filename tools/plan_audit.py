@@ -373,6 +373,39 @@ CHECKS = {
     # attrition funnel: stage counts assemble via 1-row broadcast
     # crossJoins, never a real cartesian
     "pipeline_attrition_funnel": ([], ["CartesianProduct"]),
+    # CDC chunking: boundary detection + chunk slicing are pure JVM
+    # array exprs (one Generate for posexplode); the only exchanges
+    # are the chunk-hash count and per-doc agg — never an all-pairs
+    "cdc_chunk_dedup": (
+        ["Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"],
+    ),
+    # leakage audit: equi-joins on doc ids only — the pair list is
+    # already sub-quadratic, the audit must not add a product
+    "split_leakage_audit": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # perplexity buckets: LM joins as in lm_bigram_score, bucketing
+    # adds exactly one language-keyed window — no self-join
+    "perplexity_bucket_filter": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # AUC: corpus collapses to one score-keyed aggregate BEFORE the
+    # unpartitioned midrank window (bounded by score cardinality)
+    "quality_auc_eval": (
+        ["HashAggregate", "Window"],
+        ["Join", "CartesianProduct"],
+    ),
+    # n-gram diversity: JVM gram emission (Generate), one grouped
+    # count-distinct aggregate — no Python, no join
+    "ngram_diversity_by_source": (
+        ["Generate", "HashAggregate"],
+        ["Join", "CartesianProduct", "MapInPandas"],
+    ),
+    # fertility: narrow regexp counts + tiny aggregate, no join
+    "tokenizer_fertility_by_lang": (
+        ["HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 
