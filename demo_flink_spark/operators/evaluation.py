@@ -91,6 +91,88 @@ def binary_auc(
     )
 
 
+def bigram_novelty(
+    docs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_split: str = "train",
+) -> DataFrame:
+    """Memorization/novelty signal for eval documents: per val/test
+    document, the fraction of its word-bigram occurrences never seen
+    in ANY training-split document —
+    (doc_id, split, n_bigrams, n_novel, novelty_rate).
+
+    A benchmark doc whose bigrams are all covered by train text is
+    answerable from surface memorization; novelty_rate ~ 1 means the
+    eval text is genuinely out-of-distribution. This is the
+    complement of `split_leakage`: leakage finds whole near-dup
+    documents, novelty measures fine-grained n-gram coverage.
+
+    Scale: bigram emission is pure JVM array expressions (the
+    ngram_diversity shape — token array materialized BEFORE the
+    lambda); the train bigram set is vocabulary-sized, so its
+    dedup+join strategy is left to AQE (broadcast while measured
+    small, shuffle join past the threshold — the lm_bigram_score
+    rationale). Nothing is ever corpus x corpus.
+    """
+    from demo_flink_spark.operators.wordcount import normalize_text
+
+    tok_df = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        normalize_text(F.col(text_col)), r"\s+", " "
+                    )
+                ),
+                " ",
+            ),
+            lambda x: F.length(x) > 0,
+        ).alias("t"),
+    )
+    t = F.col("t")
+    bigrams = tok_df.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.array_join(F.slice(t, i + 1, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    ).join(splits.select(id_col, "split"), id_col)
+    train_set = (
+        bigrams.filter(F.col("split") == train_split)
+        .select("bg")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        bigrams.filter(F.col("split") != train_split)
+        .join(train_set, "bg", "left")
+        .groupBy(id_col, "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.col("seen").isNull().cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "split",
+            "n_bigrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_bigrams").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
 def split_leakage(
     pairs: DataFrame,
     splits: DataFrame,

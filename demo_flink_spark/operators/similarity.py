@@ -567,3 +567,90 @@ def cosine_topk_hamming(
         .withColumn("_cos_raw", cosine(F.col("qvec"), F.col("cvec")))
     )
     return _topk_neighbors(scored, k)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): per query, greedily pick the candidate maximizing
+
+        lam * rel(q, d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+
+    so the result list trades pure relevance for coverage — the
+    re-rank every RAG/retrieval stack runs when near-duplicate
+    passages would otherwise fill all k slots.
+
+    Two stages: (1) exact top-`pool` relevance candidates per query —
+    the brute-force broadcast scan (`cosine_topk_bruteforce` shape,
+    one corpus pass); (2) per-query greedy selection over the pool via
+    applyInPandas — the group state is a pool x dim matrix (KBs), and
+    the O(k * pool) greedy loop runs on ~pool rows per group, never on
+    the corpus. Ties break (score desc, vec_id asc): deterministic
+    output for a fixed corpus.
+
+    Returns (query_id, rk, vec_id, relevance, mmr_score). Pytest-only
+    coverage: the greedy recursion has no reasonable SQL twin
+    (tests/test_mmr.py pins NumPy-reference parity + the diversity
+    property vs plain top-k).
+    """
+    cand = cosine_topk_bruteforce(corpus, queries, k=pool, vec_col=vec_col)
+    qv = F.broadcast(
+        queries.select("query_id", F.col(vec_col).alias("qvec"))
+    )
+    pooled = (
+        cand.select("query_id", "vec_id")
+        .join(corpus.select("vec_id", F.col(vec_col).alias("cvec")), "vec_id")
+        .join(qv, "query_id")
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.array(list(pdf["cvec"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # np.array (copy), not asarray: Arrow hands the vector over as
+        # a zero-copy READ-ONLY buffer and the in-place normalize below
+        # would raise "output array is read-only"
+        qvec = np.array(pdf["qvec"].iloc[0], dtype=np.float64)
+        qvec /= np.linalg.norm(qvec)
+        rel = mat @ qvec
+        sims = mat @ mat.T
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        selected: list[int] = []
+        out_rows = []
+        for rank in range(1, min(k, n) + 1):
+            best_i, best_score = -1, -np.inf
+            for i in range(n):
+                if i in selected:
+                    continue
+                penalty = max(sims[i, j] for j in selected) if selected else 0.0
+                score = lam * rel[i] - (1.0 - lam) * penalty
+                # total order: score desc, vec_id asc (ids pre-sorted,
+                # so strict > keeps the lowest id among exact ties)
+                if score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            out_rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(ids[best_i]),
+                    float(rel[best_i]),
+                    float(best_score),
+                )
+            )
+        return pd.DataFrame(
+            out_rows,
+            columns=["query_id", "rk", "vec_id", "relevance", "mmr_score"],
+        )
+
+    return pooled.groupBy("query_id").applyInPandas(
+        per_query,
+        "query_id long, rk int, vec_id long, relevance double, mmr_score double",
+    )

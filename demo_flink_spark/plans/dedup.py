@@ -246,6 +246,18 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(pairs, dataset_split(docs, "doc_id"))
 
 
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram novelty (operators/evaluation.py::
+    bigram_novelty): per val/test document, the fraction of its
+    bigram occurrences unseen in any train-split document — the
+    fine-grained memorization complement of split_leakage_audit."""
+    from demo_flink_spark.operators.evaluation import bigram_novelty
+    from demo_flink_spark.operators.sampling import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_novelty(docs, dataset_split(docs, "doc_id"))
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (operators/dedup.py::
     cdc_chunk_stats): hash-gated chunk boundaries make dedup
@@ -643,6 +655,37 @@ SPECS = [
         JOIN sp so ON s.other = so.doc_id
         WHERE sd.split <> 'train' AND so.split = 'train'
         GROUP BY s.doc, sd.split
+        """,
+    ),
+    QuerySpec(
+        "bigram_novelty_vs_train",
+        q_bigram_novelty,
+        oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({_CANON}, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS bg
+            FROM toks, unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
+            WHERE len(t) >= 2
+        ),
+        sp AS ({_SPLIT_SQL}),
+        lab AS (SELECT bg.doc_id, bg.bg, sp.split
+                FROM bg JOIN sp USING (doc_id)),
+        train_set AS (
+            SELECT DISTINCT bg FROM lab WHERE split = 'train'
+        )
+        SELECT l.doc_id, l.split,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN t.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+               round(sum(CASE WHEN t.bg IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+        FROM lab l LEFT JOIN train_set t USING (bg)
+        WHERE l.split <> 'train'
+        GROUP BY l.doc_id, l.split
         """,
     ),
     QuerySpec(

@@ -59,6 +59,16 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_pq(emb, _queries_df(spark, sf_dir), k=_K)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (operators/similarity.py::mmr_rerank):
+    relevance pool from the brute-force scan, per-query greedy
+    diversity re-rank in one Arrow group pass. Pytest-only coverage —
+    the greedy recursion has no reasonable SQL twin
+    (tests/test_mmr.py: NumPy parity + diversity property)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(emb, _queries_df(spark, sf_dir), k=_K, pool=20)
+
+
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.py::hard_negatives):

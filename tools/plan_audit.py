@@ -406,6 +406,18 @@ CHECKS = {
         ["HashAggregate"],
         ["Join", "CartesianProduct"],
     ),
+    # novelty: JVM bigram emission (Generate); the train bigram set is
+    # vocabulary-sized, join strategy left to AQE — never a product
+    "bigram_novelty_vs_train": (
+        ["Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"],
+    ),
+    # MMR: stage 1 is the intended broadcast brute-force scan (BNLJ);
+    # stage 2 greedily re-ranks pool-sized groups in ONE Arrow pass
+    "similarity_mmr_rerank": (
+        ["BroadcastNestedLoopJoin", "FlatMapGroupsInPandas"],
+        ["CartesianProduct"],
+    ),
 }
 
 
@@ -427,12 +439,13 @@ def main() -> int:
         # directly from the plan modules.
         from demo_flink_spark.plans.dedup import q_semantic_cells
         from demo_flink_spark.plans.features import q_pca_scores
-        from demo_flink_spark.plans.similarity import q_topk_pq
+        from demo_flink_spark.plans.similarity import q_mmr_rerank, q_topk_pq
 
         return {
             "similarity_topk_pq": q_topk_pq,
             "embedding_pca_scores": q_pca_scores,
             "dedup_semantic_cells": q_semantic_cells,
+            "similarity_mmr_rerank": q_mmr_rerank,
         }[name]
 
     failures = 0
