@@ -163,6 +163,76 @@ def zscore_anomalies(
     )
 
 
+def ewma_trailing(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    n_trailing: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving average over the trailing
+    `n_trailing` readings per key (alpha = 1/2):
+
+        ewma_t = Σ_j v_{t-j} · 2^(-j)  /  Σ_j 2^(-j),   j = 0..L-1
+
+    the denoised "current level" feature every monitoring/trading
+    pipeline derives, truncated to a bounded window so it is a pure
+    ROWS-frame window op (the untruncated recursion needs stateful
+    streaming; this is its batch twin).
+
+    Bit-exact across engines WITHOUT rounding: the weights are
+    reciprocals of powers of two pulled from a LITERAL array (exact
+    doubles), v · 2^(-j) is an exact scaling, and both engines fold
+    the term list strictly left-to-right (Spark `aggregate` from +0.0,
+    DuckDB `list_reduce` — adding 0.0 first is itself exact), so every
+    intermediate double is identical. No libm pow anywhere.
+
+    One window pass, one shuffle on the key; the collected frame is
+    `n_trailing` doubles per row.
+    """
+    if n_trailing < 1:
+        raise ValueError("n_trailing must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak).rowsBetween(
+        -(n_trailing - 1), 0
+    )
+    # materialize the frame as a named column BEFORE any lambda uses
+    # it (expressions inside higher-order functions are re-evaluated
+    # per element)
+    base = df.select(
+        key_col,
+        ts_col,
+        order_tiebreak,
+        F.col(value_col).alias(value_col),
+        F.collect_list(F.col(value_col).cast("double")).over(w).alias("_vals"),
+    )
+    vals = F.col("_vals")
+    length = F.size(vals)
+    pow2 = F.array(*[F.lit(float(1 << k)) for k in range(n_trailing)])
+    # element i (1-based, oldest-first) sits L-i steps before the
+    # current row -> weight 2^-(L-i)
+    terms = F.zip_with(
+        vals,
+        F.sequence(F.lit(1), length),
+        lambda v, i: v / F.element_at(pow2, length - i + 1),
+    )
+    weights = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.lit(1.0) / F.element_at(pow2, length - i + 1),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return base.select(
+        key_col,
+        ts_col,
+        order_tiebreak,
+        value_col,
+        length.alias("n_win"),
+        (fold(terms) / fold(weights)).alias("ewma"),
+    )
+
+
 def ohlc_bars(
     df: DataFrame,
     key_col: str = "event_type",

@@ -692,6 +692,29 @@ def q_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-standard top-n-per-key idiom. Catalyst DECORRELATES it: the
+    plan is one orders-side Window (rank ≤ 3) + a broadcast hash join
+    back to customers — no per-customer re-execution, no nested loop
+    (plan-audited). The tiebreak (o_totalprice DESC, o_orderkey) is a
+    total order, so the same 3 rows survive on any engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lat c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_lat
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        """
+    )
+
+
 def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key global sort with explicit null placement + limit.
 
@@ -1465,6 +1488,18 @@ SPECS = [
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         )
         GROUP BY o_orderstatus
+        """,
+    ),
+    QuerySpec(
+        "sql_lateral_topn",
+        q_sql_lateral_topn,
+        oracle="""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o ON true
         """,
     ),
     QuerySpec(

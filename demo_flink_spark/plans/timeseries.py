@@ -88,8 +88,42 @@ GROUP BY key, bucket_ts
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (alpha=1/2, 8-reading frame) per event_type
+    (operators/timeseries.py::ewma_trailing) — bit-exact across
+    engines via literal power-of-two weights and a strict
+    left-to-right fold, no rounding anywhere."""
+    from demo_flink_spark.operators.timeseries import ewma_trailing
+
+    return ewma_trailing(load_table(spark, sf_dir, "events"))
+
+
+_POW2_SQL = "[" + ", ".join(f"{float(1 << k)!r}" for k in range(8)) + "]"
+
+_EWMA_ORACLE = f"""
+WITH frames AS (
+    SELECT event_type, ts, event_id, value,
+           list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+    FROM events
+)
+SELECT event_type, ts, event_id, value,
+       CAST(len(vals) AS INTEGER) AS n_win,
+       list_reduce(list_transform(range(1, len(vals) + 1),
+           i -> vals[i] / ({_POW2_SQL})[len(vals) - i + 1]),
+           (a, b) -> a + b)
+       /
+       list_reduce(list_transform(range(1, len(vals) + 1),
+           i -> 1.0 / ({_POW2_SQL})[len(vals) - i + 1]),
+           (a, b) -> a + b) AS ewma
+FROM frames
+"""
+
+
 SPECS = [
     QuerySpec("ohlc_bars_15m", q_ohlc_bars, oracle=_OHLC_ORACLE),
+    QuerySpec("ts_ewma_trailing", q_ewma, oracle=_EWMA_ORACLE),
     QuerySpec(
         "ts_gapfill_locf",
         q_gapfill_locf,

@@ -222,3 +222,41 @@ def test_tokenizer_fertility_punctuation_counts(spark):
     assert row["n_ws_tokens"] == 6
     assert row["fertility"] == pytest.approx(8 / 6)
     assert row["n_docs"] == 2
+
+
+# ----------------------------------------------------------- EWMA
+
+
+def test_ewma_trailing_matches_definition(spark):
+    import math
+
+    from demo_flink_spark.operators.timeseries import ewma_trailing
+
+    rows = [
+        (i, "k", float(v))
+        for i, v in enumerate([10, 20, 40, 10, 30, 50, 70, 20, 60, 80])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    from pyspark.sql import functions as F
+
+    out = (
+        ewma_trailing(
+            df.withColumn("ts", F.timestamp_seconds(F.col("event_id"))),
+            n_trailing=4,
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    vals = [v for _, _, v in rows]
+    for r in out:
+        i = r["event_id"]
+        window = vals[max(0, i - 3) : i + 1]
+        num = sum(v * 2.0 ** -(len(window) - 1 - j) for j, v in enumerate(window))
+        den = sum(2.0 ** -(len(window) - 1 - j) for j in range(len(window)))
+        assert r["n_win"] == len(window)
+        assert math.isclose(r["ewma"], num / den, rel_tol=1e-12)
+    # most recent reading dominates: last ewma sits between mean and v_t
+    last = out[-1]
+    tail = vals[-4:]
+    assert min(tail) <= last["ewma"] <= max(tail)
+    assert ewma_trailing.__doc__  # docstring documents the exactness contract

@@ -418,6 +418,16 @@ CHECKS = {
         ["BroadcastNestedLoopJoin", "FlatMapGroupsInPandas"],
         ["CartesianProduct"],
     ),
+    # EWMA: ONE key-partitioned ROWS-frame window, no join, no
+    # unpartitioned window
+    "ts_ewma_trailing": (["Window"], ["Join", "CartesianProduct"]),
+    # lateral top-n: Catalyst must DECORRELATE the per-row LIMIT into
+    # a window + hash join — never re-execute per outer row (nested
+    # loop / cartesian)
+    "sql_lateral_topn": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
