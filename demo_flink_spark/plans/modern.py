@@ -160,7 +160,65 @@ def q_sketch_cms_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pysource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource end-to-end
+    (sources/pysource.py::SyntheticEventsDataSource, the Spark-4
+    DataSource API): 2000 generated events read through the registered
+    format and aggregated per type. The oracle re-derives every
+    md5-generated attribute in SQL, so the CONNECTOR itself — schema,
+    partition planning, row generation — is value-hash-checked, not
+    just smoke-tested. sf_dir is unused: the source generates its
+    input (that is the point)."""
+    from demo_flink_spark.sources.pysource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 2000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+# DuckDB twin of pysource._row: md5_number_upper is the first 8 md5
+# bytes little-endian, so byte k = (x // 256^k) % 256; the Python
+# int(hex[a:b], 16) slices decompose into those bytes (the
+# fim_transform_psm derivation, extended to nibbles).
+_PYSOURCE_ORACLE = """
+WITH ids AS (SELECT unnest(range(0, 2000)) AS i),
+h AS (
+    SELECT i, md5_number_upper('syn:' || CAST(i AS VARCHAR)) AS x FROM ids
+),
+f AS (
+    SELECT i,
+           ((x % 256) * 256 + (x // 256) % 256) % 100 AS user_id,
+           CAST(((x // 65536) % 256) // 16 AS BIGINT) % 4 AS eidx,
+           round((((x // 65536) % 256) % 16 * 4096
+                  + ((x // 16777216) % 256) * 16
+                  + ((x // 4294967296) % 256) // 16) % 20000 / 100.0,
+                 2) AS value
+    FROM h
+)
+SELECT CASE eidx WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                 WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM f GROUP BY eidx
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "pysource_event_counts", q_pysource_counts, oracle=_PYSOURCE_ORACLE
+    ),
     QuerySpec(
         "variant_props_stats",
         q_variant_extract,

@@ -1,0 +1,159 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic event generator, batch + offset-tracked streaming.
+
+The reference builds jobs on generator-style sources
+(`env.fromElements(...)` / `env.socketTextStream(...)` —
+`FraudDetectorExample.java:23-33`, `EventTimeWordCountDebug.java:31`);
+this is the Spark-4-native way to ship such a connector: a
+`pyspark.sql.datasource.DataSource` registered by name, after which
+`spark.read.format("synthetic_events")` / `readStream` work like any
+built-in format.
+
+Why it matters at 100 TB: the same API surface is how a REAL custom
+connector (internal feed, proprietary archive format) plugs in —
+partition planning on the driver, row generation executor-side, and
+for streaming an explicit offset contract (`initialOffset` /
+`latestOffset` / `partitions(start, end)`) that makes every
+micro-batch REPLAYABLE: re-reading the same offset range yields
+byte-identical rows (event attributes are a pure hash of the event
+id), which is the property exactly-once sinks need from their source.
+
+Scale design: `partitions()` splits the id range into
+`numPartitions` `RangePartition`s — generation is embarrassingly
+parallel, nothing is materialized on the driver; a partition only
+ever holds its own range. Everything is stdlib (md5) — no numpy in
+the read path, so worker startup is cheap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_EVENT_TYPES = ("view", "click", "purchase", "error")
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _row(i: int) -> tuple[int, int, str, float]:
+    """Event `i` as a pure function of `i` (md5-derived attributes):
+    the determinism contract every replayed offset range relies on."""
+    h = hashlib.md5(f"syn:{i}".encode()).hexdigest()
+    user = int(h[:4], 16) % 100
+    etype = _EVENT_TYPES[int(h[4], 16) % len(_EVENT_TYPES)]
+    value = round(int(h[5:9], 16) % 20000 / 100.0, 2)
+    return (i, user, etype, value)
+
+
+class RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("numPartitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        step = max(1, -(-self.n_rows // self.n_parts))
+        return [
+            RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Offset contract: the offset is the next unread event id. Each
+    `latestOffset` call advances by `rowsPerBatch` — a bounded,
+    deterministic micro-batch; `partitions(start, end)` re-splits any
+    committed-or-not range identically, so recovery replays exactly
+    the rows the failed batch contained."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 50))
+        self.n_parts = int(options.get("numPartitions", 4))
+        self.max_rows = int(options.get("maxRows", 1 << 60))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self._current + self.rows_per_batch, self.max_rows)
+        return {"next": self._current}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["next"], end["next"]
+        if hi <= lo:
+            return [RangePartition(lo, lo)]
+        step = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
+
+    def read(self, partition: RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: rows are a pure function of id
+
+    def stop(self) -> None:
+        pass
+
+
+class SyntheticEventsDataSource(DataSource):
+    """`spark.dataSource.register(SyntheticEventsDataSource)` then
+    `spark.read.format("synthetic_events").option("n_rows", ...)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def expected_rows(n: int) -> list[tuple[int, int, str, float]]:
+    """Driver-side reference for tests: the first `n` events."""
+    return [_row(i) for i in range(n)]
+
+
+def offsets_roundtrip(offset: dict) -> dict:
+    """Offsets must survive JSON serialization (Spark persists them in
+    the checkpoint WAL)."""
+    return json.loads(json.dumps(offset))

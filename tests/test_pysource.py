@@ -1,0 +1,90 @@
+"""Custom Python DataSource (Spark 4 DataSource API): batch
+determinism + partition planning, and the streaming offset contract
+(bounded micro-batches, no dups/gaps across batches, replay
+determinism)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def _register(spark):
+    from demo_flink_spark.sources.pysource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+def test_batch_read_deterministic_and_partitioned(spark):
+    from demo_flink_spark.sources.pysource import expected_rows
+
+    _register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 200)
+        .option("numPartitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = sorted(df.collect())
+    assert len(rows) == 200
+    assert [tuple(r) for r in rows] == expected_rows(200)
+    # second read: byte-identical (the replay contract)
+    again = sorted(
+        spark.read.format("synthetic_events").option("n_rows", 200).load().collect()
+    )
+    assert [tuple(r) for r in again] == expected_rows(200)
+    # generated events aggregate like any other table
+    agg = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r["n"] for r in agg) == 200 and len(agg) == 4
+
+
+def test_stream_offsets_no_dups_no_gaps(spark, tmp_path):
+    _register(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 40)
+        .option("numPartitions", 3)
+        .option("maxRows", 120)
+        .load()
+        .writeStream.format("memory")
+        .queryName("syn_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = spark.sql("SELECT event_id FROM syn_stream").count()
+            if got >= 120:
+                break
+            time.sleep(0.5)
+        ids = [
+            r["event_id"]
+            for r in spark.sql("SELECT event_id FROM syn_stream").collect()
+        ]
+    finally:
+        q.stop()
+    # maxRows caps the offset: exactly 0..119, each exactly once
+    assert sorted(ids) == list(range(120))
+
+
+def test_stream_offset_json_roundtrip():
+    from demo_flink_spark.sources.pysource import (
+        SyntheticEventsStreamReader,
+        offsets_roundtrip,
+    )
+
+    r = SyntheticEventsStreamReader({"rowsPerBatch": "10", "numPartitions": "2"})
+    assert r.initialOffset() == {"next": 0}
+    o1 = offsets_roundtrip(r.latestOffset())
+    o2 = offsets_roundtrip(r.latestOffset())
+    assert (o1, o2) == ({"next": 10}, {"next": 20})
+    # replay: identical partitioning for the same committed range
+    p_a = [(p.start, p.end) for p in r.partitions(o1, o2)]
+    p_b = [(p.start, p.end) for p in r.partitions(o1, o2)]
+    assert p_a == p_b
+    # ranges tile [10, 20) without overlap
+    covered = sorted(i for s, e in p_a for i in range(s, e))
+    assert covered == list(range(10, 20))

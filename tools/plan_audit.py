@@ -428,6 +428,12 @@ CHECKS = {
         ["Window", "BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # custom Python DataSource: a real BatchScan of the registered
+    # format (partition-planned, executor-side generation) + one agg
+    "pysource_event_counts": (
+        ["BatchScan synthetic_events", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 
