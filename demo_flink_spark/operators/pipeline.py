@@ -423,3 +423,40 @@ def fim_transform(
         (n - s).cast("long").alias("suf_len"),
         F.md5(psm).alias("psm_md5"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-over-snapshot corpus diff — the bookkeeping an
+    incremental crawl re-run starts from: per document id,
+    status ∈ {added, removed, changed, unchanged}.
+
+    Both sides are projected to (id, md5(content)) BEFORE the full
+    outer join, so the exchange carries 16-byte digests, never
+    document bodies (at 100 TB the bodies stay columnar in their
+    scans). Content equality by hash is the same trade `exact_dedup`
+    documents; the md5 digest is also what makes the op
+    oracle-checkable cross-engine.
+
+    Downstream: `changed ∪ added` is the reprocessing frontier (feeds
+    the incremental-bloom / streaming-LSH dedup path); `removed`
+    drives retraction from derived stores.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_old_h")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_new_h")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_old_h").isNull(), F.lit("added"))
+        .when(F.col("_new_h").isNull(), F.lit("removed"))
+        .when(F.col("_old_h") == F.col("_new_h"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -648,6 +648,86 @@ def tokenizer_fertility(docs: DataFrame, group_col: str = "lang") -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Within-document Shannon entropy of the unigram distribution —
+    the information-density quality signal: near-zero entropy flags
+    single-token spam, low entropy flags repetitive boilerplate,
+    independent of WHICH tokens repeat (the complement of
+    `repetition_signals`' positional n-gram measures).
+
+        H = -Σ (c/n)·ln(c/n) = -(1/n) Σ c·ln(c/n)
+
+    (doc_id, n_tokens, n_distinct, entropy). Engine-exact: each
+    ln(c/n) is the portable softln series (no libm), rounded to 6dp;
+    c·round6 products are exact doubles (≤ 33 significant bits) summed
+    in decimal(38,6); the final 6dp division is round-half-away
+    integer arithmetic (the lm_bigram_score recipe).
+
+    Scale: ZERO exchanges — distinct tokens and their counts are
+    higher-order array expressions per row (the repetition_signals
+    shape, O(d·n) per doc, fine for document-sized rows; for
+    book-length rows switch to the explode+groupBy form, which is what
+    the DuckDB oracle runs — same values, different plan).
+    """
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    tok_df = docs.select(
+        "doc_id", _tokens(_canon_text(F.col("text"))).alias("t")
+    )
+    t = F.col("t")
+    n = F.size(t)
+    step2 = tok_df.select(
+        "doc_id", "t", F.array_distinct(t).alias("d"), n.alias("n")
+    )
+    counts = F.transform(
+        F.col("d"),
+        lambda x: F.size(F.filter(F.col("t"), lambda y: y == x)),
+    )
+    nn = F.col("n")
+    terms = F.transform(
+        counts,
+        lambda c: c.cast("double") * F.round(softln_ratio(c, nn), 6),
+    )
+    ent_sum = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, x: acc + x.cast("decimal(38,6)"),
+    )
+    step3 = step2.select(
+        "doc_id",
+        nn.cast("long").alias("n_tokens"),
+        F.size("d").cast("long").alias("n_distinct"),
+        ent_sum.alias("_s"),
+    )
+    # H = -Σ/n >= 0 (every ln(c/n) <= 0): 6dp round-half-away integer
+    # division over the exact decimal sum
+    return step3.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "CAST((abs(CAST(_s * 1000000 AS DECIMAL(38,0))) * 2"
+                "      + CAST(n_tokens AS DECIMAL(38,0)))"
+                "     div (2 * CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE)"
+                " / 1000000.0"
+            )
+        )
+        .alias("entropy"),
+    )
+
+
+def _canon_text(col):
+    """lower → strip non-[a-z\\s] → collapse whitespace → trim (the
+    dedup._canonical normalization, local to avoid a circular import)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z\s]", ""), r"\s+", " "
+        )
+    )
+
+
 def dsir_log_ratio(
     docs: DataFrame,
     target_col: str = "lang",

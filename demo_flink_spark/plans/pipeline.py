@@ -224,7 +224,46 @@ def _fim_oracle() -> str:
     """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl bookkeeping (operators/pipeline.py::
+    snapshot_diff): old = docs with id % 11 != 3, new = docs with
+    id % 13 != 5 and a ' rev' mutation on id % 7 == 0 — every status
+    class (added/removed/changed/unchanged) is populated
+    deterministically. Content compared by md5 digest, bodies never
+    join."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev"))
+        ).otherwise(F.col("text")),
+    )
+    return pl.snapshot_diff(old, new)
+
+
 SPECS = [
+    QuerySpec(
+        "corpus_snapshot_diff",
+        q_snapshot_diff,
+        oracle="""
+        WITH o AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3
+        ),
+        n AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' rev'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 5
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+    ),
     QuerySpec(
         "source_file_provenance",
         q_file_provenance,

@@ -307,6 +307,13 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ngram_diversity(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc unigram Shannon entropy (operators/textstats.py::
+    token_entropy): zero-exchange higher-order exprs, portable-softln
+    per term — the information-density quality signal."""
+    return textstats.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish tokens per word and chars per token, per language
     (operators/textstats.py::tokenizer_fertility) — corpus-to-token
@@ -1404,6 +1411,39 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
                CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
                count(DISTINCT gram) / CAST(count(*) AS DOUBLE) AS diversity
         FROM g GROUP BY grp, n
+        """,
+    ),
+    QuerySpec(
+        # the oracle runs the explode+groupBy twin of the zero-exchange
+        # array-expr plan — same per-term values, different shape
+        "token_entropy",
+        q_token_entropy,
+        oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z\s]', '', 'g'),
+                '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+                      CAST(len(list_distinct(t)) AS BIGINT) AS d
+               FROM toks),
+        s AS (
+            SELECT c.doc_id,
+                   sum(CAST(c.c * round({softln_ratio_sql('c.c', 'nn.n')}, 6)
+                            AS DECIMAL(38,6))) AS s
+            FROM c JOIN nn ON c.doc_id = nn.doc_id
+            GROUP BY c.doc_id
+        )
+        SELECT nn.doc_id, nn.n AS n_tokens, nn.d AS n_distinct,
+               CASE WHEN nn.n = 0 THEN 0.0 ELSE
+                   CAST((abs(CAST(s.s * 1000000 AS HUGEINT)) * 2
+                         + CAST(nn.n AS HUGEINT))
+                        // (2 * CAST(nn.n AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0 END AS entropy
+        FROM nn LEFT JOIN s ON nn.doc_id = s.doc_id
         """,
     ),
     QuerySpec(

@@ -260,3 +260,40 @@ def test_ewma_trailing_matches_definition(spark):
     tail = vals[-4:]
     assert min(tail) <= last["ewma"] <= max(tail)
     assert ewma_trailing.__doc__  # docstring documents the exactness contract
+
+
+# ------------------------------------------------ entropy + snapshot diff
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from demo_flink_spark.operators.textstats import token_entropy
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),     # single token: H = 0
+            (2, "a b"),                     # uniform 2: H = ln 2
+            (3, "a a b b c c d d"),         # uniform 4: H = ln 4
+            (4, ""),                        # empty: H = 0, n = 0
+        ],
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert abs(out[2]["entropy"] - math.log(2)) < 1e-5
+    assert abs(out[3]["entropy"] - math.log(4)) < 1e-5
+    assert out[4]["n_tokens"] == 0 and out[4]["entropy"] == 0.0
+    # skew lowers entropy below uniform over the same support
+    skew = _docs(spark, [(9, "a a a a a a b")])
+    h = token_entropy(skew).collect()[0]["entropy"]
+    assert 0 < h < math.log(2)
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from demo_flink_spark.operators.pipeline import snapshot_diff
+
+    old = _docs(spark, [(1, "same"), (2, "before"), (3, "gone")])
+    new = _docs(spark, [(1, "same"), (2, "after"), (4, "fresh")])
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -251,3 +251,53 @@ def test_exact_k_kernel_converges_for_any_arrival_order(ids, k, n_batches, rnd):
     )
     want = {i: rank < k for rank, i in enumerate(ranked)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney midrank AUC formula (operators/evaluation.py::binary_auc):
+# the integer-arithmetic formula the Spark/DuckDB twins both evaluate must
+# equal the definitional pairwise AUC for ANY multiset of (score, label).
+
+
+def _auc_formula(pairs):
+    """The exact formula both engines run: group by score, cumulate,
+    2R_pos = Σ p_s (2 c_less + n_s + 1)."""
+    from collections import Counter
+
+    n_s = Counter(s for s, _ in pairs)
+    p_s = Counter(s for s, y in pairs if y)
+    c_less, two_r_pos = 0, 0
+    for s in sorted(n_s):
+        two_r_pos += p_s[s] * (2 * c_less + n_s[s] + 1)
+        c_less += n_s[s]
+    n_pos = sum(p_s.values())
+    n_neg = len(pairs) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return None
+    return (two_r_pos - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)
+
+
+def _auc_pairwise(pairs):
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    tot = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return tot / (len(pos) * len(neg))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.booleans()),
+        max_size=60,
+    )
+)
+@settings(max_examples=300)
+def test_auc_midrank_formula_equals_pairwise_definition(pairs):
+    a, b = _auc_formula(pairs), _auc_pairwise(pairs)
+    if a is None or b is None:
+        assert a is None and b is None
+    else:
+        assert abs(a - b) < 1e-12

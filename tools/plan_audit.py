@@ -434,6 +434,11 @@ CHECKS = {
         ["BatchScan synthetic_events", "HashAggregate"],
         ["Join", "CartesianProduct"],
     ),
+    # entropy: pure higher-order array exprs — ZERO exchanges
+    "token_entropy": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # snapshot diff: digests join, bodies never shuffle — the only
+    # exchange is the id-keyed full outer join
+    "corpus_snapshot_diff": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
