@@ -110,6 +110,9 @@ def main() -> None:
         "ts_anomaly_zscore",
         "similarity_topk_hamming",
         "pipeline_attrition_funnel",
+        "cdc_chunk_dedup",
+        "quality_auc_eval",
+        "pysource_event_counts",
     ]
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "local")
     detail_name = f"BENCH_DETAIL_{tag}.json"
