@@ -255,3 +255,54 @@ def exact_k_per_group(
         .filter(F.col("rn") <= k)
         .drop("_rk")
     )
+
+
+def mixture_interleave(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_of=None,
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic interleaving schedule for weighted source mixing —
+    the order a training run actually consumes a multi-source corpus:
+    any prefix of the schedule contains sources in proportion to their
+    weights (weight 2 sources appear twice as often as weight 1), with
+    no RNG anywhere.
+
+    Classic virtual-time scheduling (WFQ / stride scheduling): each
+    doc gets a rank r within its source by md5(salt‖id) (a
+    reproducible intra-source shuffle), and fires at virtual time
+    r / w_source; the global schedule is ascending
+    (virtual_time, group, id). Per doc:
+    (id, group, src_rank, virtual_time).
+
+    Cross-engine exactness: r is an integer window rank, w a literal
+    double, and r / w one IEEE division — identical doubles on any
+    engine, full-precision hashable, ties broken by the explicit
+    total order. One group-keyed window exchange; consumers sort (or
+    range-partition) by virtual_time, which `global_cumsum` turns
+    into positions without a single-task global sort.
+
+    `weight_of(group_col_value_column) -> weight column` defaults to
+    weight 1.0 for every group (uniform interleave).
+    """
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    weight = (
+        weight_of(F.col(group_col)) if weight_of is not None else F.lit(1.0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.row_number().over(w_rank).cast("long").alias("src_rank"),
+    ).select(
+        id_col,
+        group_col,
+        "src_rank",
+        (F.col("src_rank").cast("double") / weight).alias("virtual_time"),
+    )

@@ -490,6 +490,22 @@ def q_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_k_per_group(docs, k=25, group_col="lang", salt="exk")
 
 
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source-interleave schedule (operators/sampling.py::
+    mixture_interleave): WFQ virtual-time order with weight
+    1 + (source index mod 4) — any schedule prefix holds sources in
+    weight proportion, zero RNG, one window exchange."""
+    from demo_flink_spark.operators.sampling import mixture_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_interleave(
+        docs,
+        group_col="source",
+        weight_of=lambda src: F.lit(1.0)
+        + (F.expr("CAST(substring(source, 4) AS BIGINT)") % 4).cast("double"),
+    )
+
+
 def q_parse_csv_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.2 T2: parse a "ts,word" line into (long, string) with
     trim — `EventTimeWordCountDebug.java:37-42` — demonstrated by
@@ -1411,6 +1427,26 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
                CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
                count(DISTINCT gram) / CAST(count(*) AS DOUBLE) AS diversity
         FROM g GROUP BY grp, n
+        """,
+    ),
+    QuerySpec(
+        # WFQ virtual time: integer rank / literal double weight — one
+        # IEEE division, full-precision hashable
+        "mixture_interleave_schedule",
+        q_mixture_interleave,
+        oracle="""
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS src_rank,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS DOUBLE)
+               / (1.0 + CAST(substring(source, 4) AS BIGINT) % 4)
+                   AS virtual_time
+        FROM documents
         """,
     ),
     QuerySpec(

@@ -297,3 +297,30 @@ def test_snapshot_diff_all_statuses(spark):
     new = _docs(spark, [(1, "same"), (2, "after"), (4, "fresh")])
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_mixture_interleave_prefix_proportionality(spark):
+    """WFQ property: in virtual-time order, any reasonable prefix
+    holds sources roughly in weight proportion, and per-source ranks
+    are dense 1..n."""
+    from demo_flink_spark.operators.sampling import mixture_interleave
+
+    rows = [(i, "heavy" if i % 3 != 2 else "light") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_interleave(
+        docs,
+        group_col="source",
+        weight_of=lambda s: F.when(s == "heavy", F.lit(2.0)).otherwise(
+            F.lit(1.0)
+        ),
+    ).collect()
+    ordered = sorted(out, key=lambda r: (r["virtual_time"], r["source"], r["doc_id"]))
+    prefix = ordered[:90]
+    n_heavy = sum(1 for r in prefix if r["source"] == "heavy")
+    # weight 2 vs 1 -> ~2/3 of any prefix is heavy (exact while both
+    # sources are unexhausted: per unit virtual time, 2 heavy + 1 light)
+    assert abs(n_heavy / 90 - 2 / 3) < 0.05
+    # dense ranks per source
+    for src in ("heavy", "light"):
+        ranks = sorted(r["src_rank"] for r in out if r["source"] == src)
+        assert ranks == list(range(1, len(ranks) + 1))

@@ -436,6 +436,11 @@ CHECKS = {
     ),
     # entropy: pure higher-order array exprs — ZERO exchanges
     "token_entropy": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # interleave: ONE group-keyed window, no join, no global sort
+    "mixture_interleave_schedule": (
+        ["Window"],
+        ["Join", "CartesianProduct", "Sort [virtual_time"],
+    ),
     # snapshot diff: digests join, bodies never shuffle — the only
     # exchange is the id-keyed full outer join
     "corpus_snapshot_diff": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
