@@ -35,7 +35,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -157,3 +159,112 @@ def offsets_roundtrip(offset: dict) -> dict:
     """Offsets must survive JSON serialization (Spark persists them in
     the checkpoint WAL)."""
     return json.loads(json.dumps(offset))
+
+
+# --------------------------------------------------------------------------
+# Custom sink half of the connector story: a manifest-committed file
+# sink with the task-attempt → driver-commit protocol a REAL external
+# store needs (the reference's side writes to Kafka/print, where the
+# broker/console absorbs atomicity; writing to a plain directory makes
+# the protocol explicit and testable).
+
+
+class _PartMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+def _manifest_dir(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("ledger sink requires option('path', ...)")
+    return path
+
+
+class LedgerWriter(DataSourceWriter):
+    """Each task writes a uniquely-named part file (attempt-isolated:
+    a speculative/retried task writes a DIFFERENT uuid, so losers
+    leave only orphans); the driver's `commit` publishes the manifest
+    listing exactly the winning parts. Readers trust ONLY the
+    manifest — orphan parts are invisible, which is the whole
+    exactly-once trick (same design as Spark's own FileOutputCommitter
+    v2 + _SUCCESS, spelled out in ~40 lines)."""
+
+    def __init__(self, options: dict, overwrite: bool = False):
+        self.path = _manifest_dir(options)
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartMessage(part, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        # sorted by part name: a deterministic manifest for diffing
+        parts = sorted(
+            (
+                {"path": os.path.basename(m.path), "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ),
+            key=lambda d: d["path"],
+        )
+        manifest = {
+            "parts": parts,
+            "n_rows": sum(p["n_rows"] for p in parts),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class LedgerDataSource(DataSource):
+    """Write-side registered format: `df.write.format("ledger")
+    .option("path", dir).save()` → attempt-isolated parts + an
+    atomically-published manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ledger"
+
+    def schema(self) -> StructType:  # pragma: no cover - sink only
+        return SCHEMA
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return LedgerWriter(self.options, overwrite)
+
+
+def read_ledger(path: str) -> list[dict]:
+    """Manifest-trusting reader: rows from LISTED parts only — orphan
+    parts from failed/speculative attempts are invisible."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    rows: list[dict] = []
+    for part in manifest["parts"]:
+        with open(os.path.join(path, part["path"])) as f:
+            rows.extend(_json.loads(line) for line in f)
+    return rows

@@ -136,3 +136,42 @@ def test_stream_offsets_survive_restart(spark, tmp_path):
 
     dups = [i for i, c in Counter(got).items() if c > 1]
     assert len(dups) <= 50
+
+
+def test_ledger_sink_manifest_commit(spark, tmp_path):
+    """Custom DataSink: parts written per task, manifest published
+    atomically at driver commit; an orphan part (failed/speculative
+    attempt) is invisible to the manifest-trusting reader."""
+    from demo_flink_spark.sources.pysource import (
+        LedgerDataSource,
+        read_ledger,
+    )
+
+    spark.dataSource.register(LedgerDataSource)
+    _register(spark)
+    out = str(tmp_path / "ledger")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 120)
+        .option("numPartitions", 5)
+        .load()
+    )
+    df.write.format("ledger").option("path", out).mode("append").save()
+
+    import json as _json
+    import os
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    assert manifest["n_rows"] == 120
+    assert sum(p["n_rows"] for p in manifest["parts"]) == 120
+    rows = read_ledger(out)
+    assert sorted(r["event_id"] for r in rows) == list(range(120))
+
+    # plant an orphan part (a lost speculative attempt): the reader
+    # must not see it
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as f:
+        f.write('{"event_id": 999}\n')
+    rows2 = read_ledger(out)
+    assert 999 not in {r["event_id"] for r in rows2}
+    assert len(rows2) == 120
