@@ -66,6 +66,48 @@ _LM_BIGRAM_SQL = rf"""
     "{softln}", softln_ratio_sql("c_bg", "c_w1")
 )
 
+# Engine-portable bigram-profile language ID (twin of
+# operators/textstats.py::lang_id_ngram) — shared by the lang_id spec
+# and the confusion-matrix eval built on top of it. The corpus is
+# ASCII, so the CJK script short-circuit never fires and the SQL twin
+# reproduces the Python scoring (argmax = ORDER BY score DESC, lang
+# ASC — the sorted-langs strict-greater loop).
+_LANGID_SQL = """
+WITH t AS (
+    SELECT doc_id, lang AS claimed_lang, lower(text) AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, substring(t, CAST(i AS INTEGER), 2) AS bg
+    FROM t, unnest(range(1, length(t))) AS u(i)
+),
+cnts AS (
+    SELECT doc_id, bg, count(*) AS c FROM bg
+    WHERE NOT regexp_matches(bg, '^[ \t\n\x0B\f\r]|[ \t\n\x0B\f\r]$')
+    GROUP BY doc_id, bg
+),
+prof(lang, bg, w) AS (VALUES ('en','th',10), ('en','he',9), ('en','in',8), ('en','er',7), ('en','an',6), ('en','re',5), ('en','on',4), ('en','at',3), ('en','en',2), ('en','nd',1), ('de','en',10), ('de','er',9), ('de','ch',8), ('de','de',7), ('de','ei',6), ('de','nd',5), ('de','te',4), ('de','in',3), ('de','ie',2), ('de','ge',1), ('es','de',10), ('es','en',9), ('es','os',8), ('es','es',7), ('es','la',6), ('es','ar',5), ('es','el',4), ('es','ra',3), ('es','as',2), ('es','er',1), ('fr','es',10), ('fr','le',9), ('fr','de',8), ('fr','en',7), ('fr','re',6), ('fr','nt',5), ('fr','on',4), ('fr','er',3), ('fr','ou',2), ('fr','ai',1)),
+scores AS (
+    SELECT c.doc_id, p.lang, sum(c.c * p.w) AS score
+    FROM cnts c JOIN prof p USING (bg)
+    GROUP BY c.doc_id, p.lang
+),
+langs(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr')),
+full_scores AS (
+    SELECT t.doc_id, t.claimed_lang, l.lang,
+           coalesce(s.score, 0) AS score
+    FROM t CROSS JOIN langs l
+    LEFT JOIN scores s ON s.doc_id = t.doc_id AND s.lang = l.lang
+),
+pick AS (
+    SELECT doc_id, claimed_lang, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang ASC) AS rn
+    FROM full_scores
+)
+SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
+"""
+
+
 
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordcount.word_count(load_table(spark, sf_dir, "documents"), "text")
@@ -234,6 +276,29 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id_ngram(load_table(spark, sf_dir, "documents"))
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language ID against the
+    claimed label — the eval step run before trusting the classifier
+    as a filter: (claimed_lang, predicted_lang, n, recall_of_claimed).
+    One aggregate over the lang_id projection; recall is a single
+    division of exact counts."""
+    from pyspark.sql.window import Window
+
+    pred = textstats.lang_id_ngram(load_table(spark, sf_dir, "documents"))
+    counts = pred.groupBy("claimed_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("claimed_lang")
+    return counts.select(
+        "claimed_lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias(
+            "frac_of_claimed"
+        ),
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,44 +971,8 @@ SPECS = [
     QuerySpec(
         "lang_id",
         q_lang_id,
-        # mirrors the bigram scorer exactly: the corpus is ASCII, so the
-        # CJK script short-circuit never fires and the SQL twin
-        # reproduces the Python scoring (argmax = ORDER BY score DESC,
-        # lang ASC — the sorted-langs strict-greater loop)
-        oracle="""
-WITH t AS (
-    SELECT doc_id, lang AS claimed_lang, lower(text) AS t FROM documents
-),
-bg AS (
-    SELECT doc_id, substring(t, CAST(i AS INTEGER), 2) AS bg
-    FROM t, unnest(range(1, length(t))) AS u(i)
-),
-cnts AS (
-    SELECT doc_id, bg, count(*) AS c FROM bg
-    WHERE NOT regexp_matches(bg, '^[ \t\n\x0B\f\r]|[ \t\n\x0B\f\r]$')
-    GROUP BY doc_id, bg
-),
-prof(lang, bg, w) AS (VALUES ('en','th',10), ('en','he',9), ('en','in',8), ('en','er',7), ('en','an',6), ('en','re',5), ('en','on',4), ('en','at',3), ('en','en',2), ('en','nd',1), ('de','en',10), ('de','er',9), ('de','ch',8), ('de','de',7), ('de','ei',6), ('de','nd',5), ('de','te',4), ('de','in',3), ('de','ie',2), ('de','ge',1), ('es','de',10), ('es','en',9), ('es','os',8), ('es','es',7), ('es','la',6), ('es','ar',5), ('es','el',4), ('es','ra',3), ('es','as',2), ('es','er',1), ('fr','es',10), ('fr','le',9), ('fr','de',8), ('fr','en',7), ('fr','re',6), ('fr','nt',5), ('fr','on',4), ('fr','er',3), ('fr','ou',2), ('fr','ai',1)),
-scores AS (
-    SELECT c.doc_id, p.lang, sum(c.c * p.w) AS score
-    FROM cnts c JOIN prof p USING (bg)
-    GROUP BY c.doc_id, p.lang
-),
-langs(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr')),
-full_scores AS (
-    SELECT t.doc_id, t.claimed_lang, l.lang,
-           coalesce(s.score, 0) AS score
-    FROM t CROSS JOIN langs l
-    LEFT JOIN scores s ON s.doc_id = t.doc_id AND s.lang = l.lang
-),
-pick AS (
-    SELECT doc_id, claimed_lang, lang,
-           row_number() OVER (PARTITION BY doc_id
-                              ORDER BY score DESC, lang ASC) AS rn
-    FROM full_scores
-)
-SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
-""",
+        # mirrors the bigram scorer exactly (see _LANGID_SQL)
+        oracle=_LANGID_SQL,
     ),
     QuerySpec(
         "doc_fingerprint",
@@ -1427,6 +1456,24 @@ SELECT doc_id, claimed_lang, lang AS predicted_lang FROM pick WHERE rn = 1
                CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
                count(DISTINCT gram) / CAST(count(*) AS DOUBLE) AS diversity
         FROM g GROUP BY grp, n
+        """,
+    ),
+    QuerySpec(
+        # the lang_id SQL twin reused as a CTE; matrix counts + recall
+        "langid_confusion_matrix",
+        q_langid_confusion,
+        oracle=f"""
+        WITH pred AS ({_LANGID_SQL}),
+        counts AS (
+            SELECT claimed_lang, predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pred GROUP BY claimed_lang, predicted_lang
+        )
+        SELECT claimed_lang, predicted_lang, n,
+               CAST(n AS DOUBLE)
+               / sum(n) OVER (PARTITION BY claimed_lang)
+                   AS frac_of_claimed
+        FROM counts
         """,
     ),
     QuerySpec(

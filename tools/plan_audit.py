@@ -436,6 +436,12 @@ CHECKS = {
     ),
     # entropy: pure higher-order array exprs — ZERO exchanges
     "token_entropy": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # confusion matrix: pandas-UDF scoring (Arrow-batched) + one
+    # grouped count + one class-keyed share window — no join
+    "langid_confusion_matrix": (
+        ["ArrowEvalPython", "HashAggregate", "Window"],
+        ["Join", "CartesianProduct"],
+    ),
     # interleave: ONE group-keyed window, no join, no global sort
     "mixture_interleave_schedule": (
         ["Window"],
