@@ -59,6 +59,60 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_pq(emb, _queries_df(spark, sf_dir), k=_K)
 
 
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-coherence eval of the embedding space: predict each
+    query's label by majority vote of its 5 exact nearest neighbors
+    (tie → smallest label) and score against the true label — the
+    cheap geometric sanity check (are same-label points actually
+    near?) run before any ANN index or centroid model is trusted.
+    One row: (n_queries, n_correct, accuracy). The neighbor scan is
+    the broadcast brute-force shape; votes and the argmax are one
+    aggregate + one query-keyed window."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nbrs = sim.cosine_topk_bruteforce(emb, queries, k=_K)
+    votes = (
+        nbrs.join(
+            emb.select("vec_id", F.col("label").alias("nbr_label")), "vec_id"
+        )
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    pick = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "n_queries",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_queries")).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-k (operators/similarity.py::mmr_rerank):
     relevance pool from the brute-force scan, per-query greedy
@@ -558,6 +612,52 @@ SPECS = [
         )
         SELECT query_id, vec_id, round(c, 6) AS cos, rk
         FROM ranked WHERE rk <= {_K}
+        """,
+    ),
+    QuerySpec(
+        "knn_label_accuracy",
+        q_knn_label_eval,
+        oracle=f"""
+        WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+              FROM e WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id, e.label AS nbr_label,
+                   list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))) AS c
+            FROM q JOIN e ON q.query_id <> e.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, nbr_label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, vec_id ASC) AS rk
+            FROM scored
+        ),
+        votes AS (
+            SELECT query_id, nbr_label, count(*) AS n_votes
+            FROM ranked WHERE rk <= {_K}
+            GROUP BY query_id, nbr_label
+        ),
+        pick AS (
+            SELECT query_id, nbr_label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, nbr_label ASC)
+                       AS rn
+            FROM votes
+        ),
+        joined AS (
+            SELECT p.query_id,
+                   CASE WHEN p.nbr_label = q.true_label THEN 1 ELSE 0 END
+                       AS ok
+            FROM pick p JOIN q ON p.query_id = q.query_id
+            WHERE p.rn = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(ok) AS BIGINT) AS n_correct,
+               CAST(sum(ok) AS DOUBLE) / count(*) AS accuracy
+        FROM joined
         """,
     ),
     QuerySpec("similarity_topk_srp_lsh", q_topk_srp_lsh, oracle=_srp_lsh_oracle()),

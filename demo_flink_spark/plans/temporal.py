@@ -239,7 +239,125 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation — the classic behavioral quartiling
+    (recency / frequency / monetary) every activation pipeline runs:
+    per user, microsecond-exact recency vs the corpus max timestamp,
+    event count, decimal-exact spend; each dimension quartiled by
+    INTEGER rank arithmetic (rank·4 ≤ q·n — no float quantile
+    boundary) over an explicit total order, composed into the segment
+    label R{{r}}F{{f}}M{{m}}.
+
+    Scale: the raw events collapse to ONE user-keyed aggregate first;
+    the three ranking windows then run over the user table (|users| ≪
+    |events|). The windows here are unpartitioned — bounded by user
+    count; at 1e9 users swap in `global_cumsum`'s range-partitioned
+    rank, same integer quartile arithmetic.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("_spend"),
+    )
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    base = per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (F.col("ref_us") - F.col("last_us")).alias("recency_us"),
+        "freq",
+        F.col("_spend").cast("double").alias("monetary"),
+        "_spend",
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+
+    def quartile(rank_col):
+        return (
+            F.when(rank_col * 4 <= n, 1)
+            .when(rank_col * 4 <= 2 * n, 2)
+            .when(rank_col * 4 <= 3 * n, 3)
+            .otherwise(4)
+        )
+
+    r_rank = F.row_number().over(
+        Window.orderBy(F.asc("recency_us"), F.asc("user_id"))
+    )
+    f_rank = F.row_number().over(
+        Window.orderBy(F.desc("freq"), F.asc("user_id"))
+    )
+    m_rank = F.row_number().over(
+        Window.orderBy(F.desc("_spend"), F.asc("user_id"))
+    )
+    out = base.select(
+        "user_id",
+        "recency_us",
+        "freq",
+        "monetary",
+        quartile(r_rank).alias("r_q"),
+        quartile(f_rank).alias("f_q"),
+        quartile(m_rank).alias("m_q"),
+    )
+    return out.select(
+        "user_id",
+        "recency_us",
+        "freq",
+        "monetary",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.lit("R"), F.col("r_q"), F.lit("F"), F.col("f_q"),
+            F.lit("M"), F.col("m_q"),
+        ).alias("segment"),
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "rfm_user_segments",
+        q_rfm_segments,
+        oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(epoch_us(ts)) AS last_us,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   sum(CAST(value AS DECIMAL(38,6))) AS spend
+            FROM events GROUP BY user_id
+        ),
+        base AS (
+            SELECT user_id,
+                   (SELECT max(epoch_us(ts)) FROM events) - last_us
+                       AS recency_us,
+                   freq, spend,
+                   CAST(spend AS DOUBLE) AS monetary,
+                   count(*) OVER () AS n,
+                   row_number() OVER (ORDER BY
+                       (SELECT max(epoch_us(ts)) FROM events) - last_us ASC,
+                       user_id ASC) AS rr,
+                   row_number() OVER (ORDER BY freq DESC, user_id ASC) AS fr,
+                   row_number() OVER (ORDER BY spend DESC, user_id ASC) AS mr
+            FROM per_user
+        ),
+        qd AS (
+            SELECT user_id, recency_us, freq, monetary,
+                   CASE WHEN rr * 4 <= n THEN 1 WHEN rr * 4 <= 2 * n THEN 2
+                        WHEN rr * 4 <= 3 * n THEN 3 ELSE 4 END AS r_q,
+                   CASE WHEN fr * 4 <= n THEN 1 WHEN fr * 4 <= 2 * n THEN 2
+                        WHEN fr * 4 <= 3 * n THEN 3 ELSE 4 END AS f_q,
+                   CASE WHEN mr * 4 <= n THEN 1 WHEN mr * 4 <= 2 * n THEN 2
+                        WHEN mr * 4 <= 3 * n THEN 3 ELSE 4 END AS m_q
+            FROM base
+        )
+        SELECT user_id, recency_us, freq, monetary,
+               CAST(r_q AS INTEGER) AS r_q,
+               CAST(f_q AS INTEGER) AS f_q,
+               CAST(m_q AS INTEGER) AS m_q,
+               'R' || CAST(r_q AS VARCHAR) || 'F' || CAST(f_q AS VARCHAR)
+                   || 'M' || CAST(m_q AS VARCHAR) AS segment
+        FROM qd
+        """,
+    ),
     QuerySpec(
         "interval_overlap_join",
         q_interval_overlap,

@@ -436,6 +436,18 @@ CHECKS = {
     ),
     # entropy: pure higher-order array exprs — ZERO exchanges
     "token_entropy": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # kNN label eval: broadcast brute-force scan (BNLJ intended) +
+    # vote aggregate + query-keyed argmax window — no cartesian
+    "knn_label_accuracy": (
+        ["BroadcastNestedLoopJoin", "Window", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # RFM: events collapse to ONE user aggregate BEFORE the three
+    # user-count-bounded ranking windows; never a raw-event window
+    "rfm_user_segments": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # confusion matrix: pandas-UDF scoring (Arrow-batched) + one
     # grouped count + one class-keyed share window — no join
     "langid_confusion_matrix": (
