@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -254,6 +255,9 @@ class LedgerDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return LedgerWriter(self.options, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return LedgerStreamWriter(self.options)
+
 
 def read_ledger(path: str) -> list[dict]:
     """Manifest-trusting reader: rows from LISTED parts only — orphan
@@ -267,4 +271,78 @@ def read_ledger(path: str) -> list[dict]:
     for part in manifest["parts"]:
         with open(os.path.join(path, part["path"])) as f:
             rows.extend(_json.loads(line) for line in f)
+    return rows
+
+
+class LedgerStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the ledger sink: per-micro-batch manifests
+    `_MANIFEST-<batchId>.json`, published atomically at driver commit.
+    A REPLAYED batch (recovery re-runs the last uncommitted batch)
+    re-publishes the SAME batch id, replacing its manifest — so the
+    manifest set is exactly-once even though part files from the
+    failed attempt linger as invisible orphans. `read_ledger_stream`
+    is the manifest-trusting reader: one manifest per batch id, listed
+    parts only."""
+
+    def __init__(self, options: dict):
+        self.path = _manifest_dir(options)
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartMessage(part, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        parts = sorted(
+            (
+                {"path": os.path.basename(m.path), "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ),
+            key=lambda d: d["path"],
+        )
+        manifest = {
+            "batch_id": batchId,
+            "parts": parts,
+            "n_rows": sum(p["n_rows"] for p in parts),
+        }
+        tmp = os.path.join(self.path, f"_MANIFEST-{batchId}.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, f"_MANIFEST-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_ledger_stream(path: str) -> list[dict]:
+    """Rows from every committed batch manifest — exactly one manifest
+    per batch id regardless of replays; orphan parts invisible."""
+    import glob
+    import json as _json
+    import os
+
+    rows: list[dict] = []
+    for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST-*.json"))):
+        with open(mf) as f:
+            manifest = _json.load(f)
+        for part in manifest["parts"]:
+            with open(os.path.join(path, part["path"])) as f:
+                rows.extend(_json.loads(line) for line in f)
     return rows

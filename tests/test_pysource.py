@@ -175,3 +175,46 @@ def test_ledger_sink_manifest_commit(spark, tmp_path):
     rows2 = read_ledger(out)
     assert 999 not in {r["event_id"] for r in rows2}
     assert len(rows2) == 120
+
+
+def test_ledger_stream_writer_end_to_end(spark, tmp_path):
+    """Custom source -> custom streaming sink: per-batch manifests,
+    exactly-once through the manifest set (one manifest per batch id),
+    rows complete across micro-batches."""
+    from demo_flink_spark.sources.pysource import (
+        LedgerDataSource,
+        read_ledger_stream,
+    )
+
+    spark.dataSource.register(LedgerDataSource)
+    _register(spark)
+    out = str(tmp_path / "stream_ledger")
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 30)
+        .option("numPartitions", 2)
+        .option("maxRows", 90)
+        .load()
+        .writeStream.format("ledger")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = read_ledger_stream(out)
+            if len(rows) >= 90:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = read_ledger_stream(out)
+    assert sorted(r["event_id"] for r in rows) == list(range(90))
+    # one manifest per batch id (replays replace, never duplicate)
+    import glob
+    import os
+
+    manifests = glob.glob(os.path.join(out, "_MANIFEST-*.json"))
+    batch_ids = {os.path.basename(m) for m in manifests}
+    assert len(batch_ids) == len(manifests)
