@@ -313,7 +313,53 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent PRECEDING non-purchase event — one
+    IGNORE-NULLS last_value window over the per-user event stream
+    (single keyed exchange, no self-join), then a count per attributed
+    channel. Purchases with no preceding touch attribute to
+    'direct'."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", touch.alias("attributed"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("attributed", F.lit("direct")).alias("channel"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "attribution_last_touch",
+        q_attribution_last_touch,
+        oracle="""
+        WITH marked AS (
+            SELECT event_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS attributed
+            FROM events
+        )
+        SELECT coalesce(attributed, 'direct') AS channel,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM marked WHERE event_type = 'purchase'
+        GROUP BY coalesce(attributed, 'direct')
+        """,
+    ),
     QuerySpec(
         "rfm_user_segments",
         q_rfm_segments,

@@ -436,6 +436,12 @@ CHECKS = {
     ),
     # entropy: pure higher-order array exprs — ZERO exchanges
     "token_entropy": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # attribution: ONE keyed IGNORE-NULLS window + grouped count —
+    # never a purchases×touches self-join
+    "attribution_last_touch": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
     # kNN label eval: broadcast brute-force scan (BNLJ intended) +
     # vote aggregate + query-keyed argmax window — no cartesian
     "knn_label_accuracy": (
