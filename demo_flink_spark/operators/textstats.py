@@ -553,15 +553,7 @@ def ngram_diversity(docs: DataFrame, group_col: str = "source") -> DataFrame:
     # row — measured 2.4x on this operator at sf0.1
     tok_df = docs.select(
         F.col(group_col).alias("grp"),
-        _tokens(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(F.lower(F.col("text")), r"[^a-z\s]", ""),
-                    r"\s+",
-                    " ",
-                )
-            )
-        ).alias("t"),
+        _tokens(_canon_text(F.col("text"))).alias("t"),
     )
     t = F.col("t")
 
