@@ -163,6 +163,72 @@ def zscore_anomalies(
     )
 
 
+def linear_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key least-squares trend fit — the forecasting primitive
+    (is this series rising, and how fast?) behind capacity planning
+    and drift alerts:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+        intercept = ȳ − slope·x̄
+
+    computed from INTEGER sufficient statistics: x = microseconds
+    since the key's first reading (bounded offsets, not raw epochs),
+    y = value in cents (the synthetic feed carries 2 decimals; the
+    double→cents rounding is off any tie by representation error, so
+    both engines agree). Every Σ is an exact decimal/HUGEINT sum —
+    magnitudes stay under 10^34 ≪ 10^38 — and only the final
+    slope/intercept divisions are doubles, so the fit is bit-identical
+    cross-engine with NO rounding step.
+
+    Scale: ONE key-partitioned window (min-ts per key rides the same
+    exchange as the aggregate) + one grouped sum — the classic
+    map-side-combinable regression; nothing is ever collected.
+
+    Returns (key, n, slope_per_hour, intercept) in original value
+    units: slope_cents_per_us · 3.6e7 = value/hour (exact double
+    scaling), intercept = cents/100.
+    """
+    w = Window.partitionBy(key_col)
+    x = (
+        F.unix_micros(F.col(ts_col))
+        - F.min(F.unix_micros(F.col(ts_col))).over(w)
+    ).cast("decimal(38,0)")
+    y = F.round(F.col(value_col) * 100).cast("decimal(38,0)")
+    base = df.select(
+        F.col(key_col).alias("key"), x.alias("x"), y.alias("y")
+    )
+    agg = base.groupBy("key").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    num = F.expr("n * sxy - sx * sy")
+    den = F.expr("n * sxx - sx * sx")
+    slope = F.when(den != 0, num.cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        (slope * F.lit(3.6e7)).alias("slope_per_hour"),
+        (
+            (
+                F.col("sy").cast("double") / F.col("n").cast("double")
+                - slope
+                * (F.col("sx").cast("double") / F.col("n").cast("double"))
+            )
+            / F.lit(100.0)
+        ).alias("intercept"),
+    )
+
+
 def ewma_trailing(
     df: DataFrame,
     key_col: str = "event_type",

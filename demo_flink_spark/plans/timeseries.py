@@ -121,9 +121,51 @@ FROM frames
 """
 
 
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend (operators/timeseries.py::
+    linear_trend): integer sufficient statistics, bit-exact slope and
+    intercept with no rounding step."""
+    from demo_flink_spark.operators.timeseries import linear_trend
+
+    return linear_trend(load_table(spark, sf_dir, "events"))
+
+
+_TREND_ORACLE = """
+WITH base AS (
+    SELECT event_type AS key,
+           CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (
+               PARTITION BY event_type) AS HUGEINT) AS x,
+           CAST(round(value * 100) AS HUGEINT) AS y
+    FROM events
+),
+agg AS (
+    SELECT key, CAST(count(*) AS HUGEINT) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM base GROUP BY key
+),
+s AS (
+    SELECT key, n, sx, sy,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0 END AS slope
+    FROM agg
+)
+SELECT key AS event_type,
+       CAST(n AS BIGINT) AS n,
+       slope * 36000000.0 AS slope_per_hour,
+       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        - slope * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
+           AS intercept
+FROM s
+"""
+
+
 SPECS = [
     QuerySpec("ohlc_bars_15m", q_ohlc_bars, oracle=_OHLC_ORACLE),
     QuerySpec("ts_ewma_trailing", q_ewma, oracle=_EWMA_ORACLE),
+    QuerySpec("ts_linear_trend", q_linear_trend, oracle=_TREND_ORACLE),
     QuerySpec(
         "ts_gapfill_locf",
         q_gapfill_locf,

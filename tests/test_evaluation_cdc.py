@@ -324,3 +324,29 @@ def test_mixture_interleave_prefix_proportionality(spark):
     for src in ("heavy", "light"):
         ranks = sorted(r["src_rank"] for r in out if r["source"] == src)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_linear_trend_recovers_planted_slope(spark):
+    from datetime import datetime, timedelta
+
+    from demo_flink_spark.operators.timeseries import linear_trend
+
+    # y = 3.5 * hours + 20, exact: slope_per_hour must come back 3.5
+    rows = []
+    t0 = datetime(2024, 1, 1)
+    for i in range(50):
+        rows.append(
+            (i, "lin", t0 + timedelta(minutes=30 * i), 20.0 + 3.5 * (0.5 * i))
+        )
+    # a flat series: slope 0, intercept = the constant
+    for i in range(10):
+        rows.append((100 + i, "flat", t0 + timedelta(hours=i), 7.25))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["event_type"]: r for r in linear_trend(df).collect()}
+    assert abs(out["lin"]["slope_per_hour"] - 3.5) < 1e-9
+    assert abs(out["lin"]["intercept"] - 20.0) < 1e-6
+    assert out["flat"]["slope_per_hour"] == 0.0
+    assert abs(out["flat"]["intercept"] - 7.25) < 1e-9
+    assert out["lin"]["n"] == 50

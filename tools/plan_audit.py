@@ -421,6 +421,12 @@ CHECKS = {
     # EWMA: ONE key-partitioned ROWS-frame window, no join, no
     # unpartitioned window
     "ts_ewma_trailing": (["Window"], ["Join", "CartesianProduct"]),
+    # OLS trend: key-partitioned min window + ONE map-side-combinable
+    # grouped sum — the classic distributed regression, no join
+    "ts_linear_trend": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
     # lateral top-n: Catalyst must DECORRELATE the per-row LIMIT into
     # a window + hash join — never re-execute per outer row (nested
     # loop / cartesian)
