@@ -228,9 +228,19 @@ def rollup_time_multi(
     Aggregates the raw table once at the finest grain, then derives
     each coarser grain FROM the previous aggregate (sums of sums,
     counts of counts — decimal-exact so re-aggregation is lossless).
-    Output: (granularity, window_start, key, cnt, sum_value) unioned
+    Output: (granularity, window_start, key, cnt, sum_micros) unioned
     across grains. `grains` must be coarsening multiples (hour→day→…)
     so every coarse bucket is a whole number of fine buckets.
+
+    The sum is emitted as SCALE-6 INTEGER MICROS (bigint), not a
+    double: the decimal(38,6) accumulation is exact on every engine,
+    so ``_sum * 1e6`` is an integer-valued decimal and the bigint is
+    bit-identical by construction. The previous ``cast("double")``
+    contract hash-failed the cross-harness gate twice (r03, r05) on
+    last-ulp decimal→double conversion differences that the local
+    full-precision-repr gate provably could not reproduce — integers
+    remove the float from the contract entirely (same technique as
+    ts_linear_trend's integer sufficient statistics).
     """
     fine, *coarser = grains
     agg = (
@@ -271,11 +281,9 @@ def rollup_time_multi(
         "window_start",
         "key",
         "cnt",
-        # _sum is already scale-6 decimal (exact on both engines); the
-        # decimal→double cast is the same nearest-even op everywhere.
-        # A further round-on-double here was the r3 driver hash-fail:
-        # Spark and DuckDB round doubles differently in the last ulp.
-        F.col("_sum").cast("double").alias("sum_value"),
+        # scale-6 decimal × 10^6 is exactly integral; the long cast is
+        # lossless. No double anywhere in the output contract.
+        (F.col("_sum") * F.lit(1000000)).cast("long").alias("sum_micros"),
     )
 
 

@@ -560,10 +560,10 @@ SPECS = [
             FROM hourly GROUP BY 1, 2
         )
         SELECT '1 hour' AS granularity, window_start, key, cnt,
-               CAST(s AS DOUBLE) AS sum_value FROM hourly
+               CAST(s * 1000000 AS BIGINT) AS sum_micros FROM hourly
         UNION ALL
         SELECT '1 day', window_start, key, cnt,
-               CAST(s AS DOUBLE) FROM daily
+               CAST(s * 1000000 AS BIGINT) FROM daily
         """,
     ),
 ]

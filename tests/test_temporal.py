@@ -63,11 +63,10 @@ def test_rollup_reaggregation_consistency(spark):
     out = tp.rollup_time_multi(ev, "ts", "event_type", "value").collect()
     hourly = [r for r in out if r["granularity"] == "1 hour"]
     daily = [r for r in out if r["granularity"] == "1 day"]
-    # daily counts must equal the sum of their hourly constituents
+    # daily counts must equal the sum of their hourly constituents;
+    # sums are scale-6 integer micros so re-aggregation is EXACT
     assert sum(r["cnt"] for r in daily) == sum(r["cnt"] for r in hourly)
-    assert abs(
-        sum(r["sum_value"] for r in daily) - sum(r["sum_value"] for r in hourly)
-    ) < 1e-6
+    assert sum(r["sum_micros"] for r in daily) == sum(r["sum_micros"] for r in hourly)
 
 
 def test_asof_forward_at_or_after_semantics(spark):

@@ -5,6 +5,18 @@ DuckDB oracle, then compares row count, sorted column names, and an
 order-insensitive canonical value hash. Run before committing:
 
     python tools/oracle_check.py [sf_dir] [query ...]
+
+Row-diff escape hatch (for diagnosing a driver-red that the local
+gate passes — the r3/r5 `rollup_time_hour_day` class): dump BOTH
+engines' sorted canonical rows for one named query and print every
+differing line:
+
+    python tools/oracle_check.py --dump <query> [sf_dir]
+
+writes /tmp/oracle_dump_<query>.{spark,duck}.txt (one canonical row
+per line, sorted — the exact strings the hash is computed over) so a
+cross-harness canonicalization gap is diagnosed from data, not
+theory.
 """
 
 from __future__ import annotations
@@ -18,38 +30,101 @@ import duckdb
 import pandas as pd
 
 
+def _CANON(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        # FULL precision (shortest round-trip repr): two doubles
+        # differing in the last ulp must hash differently, or the
+        # local gate passes what the driver's stricter hash fails
+        # (the r3 embedding_covariance / rollup_time_hour_day gap).
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_CANON(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
 def canonical_hash(df: pd.DataFrame) -> str:
     """Order-insensitive hash: sort columns by name, canonicalize each
     value to text, sort rows, sha256."""
     df = df.reindex(sorted(df.columns), axis=1)
-
-    def canon(v) -> str:
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "NULL"
-        if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            # FULL precision (shortest round-trip repr): two doubles
-            # differing in the last ulp must hash differently, or the
-            # local gate passes what the driver's stricter hash fails
-            # (the r3 embedding_covariance / rollup_time_hour_day gap).
-            return repr(v)
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(canon(x) for x in v) + "]"
-        try:
-            if pd.isna(v):
-                return "NULL"
-        except (TypeError, ValueError):
-            pass
-        if isinstance(v, pd.Timestamp):
-            return v.isoformat()
-        return str(v)
-
+    canon = _CANON
     rows = sorted("|".join(canon(v) for v in row) for row in df.itertuples(index=False))
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
+def canonical_rows(df: pd.DataFrame) -> list[str]:
+    """The exact sorted canonical-row strings `canonical_hash` hashes
+    (refactored to share the same canon rules — a dump that used
+    different rules would diagnose nothing)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    canon = _CANON
+    return sorted(
+        "|".join(canon(v) for v in row) for row in df.itertuples(index=False)
+    )
+
+
+def dump_query(name: str, sf_dir: str) -> int:
+    """Run one query on both engines; write sorted canonical rows to
+    /tmp/oracle_dump_<name>.{spark,duck}.txt and print differing lines."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from demo_flink_spark.session import get_spark
+    from demo_flink_spark.sources import TABLES
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    if name not in qs:
+        print(f"unknown query {name!r}")
+        return 2
+    spark = get_spark("oracle_dump")
+    sdf = qs[name](spark, sf_dir).toPandas()
+    srows = canonical_rows(sdf)
+    spath = f"/tmp/oracle_dump_{name}.spark.txt"
+    with open(spath, "w") as f:
+        f.write("\n".join(srows))
+    print(f"spark: {len(srows)} rows -> {spath}")
+    if name not in oracles:
+        print("no oracle for this query (rows-only) — spark dump written")
+        return 0
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    odf = con.execute(oracles[name]).fetchdf()
+    orows = canonical_rows(odf)
+    opath = f"/tmp/oracle_dump_{name}.duck.txt"
+    with open(opath, "w") as f:
+        f.write("\n".join(orows))
+    print(f"duck : {len(orows)} rows -> {opath}")
+    n_diff = 0
+    for i, (a, b) in enumerate(zip(srows, orows)):
+        if a != b:
+            n_diff += 1
+            if n_diff <= 25:
+                print(f"line {i}:\n  spark: {a}\n  duck : {b}")
+    extra = abs(len(srows) - len(orows))
+    if extra:
+        print(f"(+{extra} unmatched trailing rows on the longer side)")
+    print(f"{n_diff + extra} differing lines" if (n_diff or extra) else "IDENTICAL")
+    return 1 if (n_diff or extra) else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--dump":
+        return dump_query(
+            sys.argv[2],
+            sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01",
+        )
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
