@@ -23,6 +23,15 @@ Scale design: `partitions()` splits the id range into
 parallel, nothing is materialized on the driver; a partition only
 ever holds its own range. Everything is stdlib (md5) — no numpy in
 the read path, so worker startup is cheap.
+
+`read()` yields `pyarrow.RecordBatch`es, not per-row tuples: the
+Spark 4 Python DataSource moves Arrow batches across the Python
+worker boundary wholesale, so the per-row pickle/convert hop that
+dominated the tuple path disappears and the connector is
+batch-columnar end-to-end — the same "Arrow at every Python
+boundary" rule the rest of the engine follows. Values are built by
+the SAME `_row()` function, so the determinism/replay contract (and
+the `pysource_event_counts` oracle hash) is unchanged.
 """
 
 from __future__ import annotations
@@ -76,6 +85,32 @@ class RangePartition(InputPartition):
         self.end = end
 
 
+_ARROW_CHUNK = 8192
+
+
+def _arrow_batches(start: int, end: int):
+    """Yield the id range [start, end) as Arrow RecordBatches of up to
+    `_ARROW_CHUNK` rows, built from the same `_row()` values the tuple
+    path produced (bit-identical floats — Python float -> float64)."""
+    import pyarrow as pa
+
+    fields = [
+        pa.field("event_id", pa.int64()),
+        pa.field("user_id", pa.int64()),
+        pa.field("event_type", pa.string()),
+        pa.field("value", pa.float64()),
+    ]
+    schema = pa.schema(fields)
+    for lo in range(start, end, _ARROW_CHUNK):
+        hi = min(lo + _ARROW_CHUNK, end)
+        rows = [_row(i) for i in range(lo, hi)]
+        cols = list(zip(*rows)) if rows else ([], [], [], [])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, fields)],
+            schema=schema,
+        )
+
+
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_rows = int(options.get("n_rows", 1000))
@@ -88,9 +123,8 @@ class SyntheticEventsReader(DataSourceReader):
             for lo in range(0, self.n_rows, step)
         ]
 
-    def read(self, partition: RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield _row(i)
+    def read(self, partition: RangePartition) -> Iterator:
+        yield from _arrow_batches(partition.start, partition.end)
 
 
 class SyntheticEventsStreamReader(DataSourceStreamReader):
@@ -98,7 +132,15 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     `latestOffset` call advances by `rowsPerBatch` — a bounded,
     deterministic micro-batch; `partitions(start, end)` re-splits any
     committed-or-not range identically, so recovery replays exactly
-    the rows the failed batch contained."""
+    the rows the failed batch contained.
+
+    On checkpoint recovery the reader object is fresh (`_current=0`)
+    but Spark replays the WAL-committed offsets through
+    `partitions(start, end)` / `commit(end)` — both fast-forward the
+    cursor to the highest offset Spark has already planned, so
+    `latestOffset` can never regress below a committed offset and
+    re-deliver committed rows under new batch ids (which would break
+    the exactly-once property the ledger sink relies on)."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rowsPerBatch", 50))
@@ -114,6 +156,8 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         return {"next": self._current}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # recovery fast-forward: never fall behind a WAL-planned range
+        self._current = max(self._current, end["next"])
         lo, hi = start["next"], end["next"]
         if hi <= lo:
             return [RangePartition(lo, lo)]
@@ -122,12 +166,13 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
         ]
 
-    def read(self, partition: RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield _row(i)
+    def read(self, partition: RangePartition) -> Iterator:
+        yield from _arrow_batches(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean up: rows are a pure function of id
+        # nothing to clean up (rows are a pure function of id), but a
+        # committed offset is a floor for the cursor after recovery
+        self._current = max(self._current, end["next"])
 
     def stop(self) -> None:
         pass

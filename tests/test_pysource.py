@@ -130,12 +130,16 @@ def test_stream_offsets_survive_restart(spark, tmp_path):
     q2.stop()
     assert sorted(set(got)) == list(range(100))
     # replayed batches are allowed (at-least-once into foreachBatch),
-    # but an id can only repeat via whole-batch replay -- never from
-    # offset corruption: dup ids must be a subset of a replayed range
+    # but with the commit/partitions offset fast-forward the ONLY
+    # legal duplication is whole-batch replay of the single
+    # uncommitted batch at the restart boundary: at most one batch's
+    # worth of ids, and each dup id delivered at most twice
     from collections import Counter
 
-    dups = [i for i, c in Counter(got).items() if c > 1]
-    assert len(dups) <= 50
+    counts = Counter(got)
+    dups = [i for i, c in counts.items() if c > 1]
+    assert len(dups) <= 25, f"{len(dups)} dup ids — offset regressed"
+    assert all(counts[i] <= 2 for i in dups)
 
 
 def test_ledger_sink_manifest_commit(spark, tmp_path):
