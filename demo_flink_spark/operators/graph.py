@@ -36,6 +36,8 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 3,
+    early_exit: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list; returns
     (node, rank) for every node that appears in the edge list.
@@ -67,6 +69,22 @@ def pagerank(
     rank vector and re-creating a local relation, each added ~0.5-2 s
     of per-iteration materialization overhead and lost to this hybrid
     at every scale tested.
+
+    Exact early exit (`early_exit=True`): the Q52 representation makes
+    rank equality well-defined in bits, so at each checkpoint boundary
+    (where the vector is materialized anyway) a 2-value convergence
+    signature — (count, Σ xxhash64(node, rank)) — is collected, the
+    same pattern as the connected-components fixed point
+    (`operators/dedup.py` star contraction). When two consecutive
+    boundaries agree, ONE verification iteration confirms a true
+    fixed point (`f(r) = r`, not merely an `f^k` cycle) and the loop
+    returns early — bit-identical to running all `n_iter` rounds, by
+    construction. With damping 0.85 the residual shrinks ~0.85^t, so
+    exact convergence needs O(52·ln2/0.16) ≈ 220 rounds on generic
+    graphs — the exit is for near-regular graphs (uniform start is
+    already ulps from the fixed point) and high-`n_iter` callers, not
+    a speedup for 10-round runs. `stats["iterations"]` reports the
+    executed round count.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -86,7 +104,8 @@ def pagerank(
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for i in range(n_iter):
+
+    def _step(r: DataFrame) -> DataFrame:
         # rank vector is |V| rows — on catalog-keyed graphs tiny next
         # to |E|, so it rides a broadcast and the edge list never
         # moves. But |V| can grow with the data (user/URL graphs), and
@@ -98,7 +117,7 @@ def pagerank(
         # contribution sum, which map-side partials compress to ~|V|
         # rows per task.
         contribs = (
-            withdeg.join(broadcast_if_small(ranks, n), withdeg.src == ranks.node)
+            withdeg.join(broadcast_if_small(r, n), withdeg.src == r.node)
             .select("dst", (F.col("rank") * F.col("inv_deg")).alias("c"))
             .groupBy("dst")
             # Q52 fixed-point accumulation (see docstring): exact,
@@ -113,7 +132,7 @@ def pagerank(
         )
         # contribs is also ≤|V|-sized: same conditional hint, so small
         # graphs get a broadcast rebuild and large ones a shuffle join
-        ranks = nodes.join(
+        return nodes.join(
             broadcast_if_small(contribs, n), nodes.node == contribs.dst, "left"
         ).select(
             "node",
@@ -122,9 +141,39 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("rank"),
         )
+
+    def _sig(r: DataFrame):
+        # 2-value convergence signature over the (materialized) vector
+        row = r.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("node", "rank")).alias("h")
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev_sig = None
+    i = 0
+    while i < n_iter:
+        ranks = _step(ranks)
+        i += 1
         # cut lineage: without this the plan doubles per iteration
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+        if i % checkpoint_every == 0 and i < n_iter:
             ranks = ranks.transform(cut_lineage)
+            if early_exit:
+                sig = _sig(ranks)
+                if sig == prev_sig:
+                    # f^checkpoint_every fixed point — verify a TRUE
+                    # fixed point with one extra iteration before
+                    # exiting (a k-cycle that is not a fixed point is
+                    # theoretically possible under quantization)
+                    nxt = _step(ranks).transform(cut_lineage)
+                    i += 1
+                    nxt_sig = _sig(nxt)
+                    ranks = nxt
+                    if nxt_sig == sig:
+                        break
+                    sig = nxt_sig
+                prev_sig = sig
+    if stats is not None:
+        stats["iterations"] = i
     return ranks
 
 

@@ -55,6 +55,30 @@ def test_pagerank_matches_numpy(spark):
     assert got["c"] > got["d"]
 
 
+def test_pagerank_exact_early_exit(spark):
+    """On a d-regular graph the uniform start is within ulps of the
+    quantized fixed point, so the Q52-exact convergence signature
+    fires within a few rounds: the early exit must (a) run measurably
+    fewer iterations than requested and (b) return EXACTLY the ranks
+    the full run produces — the exit only triggers at a true fixed
+    point, so equality is bitwise, not approximate."""
+    # circulant 4-regular graph on 8 nodes: every node has out-deg 4
+    n, offs = 8, (1, 2, 6, 7)
+    edges = [(f"v{i}", f"v{(i + o) % n}") for i in range(n) for o in offs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats: dict = {}
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=40, stats=stats, checkpoint_every=3).collect()
+    }
+    assert stats["iterations"] < 40, "early exit never fired"
+    full = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=40, early_exit=False).collect()
+    }
+    assert fast == full  # bitwise, not approx
+
+
 def test_pagerank_symmetric_conserves_mass(spark):
     sym = EDGES + [(v, u) for u, v in EDGES]
     edges = spark.createDataFrame(sym, "src string, dst string")
