@@ -145,6 +145,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_df: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above threshold,
     via inverted-index join (no cross join anywhere).
@@ -161,8 +162,17 @@ def ngram_jaccard_pairs(
     ContextCleaner when the DataFrame is garbage collected (persist
     pins the plan in the CacheManager for the session's lifetime). At
     100 TB materialize to a temp parquet instead.
+
+    `shingles_df`: a pre-materialized (doc_id, shingles) frame to use
+    instead of re-shingling — callers that run several pair
+    generators over one corpus (the dedup-index eval) shingle once
+    and share; pass it already lineage-cut.
     """
-    sh = shingles(docs, text_col, n).transform(cut_lineage)
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(docs, text_col, n).transform(cut_lineage)
+    )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_df is not None:
@@ -209,6 +219,7 @@ def minhash_signatures(
     n: int = 3,
     n_hashes: int = 64,
     bands: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature (and optional LSH band hashes) per doc, one
     Arrow-batched numpy pass.
@@ -230,7 +241,7 @@ def minhash_signatures(
     """
     import numpy as np
 
-    sh = shingles(docs, text_col, n)
+    sh = shingles_df if shingles_df is not None else shingles(docs, text_col, n)
     p = np.uint64(MINHASH_P)
     a_list, b_list = minhash_params(n_hashes)
     a = np.array(a_list, dtype=np.uint64)
@@ -331,6 +342,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -344,7 +356,7 @@ def minhash_lsh_pairs(
     # both sides of the verification join — recomputing 64 minhashes 3×
     # dominates otherwise (storage is GC-released, unlike persist).
     sigs = minhash_signatures(
-        docs, text_col, n, n_hashes, bands=bands
+        docs, text_col, n, n_hashes, bands=bands, shingles_df=shingles_df
     ).transform(cut_lineage)
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")

@@ -41,11 +41,16 @@ def binary_auc(
         2·R_pos = Σ_s  p_s · (2·c_less(s) + n_s + 1)
         AUC     = (2·R_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
 
-    Everything up to the final division is exact 64-bit integer
-    arithmetic, so ties are handled identically on every engine (a
-    trapezoidal float scan is not: its sum order depends on
-    partitioning). Degenerate single-class inputs return NULL auc
-    rather than a misleading 0/0.
+    Everything up to the final division is exact integer arithmetic;
+    ties are handled identically on every engine (a trapezoidal float
+    scan is not: its sum order depends on partitioning). The rank-sum
+    terms grow ~n², so 2·R_pos and the n·(n±1) products accumulate in
+    decimal(38,0) — the ts_linear_trend recipe — not int64: at the
+    multi-billion-row corpora this targets, a long 2·R_pos silently
+    wraps near n ≈ 3·10⁹ with ANSI mode off and yields a wrong AUC
+    with no error. Only the final quotient drops to double.
+    Degenerate single-class inputs return NULL auc rather than a
+    misleading 0/0.
 
     Scale: one hash aggregate over the corpus (keyed by score value),
     then a window over DISTINCT SCORE VALUES — thousands of rows for
@@ -69,15 +74,19 @@ def binary_auc(
     agg = ranked.agg(
         F.sum("p_s").cast("long").alias("n_pos"),
         (F.sum("n_s") - F.sum("p_s")).cast("long").alias("n_neg"),
+        # decimal BEFORE the multiply: the per-bucket product
+        # p_s·(2·c_less+…) is itself ~n² and can wrap int64 on one row
         F.sum(
-            F.col("p_s") * (F.lit(2) * F.col("c_less") + F.col("n_s") + 1)
-        )
-        .cast("long")
-        .alias("two_r_pos"),
+            F.col("p_s").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("c_less") + F.col("n_s") + 1)
+        ).alias("two_r_pos"),
     )
+    _dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     auc = (
-        F.col("two_r_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
-    ).cast("double") / (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+        F.col("two_r_pos") - _dec(F.col("n_pos")) * (F.col("n_pos") + 1)
+    ).cast("double") / (
+        F.lit(2) * _dec(F.col("n_pos")) * F.col("n_neg")
+    ).cast("double")
     return agg.select(
         "n_pos",
         "n_neg",

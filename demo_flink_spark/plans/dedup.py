@@ -128,19 +128,27 @@ def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-Jaccard verify step pins precision at 1 by
     construction); the lossy borderline regime is exercised by the
     measured-recall pytest in tests/test_dedup_similarity.py."""
+    from demo_flink_spark.operators.checkpointing import cut_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     max_df = max(int(0.01 * docs.count()), 100)
+    # the corpus is canonicalized+shingled ONCE and shared by both
+    # pair generators (each used to re-shingle independently — a full
+    # extra scan+shingle pass on the dominant stage of the eval)
+    sh = dd.shingles(docs, n=3).transform(cut_lineage)
     # set semantics on both pair lists: the DuckDB oracle uses
     # INTERSECT (a set op), so a duplicate (doc_a, doc_b) row from
     # either generator would inflate n_common under the inner join's
     # bag semantics (precision/recall could exceed 1)
     exact = (
-        dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+        dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_df=max_df, shingles_df=sh
+        )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     approx = (
-        dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
+        dd.minhash_lsh_pairs(docs, n=3, threshold=0.2, shingles_df=sh)
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -132,10 +132,25 @@ def _kept_prefix_op(
             state.update(([], [], [], "", seq))
             return
 
+        # replay idempotence: Structured Streaming sources can replay
+        # a batch into applyInPandasWithState after recovery, so an
+        # arrival may be a doc this kernel has already processed. A
+        # doc already in kept state must NOT merge twice (it would
+        # double-count its tokens and permanently evict other docs —
+        # divergence no retraction repairs); a duplicate within the
+        # same batch collapses to one. Docs at/after the cut are
+        # handled below (they re-drop, which is naturally idempotent).
+        held = {d for _, d, _ in kept_old}
+        seen_batch: set[int] = set()
+        deduped = []
+        for a in arrivals:
+            if a[1] in held or a[1] in seen_batch:
+                continue
+            seen_batch.add(a[1])
+            deduped.append(a)
         # anything ranked at/after the overflow boundary is dropped
         # forever — its cumulative can only have grown since the cut
-        beyond = [a for a in arrivals if cut is not None and a[0] >= cut]
-        within = [a for a in arrivals if cut is None or a[0] < cut]
+        within = [a for a in deduped if cut is None or a[0] < cut]
         merged = sorted(kept_old + within)
         kept_new, new_cut = prefix_rule(merged, limit)
         if new_cut is not None and (cut is None or new_cut < cut):

@@ -28,6 +28,7 @@ O(1) per key regardless of stream length.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,6 +43,20 @@ STATE_SCHEMA = (
     "base_us long, n long, sx string, sy string, sxy string, sxx string, "
     "seq long"
 )
+
+
+def _cents(v: float) -> int:
+    """Half-AWAY-from-zero cents quantization — matches the batch
+    operator's `F.round` (HALF_UP) and the DuckDB oracle's `round`.
+    Python's built-in `round()` is banker's (half-to-even): for any
+    value whose v*100 is an exactly representable .5 double
+    (0.125 → 12.5) it differs by one cent and breaks the documented
+    bit-for-bit batch parity."""
+    return (
+        int(math.floor(v * 100 + 0.5))
+        if v >= 0
+        else -int(math.floor(-v * 100 + 0.5))
+    )
 
 
 def _fit(n: int, sx: int, sy: int, sxy: int, sxx: int) -> tuple[float, float]:
@@ -65,7 +80,7 @@ def trend_op() -> StatefulOp:
                 arrivals.append(
                     (
                         int(pd.Timestamp(ts).value // 1000),
-                        int(round(float(val) * 100)),
+                        _cents(float(val)),
                     )
                 )
         if not arrivals:

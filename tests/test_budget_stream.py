@@ -142,3 +142,35 @@ def test_streaming_exact_k_matches_batch(spark):
         .apply(lambda s: bool(s.iloc[0]) and not bool(s.iloc[-1]))
     )
     assert flips.any()
+
+
+def test_streaming_budget_idempotent_under_replay(spark):
+    """At-least-once delivery: batch 0's docs are REDELIVERED in batch
+    1 (whole-batch replay after recovery) alongside new docs. A
+    replayed doc already held in kept state must not merge twice —
+    double-counting its tokens would permanently evict other docs and
+    diverge from batch. The converged answer must equal the batch cut
+    over the DISTINCT docs."""
+    rows = _docs()
+    data = [(i, g, t, 0) for i, g, t in rows if i < 8]
+    # batch 1 = replay of batch 0 + the remaining docs
+    data += [(i, g, t, 1) for i, g, t in rows if i < 8]
+    data += [(i, g, t, 1) for i, g, t in rows if i >= 8]
+    # plus an intra-batch duplicate
+    data += [(rows[0][0], rows[0][1], rows[0][2], 1)]
+    source = spark.createDataFrame(
+        data, "doc_id long, grp string, text string, batch int"
+    )
+    streamed = run_stateful(
+        spark, source, ["grp"], token_budget_op(BUDGETS),
+        n_batches=2, batch_col="batch",
+    )
+    got = _final_snapshot(streamed)
+    batch_df = spark.createDataFrame(
+        [(i, g, t) for i, g, t in rows], "doc_id long, grp string, text string"
+    )
+    want = {
+        r["doc_id"]: r["kept"]
+        for r in token_budget_cut(batch_df, BUDGETS, group_col="grp").collect()
+    }
+    assert got == want

@@ -74,3 +74,23 @@ def test_streaming_trend_rebase_on_early_late_arrival(spark):
     got = _run(spark, rows, lambda i: 1 if i < 2 else 0)
     want = _batch(spark, rows)
     assert got == want
+
+
+def test_streaming_trend_halfcent_tie_matches_batch(spark):
+    """Values whose v*100 is an exactly representable .5 double
+    (0.125 -> 12.5 cents) are the case where Python's banker's
+    round() diverges from the batch F.round (HALF_UP): 12 vs 13.
+    The kernel's half-away _cents must match batch bit-for-bit."""
+    from demo_flink_spark.streaming.trend_stream import _cents
+
+    assert _cents(0.125) == 13  # round() would give 12
+    assert _cents(0.375) == 38  # round() would give 38 too, but via even
+    assert _cents(-0.125) == -13
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, "a", t0 + timedelta(minutes=3 * i), v)
+        for i, v in enumerate([0.125, 0.375, 1.625, 2.125, 0.875, 3.125])
+    ]
+    got = _run(spark, rows, lambda i: 0 if i < 3 else 1)
+    want = _batch(spark, rows)
+    assert got == want
