@@ -14,6 +14,15 @@ Caveats stated in the artifact: documents/embeddings are 500 rows at
 BOTH sf0.001 and sf0.01 (TESTDATA.md), so document-shaped queries get
 their slope from the 0.01→0.1 step only; lineitem/orders/events scale
 10× per step and support both steps.
+
+Third decade (relational core): the driver ships no sf1, so the probe
+BUILDS one at /tmp/spark_graft_sf1 — fact tables (lineitem, orders,
+events) replicated ×10 from sf0.1 with key-shifted replicas
+(orderkeys/event ids offset per replica so join fan-outs and group
+cardinalities scale like a real SF step, events additionally get
+shifted user ids so keyed-window group counts grow), dims copied
+unchanged. TPC-H-shaped and window probes then get a measured
+0.1→1 slope instead of an extrapolated one.
 """
 
 from __future__ import annotations
@@ -52,6 +61,75 @@ PROBES = {
 # are flat 500 rows between sf0.001 and sf0.01)
 _SCALES_FROM_0001 = {"lineitem", "orders", "events", "customer", "part"}
 
+# relational-core probes that get the synthetic sf1 third decade
+THIRD_DECADE = {
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "window_topn_users_hourly",
+    "asof_join_last_purchase",
+    "graph_pagerank_copurchase",
+}
+
+SF1_DIR = "/tmp/spark_graft_sf1"
+
+
+def ensure_sf1(spark) -> str:
+    """Build (once, cached) a ×10 synthetic decade above sf0.1.
+
+    Replication with key shifts, not bare duplication: lineitem and
+    orders offset their orderkeys by replica·(max+1) so each replica
+    contributes NEW orders joining to NEW lineitems (join fan-out and
+    group count scale, referential integrity holds); events offset
+    event_id and user_id the same way so event-keyed windows gain 10×
+    groups. Dims (nation…part, documents, embeddings) copy unchanged —
+    fact-dominated growth, which is what the third-decade slope should
+    measure.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.sources.tables import TABLES, load_table
+
+    ready = os.path.join(SF1_DIR, "_READY")
+    if os.path.exists(ready):
+        return SF1_DIR
+    os.makedirs(SF1_DIR, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    replicas = F.explode(F.array([F.lit(i) for i in range(10)])).alias("_r")
+
+    def shifted(name: str, shifts: dict[str, int]):
+        df = load_table(spark, src, name)
+        out = df.select("*", replicas)
+        for col, stride in shifts.items():
+            out = out.withColumn(col, F.col(col) + F.col("_r") * F.lit(stride))
+        out.drop("_r").write.mode("overwrite").parquet(
+            os.path.join(SF1_DIR, f"{name}.parquet")
+        )
+
+    # ONE orderkey stride shared by orders and lineitem: replica r of a
+    # lineitem must still join replica r of its order
+    ok_stride = (
+        load_table(spark, src, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+        + 1
+    )
+    ev = load_table(spark, src, "events")
+    ev_maxes = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    shifted("orders", {"o_orderkey": ok_stride})
+    shifted("lineitem", {"l_orderkey": ok_stride})
+    shifted(
+        "events", {"event_id": ev_maxes[0] + 1, "user_id": ev_maxes[1] + 1}
+    )
+    for name in TABLES:
+        if name in ("orders", "lineitem", "events"):
+            continue
+        dst = os.path.join(SF1_DIR, f"{name}.parquet")
+        s = os.path.join(src, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copytree(s, dst) if os.path.isdir(s) else shutil.copy(s, dst)
+    open(ready, "w").write("ok")
+    return SF1_DIR
+
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -71,6 +149,8 @@ def main() -> None:
 
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
 
+    sf1_dir = ensure_sf1(spark)
+
     rows = []
     for name, table in PROBES.items():
         times = {}
@@ -79,11 +159,21 @@ def main() -> None:
             t0 = time.time()
             specs[name].fn(spark, sf_dir).count()
             times[sf] = round(time.time() - t0, 3)
+        t_sf1 = None
+        if name in THIRD_DECADE:
+            t0 = time.time()
+            specs[name].fn(spark, sf1_dir).count()
+            t_sf1 = round(time.time() - t0, 3)
         # growth exponent per 10x data step: log10(t_hi/t_lo)
         step2 = math.log10(times["0.1"] / times["0.01"]) if times["0.01"] > 0 else None
         step1 = (
             math.log10(times["0.01"] / times["0.001"])
             if table in _SCALES_FROM_0001 and times["0.001"] > 0
+            else None
+        )
+        step3 = (
+            math.log10(t_sf1 / times["0.1"])
+            if t_sf1 is not None and times["0.1"] > 0
             else None
         )
         rows.append(
@@ -93,8 +183,10 @@ def main() -> None:
                 "t_sf0.001": times["0.001"],
                 "t_sf0.01": times["0.01"],
                 "t_sf0.1": times["0.1"],
+                "t_sf1synth": t_sf1,
                 "slope_0.001_to_0.01": None if step1 is None else round(step1, 2),
                 "slope_0.01_to_0.1": None if step2 is None else round(step2, 2),
+                "slope_0.1_to_1": None if step3 is None else round(step3, 2),
             }
         )
 
@@ -111,16 +203,22 @@ def main() -> None:
         "documents/embeddings hold 500 rows at BOTH sf0.001 and sf0.01",
         "(TESTDATA.md), so document-shaped queries carry signal only on",
         "the 0.01 → 0.1 step — their first-step slope is omitted.",
+        "The sf1 column is the SYNTHETIC third decade for the",
+        "relational core: fact tables replicated ×10 above sf0.1 with",
+        "key-shifted replicas (see tools/scale_probe.py::ensure_sf1) —",
+        "built locally, never part of the driver's data.",
         "",
-        "| query | input | t@sf0.001 | t@sf0.01 | t@sf0.1 | slope 0.001→0.01 | slope 0.01→0.1 |",
-        "|---|---|---|---|---|---|---|",
+        "| query | input | t@sf0.001 | t@sf0.01 | t@sf0.1 | t@sf1synth | slope 0.001→0.01 | slope 0.01→0.1 | slope 0.1→1 |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         s1 = "—" if r["slope_0.001_to_0.01"] is None else f"{r['slope_0.001_to_0.01']:.2f}"
         s2 = "—" if r["slope_0.01_to_0.1"] is None else f"{r['slope_0.01_to_0.1']:.2f}"
+        s3 = "—" if r["slope_0.1_to_1"] is None else f"{r['slope_0.1_to_1']:.2f}"
+        t1 = "—" if r["t_sf1synth"] is None else f"{r['t_sf1synth']:.2f}s"
         md.append(
             f"| {r['query']} | {r['table']} | {r['t_sf0.001']:.2f}s "
-            f"| {r['t_sf0.01']:.2f}s | {r['t_sf0.1']:.2f}s | {s1} | {s2} |"
+            f"| {r['t_sf0.01']:.2f}s | {r['t_sf0.1']:.2f}s | {t1} | {s1} | {s2} | {s3} |"
         )
     md.append("")
     md.append(
