@@ -213,6 +213,167 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    the MOSS algorithm): hash every k-token gram, slide a w-hash
+    window, select each window's minimum hash (rightmost position on
+    ties), and keep the distinct (position, hash) selections.
+
+    Guarantee: any shared run of w+k-1 tokens between two documents
+    yields at least one IDENTICAL selected fingerprint — so matching
+    fingerprints find local plagiarism/quotation that whole-doc
+    minhash dilutes away, with density ~2/(w+1) selections per gram
+    instead of every gram.
+
+    Output per doc: n_grams, n_selected, and `fp_md5` — md5 over the
+    sorted selection set — so the oracle hash pins the EXACT
+    fingerprint set, not just its size.
+
+    Plan shape: zero exchanges — one narrow pass of array expressions
+    (token array and gram-hash array are materialized as named columns
+    FIRST; referencing the expression inside `transform` lambdas would
+    re-evaluate it per element — the `ngram_diversity` lesson). Hashes
+    are md5 hex strings compared lexicographically: a total order both
+    engines share with zero numeric conversion. Per-row cost is
+    O(n_grams · w) with w = 4 constant.
+    """
+    empty = F.array().cast("array<string>")
+    d = docs.select(
+        "doc_id", F.split(_canonical(F.col(text_col)), " ").alias("_toks")
+    )
+    d = d.withColumn(
+        "_toks",
+        F.when(
+            (F.size("_toks") == 1) & (F.element_at("_toks", 1) == ""), empty
+        ).otherwise(F.col("_toks")),
+    )
+    d = d.withColumn(
+        "_hs",
+        F.when(
+            F.size("_toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i, k), " ")),
+            ),
+        ).otherwise(empty),
+    )
+    # per window i (1-based): slice s = hs[i .. i+w-1], m = min(s),
+    # selected position = rightmost argmin = i + w - pos(reverse(s), m)
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("_hs") - (w - 1)),
+        lambda i: F.concat(
+            F.lpad(
+                (
+                    i
+                    + w
+                    - F.array_position(
+                        F.reverse(F.slice("_hs", i, w)),
+                        F.array_min(F.slice("_hs", i, w)),
+                    )
+                ).cast("string"),
+                6,
+                "0",
+            ),
+            F.lit(":"),
+            F.array_min(F.slice("_hs", i, w)),
+        ),
+    )
+    d = d.withColumn(
+        "_fps",
+        F.when(F.size("_hs") >= w, F.array_distinct(sel)).otherwise(empty),
+    )
+    return d.select(
+        "doc_id",
+        F.size("_hs").cast("long").alias("n_grams"),
+        F.size("_fps").cast("long").alias("n_selected"),
+        F.md5(F.array_join(F.array_sort("_fps"), ",")).alias("fp_md5"),
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |A∩B| / |A| — the Broder containment coefficient.
+
+    Jaccard misses doc-in-doc duplication: a paragraph quoted inside
+    a 100× larger page has Jaccard ≈ 0.01 but containment ≈ 1.0 from
+    the small side. That direction is exactly what eval-set
+    decontamination and quote/boilerplate detection need (GPT-3's
+    n-gram overlap decontamination is containment-shaped, not
+    Jaccard-shaped). Emits one row per ordered-candidate pair with
+    BOTH directions (`containment_ab` = fraction of A inside B,
+    `containment_ba`), keeping pairs where either direction clears
+    `threshold`.
+
+    Same inverted-index join as `ngram_jaccard_pairs` — posting-list
+    equi-join, df-cut skew cap, no cross join — so the scale shape is
+    identical: Σ posting-list², never n².
+    """
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(docs, text_col, n).transform(cut_lineage)
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            posting.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_a").cast("double"), 6).alias(
+                "containment_ab"
+            ),
+            F.round(F.col("n_common") / F.col("n_b").cast("double"), 6).alias(
+                "containment_ba"
+            ),
+        )
+    )
+    # threshold on the integer cross-multiplication, not the rounded
+    # double: n_common / n_a >= t  <=>  n_common * 1e6 >= t*1e6 * n_a
+    # for the 6-dp thresholds used here — engine-exact either way, but
+    # integers leave nothing to rounding rules
+    t_micro = int(round(threshold * 1_000_000))
+    return out.filter(
+        (F.col("n_common") * 1_000_000 >= t_micro * F.col("n_a"))
+        | (F.col("n_common") * 1_000_000 >= t_micro * F.col("n_b"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

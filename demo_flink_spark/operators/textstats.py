@@ -378,6 +378,61 @@ def vocab_build(
     )
 
 
+def oov_rate_by_lang(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df_frac: float = 0.95,
+) -> DataFrame:
+    """Out-of-vocabulary rate per language against the df-cut
+    vocabulary built over the SAME corpus (`vocab_build`) — the
+    tokenizer-coverage calibration every multilingual mixture needs:
+    a language whose tokens mostly miss the shared vocabulary will
+    fragment into bytes/UNKs at training time, and its effective
+    token budget silently shrinks.
+
+    Output: (lang, n_tokens, n_oov, oov_rate) — counts exact;
+    oov_rate is round-half-away INTEGER division at 6 dp (the
+    covariance/dsir recipe — round(double, 6) of an integer ratio
+    lands exactly on the half boundary routinely and engines'
+    round-on-double disagree there), in decimal(38,0) so the scaled
+    numerator cannot wrap at corpus scale.
+
+    Plan: one explode + one per-token aggregate builds the vocab
+    (~vocabulary-size rows); the token stream then LEFT-joins it —
+    size-based planning broadcasts the vocab while it is small and
+    degrades to a shuffle join past the threshold (the r5 rule: never
+    force-broadcast a vocabulary-sized relation).
+    """
+    n_docs = docs.count()
+    vocab = vocab_build(docs, min_df, max_df_frac, n_docs=n_docs).select(
+        "token", F.lit(True).alias("in_vocab")
+    )
+    toks = docs.select(
+        "lang", F.explode(_tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    return (
+        toks.join(vocab, "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr(
+                "CAST((CAST(n_oov AS DECIMAL(38,0)) * 2000000"
+                "      + CAST(n_tokens AS DECIMAL(38,0)))"
+                "     div (2 * CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE)"
+                " / 1000000.0"
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-self-trained bigram LM quality score per document — the
     CCNet/KenLM shape: score each document by how probable its token

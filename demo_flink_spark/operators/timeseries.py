@@ -163,6 +163,80 @@ def zscore_anomalies(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier summary via median/MAD — the
+    Hampel-filter statistic: med = median(value), MAD =
+    median(|value − med|), outlier ⇔ |value − med| > k·MAD. Unlike
+    the trailing z-score (`zscore_anomalies`), a few extreme points
+    cannot inflate the spread estimate and mask each other (the
+    breakdown point is 50%, vs 0 for mean/σ).
+
+    Engine-exactness by construction: both medians are LOWER-median
+    ELEMENTS selected by rank — rank (n+1) div 2 under the total
+    order (value, tiebreak) — never an interpolated average, so every
+    output is either a bit-copied input double or a deterministic
+    IEEE subtract/abs/compare; no rounding rule anywhere. Output:
+    (key, n, med, mad, n_outliers).
+
+    Plan: two keyed window passes (value rank, then absdev rank) and
+    a 1-row-per-key broadcast join back — shuffles only on the key.
+    The full-sort-per-key window is the audit-grade exact path (same
+    caveat as `percentile_exact`): at 100 TB use the approx sketch to
+    locate the pivot and this operator on the residual slice.
+    """
+    v, key = F.col(value_col), F.col(key_col)
+    w = Window.partitionBy(key_col).orderBy(value_col, tiebreak_col)
+    wn = Window.partitionBy(key_col)
+    ranked = df.select(
+        key.alias("key"),
+        v.alias("v"),
+        F.col(tiebreak_col).alias("tb"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # (n+1) div 2 as exact integer arithmetic
+    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        "key", F.col("v").alias("med"), "n"
+    )
+    dev = ranked.join(F.broadcast(med.drop("n")), "key").select(
+        "key", "v", "tb", F.abs(F.col("v") - F.col("med")).alias("absdev")
+    )
+    w2 = Window.partitionBy("key").orderBy("absdev", "tb")
+    dev_ranked = dev.select(
+        "key",
+        "absdev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n"),
+    )
+    mad = dev_ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        "key", F.col("absdev").alias("mad")
+    )
+    stats = med.join(F.broadcast(mad), "key")
+    return (
+        dev.join(F.broadcast(stats.select("key", "mad")), "key")
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.when(F.col("absdev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers")
+        )
+        .join(F.broadcast(stats), "key")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("n").cast("long").alias("n"),
+            "med",
+            "mad",
+            "n_outliers",
+        )
+    )
+
+
 def linear_trend(
     df: DataFrame,
     key_col: str = "event_type",

@@ -176,6 +176,25 @@ def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B|/|A| — finds doc-in-doc duplication
+    (quoted paragraphs, eval-questions embedded in pages) that Jaccard
+    dilutes below any usable threshold. GPT-3-style decontamination is
+    containment-shaped; `split_leakage_audit` catches near-identical
+    eval docs, this catches INCLUSIONS."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = max(int(0.01 * docs.count()), 100)
+    return dd.containment_pairs(docs, n=3, threshold=0.5, max_df=max_df)
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document — the local
+    plagiarism-detection selection with the w-window coverage
+    guarantee; fp_md5 pins the exact selected set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnowing_fingerprints(docs, k=4, w=4)
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_fingerprints(docs)
@@ -747,6 +766,91 @@ SPECS = [
         WHERE d.doc_id >= 250 AND NOT EXISTS (
             SELECT 1 FROM documents h
             WHERE h.doc_id < 400 AND h.text = d.text)
+        """,
+    ),
+    QuerySpec(
+        "dedup_containment_pairs",
+        q_containment_pairs,
+        # same inverted-index CTE skeleton as the jaccard oracle, but
+        # the score is the asymmetric Broder containment from each
+        # side, and the keep-filter is an exact integer
+        # cross-multiplication (n_common·10⁶ ≥ 500000·n_side)
+        oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(0, greatest(len(string_split({_CANON}, ' ')) - 3, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(string_split({_CANON}, ' '), i + 1, i + 3), ' ')
+                   )), s -> s <> '') AS shingles
+            FROM documents
+        ),
+        posting_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        rare AS (
+            SELECT shingle FROM posting_all GROUP BY shingle
+            HAVING count(*) <= greatest(
+                CAST(floor(0.01 * (SELECT count(*) FROM documents)) AS BIGINT), 100)
+        ),
+        posting AS (
+            SELECT doc_id, shingle FROM posting_all
+            WHERE shingle IN (SELECT shingle FROM rare)
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM posting a JOIN posting b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+        SELECT doc_a, doc_b, n_common,
+               round(n_common / CAST(sa.n_sh AS DOUBLE), 6) AS containment_ab,
+               round(n_common / CAST(sb.n_sh AS DOUBLE), 6) AS containment_ba
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1000000 >= 500000 * sa.n_sh
+           OR n_common * 1000000 >= 500000 * sb.n_sh
+        """,
+    ),
+    QuerySpec(
+        "fingerprint_winnowing",
+        q_winnowing,
+        # md5 hex strings compared LEXICOGRAPHICALLY on both engines
+        # (binary collation) — the window minimum needs no numeric
+        # conversion; fp_md5 hashes the sorted selection set so the
+        # value hash pins exact per-window argmin + rightmost-tie
+        # semantics, not just counts
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split({_CANON}, ' '), x -> x <> '')
+                       AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 4 THEN
+                       list_transform(range(1, len(toks) - 3 + 1), i ->
+                           md5(array_to_string(
+                               list_slice(toks, i, i + 3), ' ')))
+                   ELSE CAST([] AS VARCHAR[]) END AS hs
+            FROM t
+        ), s AS (
+            SELECT doc_id, hs,
+                   CASE WHEN len(hs) >= 4 THEN
+                       list_distinct(list_transform(
+                           range(1, len(hs) - 3 + 1), i ->
+                           lpad(CAST(i + 4 - list_position(
+                                   list_reverse(list_slice(hs, i, i + 3)),
+                                   list_min(list_slice(hs, i, i + 3)))
+                               AS VARCHAR), 6, '0')
+                           || ':' || list_min(list_slice(hs, i, i + 3))))
+                   ELSE CAST([] AS VARCHAR[]) END AS fps
+            FROM g
+        )
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+               CAST(len(fps) AS BIGINT) AS n_selected,
+               md5(array_to_string(list_sort(fps), ',')) AS fp_md5
+        FROM s
         """,
     ),
 ]

@@ -655,6 +655,46 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) quantiles per market segment: the EXACT
+    ELEMENT at rank ⌊p·(n−1)⌋+1 under the (o_totalprice, o_orderkey)
+    total order, for p ∈ {0.5, 0.9, 0.99}.
+
+    The element-selection complement of `percentile_exact`
+    (interpolated type-7): no arithmetic touches the value — output
+    doubles are bit-copied inputs, ranks are pure integer products
+    ((n−1)·p_pct div 100), so the contract is float-free by
+    construction and works unchanged for any orderable type (dates,
+    decimals, strings). One keyed window pass + one aggregate; the
+    full-sort-per-key window is the audit-grade exact path — at
+    100 TB locate pivots with the sketch first, as documented on
+    `percentile_exact`.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    d = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    r = d.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    pick = lambda pct: F.max(  # noqa: E731
+        F.when(
+            F.expr(f"rn = ((n - 1) * {pct}) div 100 + 1"), F.col("o_totalprice")
+        )
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(50).alias("p50"),
+        pick(90).alias("p90"),
+        pick(99).alias("p99"),
+    )
+
+
 def q_sql_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL surface (SURVEY §2.3/§2.4 ext): CTE + scalar subquery.
 
@@ -1449,6 +1489,32 @@ SPECS = [
                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING
                                AND UNBOUNDED FOLLOWING)
+        """,
+    ),
+    QuerySpec(
+        "quantile_disc_by_segment",
+        q_quantile_disc,
+        # rank-selected elements: bit-copied doubles, integer ranks —
+        # no float arithmetic in the contract
+        oracle="""
+        WITH r AS (
+            SELECT c_mktsegment, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1
+                        THEN o_totalprice END) AS p50,
+               max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1
+                        THEN o_totalprice END) AS p90,
+               max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1
+                        THEN o_totalprice END) AS p99
+        FROM r GROUP BY c_mktsegment
         """,
     ),
     QuerySpec(

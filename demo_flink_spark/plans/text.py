@@ -325,6 +325,15 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage calibration: OOV token fraction per language
+    against the df-cut vocabulary built on the same corpus
+    (operators/textstats.py::oov_rate_by_lang)."""
+    return textstats.oov_rate_by_lang(
+        load_table(spark, sf_dir, "documents"), min_df=2, max_df_frac=0.95
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against the query terms
     {hash, join, vector} — the standard retrieval score on top of the
@@ -932,6 +941,43 @@ SPECS = [
         HAVING count(DISTINCT doc_id) >= 2
            AND count(DISTINCT doc_id)
                <= CAST(floor(0.95 * (SELECT count(*) FROM documents)) AS BIGINT)
+        """,
+    ),
+    QuerySpec(
+        "oov_rate_by_lang",
+        q_oov_rate,
+        # oov_rate is round-half-away integer division at 6 dp on both
+        # engines (HUGEINT // in DuckDB, decimal div in Spark) — no
+        # round-on-double anywhere
+        oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+                       w -> length(w) > 0)) AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT token FROM tok GROUP BY token
+            HAVING count(DISTINCT doc_id) >= 2
+               AND count(DISTINCT doc_id)
+                   <= CAST(floor(0.95 * (SELECT count(*) FROM documents))
+                           AS BIGINT)
+        ),
+        agg AS (
+            SELECT lang, count(*) AS n_tokens,
+                   count(*) FILTER (
+                       WHERE token NOT IN (SELECT token FROM vocab)
+                   ) AS n_oov
+            FROM tok GROUP BY lang
+        )
+        SELECT lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               CAST((CAST(n_oov AS HUGEINT) * 2000000 + n_tokens)
+                    // (2 * CAST(n_tokens AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0 AS oov_rate
+        FROM agg
         """,
     ),
     QuerySpec(

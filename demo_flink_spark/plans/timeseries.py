@@ -41,6 +41,17 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier summary (Hampel statistic): lower-median
+    ELEMENTS by rank for med and MAD — no interpolation, no rounding —
+    and the k=3 outlier count. The robust complement of
+    `ts_zscore_anomalies` (50% breakdown point vs 0 for mean/σ)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ts.mad_outliers(
+        ev, key_col="event_type", value_col="value", tiebreak_col="event_id", k=3.0
+    )
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute OHLC resample of events per event_type
     (operators/timeseries.py::ohlc_bars): open/close by explicit
@@ -163,6 +174,44 @@ FROM s
 
 
 SPECS = [
+    QuerySpec(
+        "anomaly_mad_hampel",
+        q_mad_outliers,
+        # both medians are rank-selected ELEMENTS ((n+1)//2 under the
+        # (value, event_id) total order) — bit-copied doubles, so the
+        # hash needs no float tolerance anywhere
+        oracle="""
+        WITH ranked AS (
+            SELECT event_type AS key, value AS v, event_id AS tb,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        med AS (SELECT key, v AS med, n FROM ranked WHERE rn = (n + 1) // 2),
+        dev AS (
+            SELECT r.key, r.v, r.tb, abs(r.v - m.med) AS absdev
+            FROM ranked r JOIN med m ON r.key = m.key
+        ),
+        dr AS (
+            SELECT key, absdev,
+                   row_number() OVER (
+                       PARTITION BY key ORDER BY absdev, tb
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM dev
+        ),
+        mad AS (SELECT key, absdev AS mad FROM dr WHERE rn = (n + 1) // 2)
+        SELECT d.key AS event_type, CAST(m.n AS BIGINT) AS n, m.med, md.mad,
+               CAST(count(*) FILTER (WHERE d.absdev > 3.0 * md.mad)
+                    AS BIGINT) AS n_outliers
+        FROM dev d
+        JOIN med m ON d.key = m.key
+        JOIN mad md ON d.key = md.key
+        GROUP BY d.key, m.n, m.med, md.mad
+        """,
+    ),
     QuerySpec("ohlc_bars_15m", q_ohlc_bars, oracle=_OHLC_ORACLE),
     QuerySpec("ts_ewma_trailing", q_ewma, oracle=_EWMA_ORACLE),
     QuerySpec("ts_linear_trend", q_linear_trend, oracle=_TREND_ORACLE),
