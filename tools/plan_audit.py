@@ -474,6 +474,21 @@ CHECKS = {
     # snapshot diff: digests join, bodies never shuffle — the only
     # exchange is the id-keyed full outer join
     "corpus_snapshot_diff": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # containment: same inverted-index equi-join as the jaccard finder
+    "dedup_containment_pairs": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # winnowing: zero-exchange narrow map of array expressions
+    "fingerprint_winnowing": ([], ["Exchange", "Join", "CartesianProduct"]),
+    # OOV: vocab is NOT force-broadcast (r5 rule) — size-based
+    # planning picks the strategy; never a cartesian
+    "oov_rate_by_lang": (["HashAggregate"], ["CartesianProduct"]),
+    # MAD: two keyed window passes + 1-row-per-key broadcast joins
+    "anomaly_mad_hampel": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # discrete quantiles: ONE keyed window + aggregate; customer dim
+    # rides a broadcast
+    "quantile_disc_by_segment": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
