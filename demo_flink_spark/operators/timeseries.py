@@ -237,6 +237,67 @@ def mad_outliers(
     )
 
 
+def cusum_drift(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    target: float = 100.0,
+    slack: float = 5.0,
+    h: float = 500.0,
+) -> DataFrame:
+    """One-sided (upward) CUSUM drift detector per key — Page's
+    sequential change-point statistic, the standard "has this metric's
+    mean shifted?" monitor:
+
+        S_i = max(0, S_{i-1} + (x_i − target − slack)),  alarm ⇔ S_i > h
+
+    computed WITHOUT the recursion via its closed form over the
+    (ts, tiebreak)-ordered series:
+
+        S_i = P_i − min(0, min_{j≤i} P_j),   P = running Σ(x − target − slack)
+
+    i.e. one decimal-exact cumulative sum + one running min — two
+    expressions over a single keyed window exchange, no recursion, no
+    UDF. The slack (allowance) absorbs noise below `slack` per
+    reading; `h` trades detection delay for false alarms (both in
+    value units).
+
+    Engine-exact contract: deviations, prefix sums and running mins
+    are all decimal(38,6) (the input cast is the same HALF_UP
+    conversion every decimal aggregate in the engine uses), and the
+    outputs are scale-6 integer micros — no double anywhere (the
+    rollup lesson). Output per key: (key, n, n_alarms,
+    max_cusum_micros, first_alarm_ts).
+    """
+    wo = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = (
+        F.col(value_col).cast("decimal(38,6)")
+        - F.lit(target).cast("decimal(38,6)")
+        - F.lit(slack).cast("decimal(38,6)")
+    )
+    p = F.sum(dev).over(wrun)
+    m = F.least(F.lit(0).cast("decimal(38,6)"), F.min(p).over(wrun))
+    s = (p - m).alias("s")
+    h_dec = F.lit(h).cast("decimal(38,6)")
+    scored = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        s,
+        (p - m > h_dec).alias("alarm"),
+    )
+    return scored.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("alarm"), 1).otherwise(0)).cast("long").alias(
+            "n_alarms"
+        ),
+        (F.max("s") * F.lit(1000000)).cast("long").alias("max_cusum_micros"),
+        F.min(F.when(F.col("alarm"), F.col("ts"))).alias("first_alarm_ts"),
+    ).withColumnRenamed("key", key_col)
+
+
 def linear_trend(
     df: DataFrame,
     key_col: str = "event_type",

@@ -52,6 +52,16 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM drift monitor per event_type (closed form: prefix
+    sum − running min over one keyed window), integer-micros contract."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ts.cusum_drift(
+        ev, key_col="event_type", ts_col="ts", tiebreak_col="event_id",
+        value_col="value", target=100.0, slack=5.0, h=500.0,
+    )
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute OHLC resample of events per event_type
     (operators/timeseries.py::ohlc_bars): open/close by explicit
@@ -174,6 +184,41 @@ FROM s
 
 
 SPECS = [
+    QuerySpec(
+        "ts_cusum_drift",
+        q_cusum,
+        # decimal-exact prefix sum and running min; scale-6 integer
+        # output contract — no double anywhere
+        oracle="""
+        WITH p AS (
+            SELECT event_type AS key, ts, event_id AS tb,
+                   SUM(CAST(value AS DECIMAL(38,6)) - 105.0)
+                       OVER w AS pfx
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        ),
+        s AS (
+            SELECT key, ts,
+                   pfx - least(CAST(0 AS DECIMAL(38,6)),
+                               min(pfx) OVER w2) AS cus
+            FROM p
+            WINDOW w2 AS (
+                PARTITION BY key ORDER BY ts, tb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT key AS event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE cus > 500.0) AS BIGINT)
+                   AS n_alarms,
+               CAST(max(cus) * 1000000 AS BIGINT) AS max_cusum_micros,
+               min(ts) FILTER (WHERE cus > 500.0) AS first_alarm_ts
+        FROM s GROUP BY key
+        """,
+    ),
     QuerySpec(
         "anomaly_mad_hampel",
         q_mad_outliers,
