@@ -204,8 +204,17 @@ def mad_outliers(
     med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
         "key", F.col("v").alias("med"), "n"
     )
-    dev = ranked.join(F.broadcast(med.drop("n")), "key").select(
-        "key", "v", "tb", F.abs(F.col("v") - F.col("med")).alias("absdev")
+    # dev feeds TWO consumers (the absdev rank window and the final
+    # outlier count): cut lineage or the value-rank window re-executes
+    # per consumer
+    from demo_flink_spark.operators.checkpointing import cut_lineage_lazy
+
+    dev = (
+        ranked.join(F.broadcast(med.drop("n")), "key")
+        .select(
+            "key", "v", "tb", F.abs(F.col("v") - F.col("med")).alias("absdev")
+        )
+        .transform(cut_lineage_lazy)
     )
     w2 = Window.partitionBy("key").orderBy("absdev", "tb")
     dev_ranked = dev.select(
