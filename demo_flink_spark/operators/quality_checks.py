@@ -204,3 +204,111 @@ def corpus_health_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col("n_tokens") / F.col("n_docs")).alias("mean_doc_tokens"),
         )
     )
+
+
+def psi_drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column — the standard ML-ops drift gate
+    (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted):
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    over `n_bins` equal-frequency bins whose edges come from the
+    REFERENCE distribution (rank-selected ELEMENTS at ranks
+    (n·i) div n_bins — the quantile_disc recipe, no interpolation).
+    Counts are Laplace-smoothed (+1 per bin) so an empty bin is a
+    large-but-finite contribution instead of ±inf.
+
+    Engine-exact: bin edges are bit-copied doubles; bin assignment is
+    "count of edges strictly below v" (deterministic comparisons);
+    ln(p/q) is `softln_ratio` over the exact integer cross-products
+    (c_r+1)·(n_c+B) vs (c_c+B)·(n_r+B) with an explicit direction
+    branch (softln needs num ≤ den); each term is rounded to 6 dp,
+    carried as decimal, and emitted as exact integer MICROS — the
+    float-free-contract discipline. Output: one row per bin
+    (bin, c_ref, c_cur, term_micros, psi_total_micros).
+
+    Scale shape: one window pass over the reference for edges (the
+    audit-exact path; swap in the sketch at 100 TB), then two
+    map-side-combinable bin-count aggregates; everything downstream
+    is ≤ n_bins rows on broadcasts.
+    """
+    from pyspark.sql.window import Window
+
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    v, tb = F.col(value_col), F.col(tiebreak_col)
+    r = ref.select(v.alias("v"), tb.alias("tb"))
+    c = cur.select(v.alias("v"), tb.alias("tb"))
+    w = Window.orderBy("v", "tb")
+    ranked = r.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    rank_list = ", ".join(f"(n * {i}) div {n_bins}" for i in range(1, n_bins))
+    edges = ranked.filter(F.expr(f"rn IN ({rank_list})")).agg(
+        F.sort_array(F.collect_list("v")).alias("edges")
+    )
+    n_r = r.agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    n_c = c.agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+
+    def binned(side: DataFrame, label: str) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(edges))
+            .select(
+                (
+                    F.lit(1)
+                    + F.size(F.filter("edges", lambda e: e < F.col("v")))
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(label))
+        )
+    bins = (
+        F.broadcast(
+            r.sparkSession.range(1, n_bins + 1).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+        .join(binned(r, "c_ref"), "bin", "left")
+        .join(binned(c, "c_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+    )
+    B = F.lit(n_bins)
+    a = (F.col("c_ref") + 1) * (F.col("n_cur") + B)  # p-side cross product
+    b = (F.col("c_cur") + 1) * (F.col("n_ref") + B)  # q-side cross product
+    ln_pq = F.when(a <= b, softln_ratio(a, b)).otherwise(-softln_ratio(b, a))
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + B).cast("double")
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + B).cast("double")
+    term6 = F.round((p - q) * ln_pq, 6).cast("decimal(38,6)")
+    out = bins.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        (term6 * 1000000).cast("long").alias("term_micros"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return out.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        "term_micros",
+        F.sum("term_micros").over(wall).cast("long").alias("psi_total_micros"),
+    )

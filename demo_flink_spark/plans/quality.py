@@ -11,6 +11,7 @@ passing and failing constraints.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from demo_flink_spark.operators.quality_checks import dq_report, skew_report
 from demo_flink_spark.plans.spec import QuerySpec
@@ -146,8 +147,92 @@ def _health_oracle() -> str:
     """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution-drift report between two snapshot halves of
+    events.value (reference = even event ids, current = odd — stands
+    in for two crawl/ingest snapshots). Equal-frequency bins from the
+    reference's rank-selected elements; integer-micros contract."""
+    from demo_flink_spark.operators.quality_checks import psi_drift_report
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return psi_drift_report(ref, cur, "value", "event_id", n_bins=10)
+
+
+def _psi_oracle() -> str:
+    from demo_flink_spark.operators.relational import softln_ratio_sql
+
+    soft_ab = softln_ratio_sql("a", "b")
+    soft_ba = softln_ratio_sql("b", "a")
+    return """
+    WITH r AS (
+        SELECT value AS v, event_id AS tb FROM events
+        WHERE value IS NOT NULL AND event_id % 2 = 0
+    ),
+    c AS (
+        SELECT value AS v, event_id AS tb FROM events
+        WHERE value IS NOT NULL AND event_id % 2 = 1
+    ),
+    ranked AS (
+        SELECT v, row_number() OVER (ORDER BY v, tb) AS rn,
+               count(*) OVER () AS n
+        FROM r
+    ),
+    edges AS (
+        SELECT list_sort(list(v)) AS edges FROM ranked
+        WHERE rn IN ({ranks})
+    ),
+    nr AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM r),
+    ncur AS (SELECT CAST(count(*) AS BIGINT) AS n_cur FROM c),
+    rb AS (
+        SELECT 1 + len(list_filter(edges, e -> e < v)) AS bin,
+               CAST(count(*) AS BIGINT) AS c_ref
+        FROM r, edges GROUP BY 1
+    ),
+    cb AS (
+        SELECT 1 + len(list_filter(edges, e -> e < v)) AS bin,
+               CAST(count(*) AS BIGINT) AS c_cur
+        FROM c, edges GROUP BY 1
+    ),
+    bins AS (
+        SELECT CAST(i AS INTEGER) AS bin,
+               coalesce(rb.c_ref, 0) AS c_ref,
+               coalesce(cb.c_cur, 0) AS c_cur,
+               n_ref, n_cur
+        FROM range(1, 11) t(i)
+        LEFT JOIN rb ON rb.bin = i
+        LEFT JOIN cb ON cb.bin = i
+        CROSS JOIN nr CROSS JOIN ncur
+    ),
+    terms AS (
+        SELECT bin, c_ref, c_cur,
+               CAST(CAST(round(
+                   (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE)
+                    - CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE))
+                   * (CASE WHEN a <= b THEN {soft_ab}
+                           ELSE -({soft_ba}) END), 6)
+                 AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS term_micros
+        FROM (
+            SELECT bin, c_ref, c_cur, n_ref, n_cur,
+                   (c_ref + 1) * (n_cur + 10) AS a,
+                   (c_cur + 1) * (n_ref + 10) AS b
+            FROM bins
+        )
+    )
+    SELECT bin, c_ref, c_cur, term_micros,
+           CAST(sum(term_micros) OVER () AS BIGINT) AS psi_total_micros
+    FROM terms
+    """.format(
+        ranks=", ".join(f"(n * {i}) // 10" for i in range(1, 10)),
+        soft_ab=soft_ab,
+        soft_ba=soft_ba,
+    )
+
+
 SPECS = [
     QuerySpec("dq_constraint_report", q_dq_report, oracle=_DQ_ORACLE),
     QuerySpec("skew_report_events", q_skew_report, oracle=_SKEW_ORACLE),
     QuerySpec("corpus_health_report", q_corpus_health, oracle=_health_oracle()),
+    QuerySpec("drift_psi_report", q_psi_drift, oracle=_psi_oracle()),
 ]

@@ -489,6 +489,10 @@ CHECKS = {
         ["Window", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # PSI drift: edges/count side-tables ride broadcasts; the bin
+    # assignment crossJoin is a 1-row broadcast (BNLJ), never a
+    # shuffled cartesian
+    "drift_psi_report": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
 }
 
 
