@@ -312,3 +312,56 @@ def psi_drift_report(
         "term_micros",
         F.sum("term_micros").over(wall).cast("long").alias("psi_total_micros"),
     )
+
+
+def heavy_change_detection(
+    ref: DataFrame,
+    cur: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k keys whose RELATIVE frequency changed most between two
+    snapshots — the item-level companion to `psi_drift_report` (PSI
+    says THAT the distribution moved; this says WHICH keys moved it).
+
+    Change score: |c_ref·n_cur − c_cur·n_ref| — the cross-multiplied
+    numerator of |p_ref − p_cur|, so ranking by it equals ranking by
+    absolute share change while staying EXACT INTEGER arithmetic (no
+    division, no float in the ordering or the output). Missing keys
+    count 0 via the full outer join. Deterministic total order:
+    (score desc, key asc).
+
+    Scale shape: per-side counts are map-side-combinable aggregates
+    (~|keys| rows); the outer join and top-k run on the COUNT tables,
+    never the raw rows — bodies never shuffle. The top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    not a global sort.
+    """
+    rc = ref.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_ref")
+    )
+    cc = cur.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_cur")
+    )
+    n_r = ref.agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    n_c = cur.agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+    joined = (
+        rc.join(cc, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+    )
+    score = F.abs(
+        F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref")
+    )
+    return (
+        joined.select(
+            "key", "c_ref", "c_cur", score.cast("long").alias("change_score")
+        )
+        .orderBy(F.desc("change_score"), F.asc("key"))
+        .limit(k)
+    )

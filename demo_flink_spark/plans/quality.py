@@ -230,9 +230,57 @@ def _psi_oracle() -> str:
     )
 
 
+def q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vocabulary terms whose relative frequency changed most
+    between two corpus snapshot halves (doc_id parity) — WHICH keys
+    moved the distribution PSI said moved. Exact integer
+    cross-multiplied scores, deterministic tiebreak."""
+    from demo_flink_spark.operators.quality_checks import heavy_change_detection
+    from demo_flink_spark.operators.textstats import _tokens
+    from demo_flink_spark.operators.wordcount import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(_tokens(normalize_text(F.col("text")))).alias("token"),
+    )
+    ref = toks.filter(F.col("doc_id") % 2 == 0)
+    cur = toks.filter(F.col("doc_id") % 2 == 1)
+    return heavy_change_detection(ref, cur, "token", k=20)
+
+
+_HEAVY_CHANGE_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^a-z\s]', '', 'g'), '\s+'),
+               w -> length(w) > 0)) AS token
+    FROM documents
+),
+r AS (SELECT token FROM tok WHERE doc_id % 2 = 0),
+c AS (SELECT token FROM tok WHERE doc_id % 2 = 1),
+rc AS (SELECT token AS key, CAST(count(*) AS BIGINT) AS c_ref FROM r GROUP BY 1),
+cc AS (SELECT token AS key, CAST(count(*) AS BIGINT) AS c_cur FROM c GROUP BY 1),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM r),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cur FROM c)
+SELECT key,
+       coalesce(c_ref, 0) AS c_ref,
+       coalesce(c_cur, 0) AS c_cur,
+       CAST(abs(coalesce(c_ref, 0) * n_cur - coalesce(c_cur, 0) * n_ref)
+            AS BIGINT) AS change_score
+FROM rc FULL OUTER JOIN cc USING (key)
+CROSS JOIN nr CROSS JOIN nc
+ORDER BY change_score DESC, key ASC
+LIMIT 20
+"""
+
+
 SPECS = [
     QuerySpec("dq_constraint_report", q_dq_report, oracle=_DQ_ORACLE),
     QuerySpec("skew_report_events", q_skew_report, oracle=_SKEW_ORACLE),
     QuerySpec("corpus_health_report", q_corpus_health, oracle=_health_oracle()),
     QuerySpec("drift_psi_report", q_psi_drift, oracle=_psi_oracle()),
+    QuerySpec(
+        "drift_heavy_change", q_heavy_change, oracle=_HEAVY_CHANGE_ORACLE
+    ),
 ]

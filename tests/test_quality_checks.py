@@ -104,3 +104,31 @@ def test_dq_report_requires_a_constraint(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="at least one constraint"):
         dq_report(df)
+
+
+def test_heavy_change_detection_values(spark):
+    """Missing keys count 0 via the full outer join; the score is the
+    exact integer cross-multiplied share delta |c_ref*n_cur - c_cur*n_ref|;
+    ties break by key ascending."""
+    from demo_flink_spark.operators.quality_checks import (
+        heavy_change_detection,
+    )
+
+    ref = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("gone",)], "k string"
+    )  # n_ref = 10
+    cur = spark.createDataFrame(
+        [("a",)] * 1 + [("b",)] * 2 + [("new",)] * 2, "k string"
+    )  # n_cur = 5
+    got = [
+        (r["key"], r["c_ref"], r["c_cur"], r["change_score"])
+        for r in heavy_change_detection(ref, cur, "k", k=10).collect()
+    ]
+    # scores: a |6*5-1*10|=20, new |0*5-2*10|=20, b |3*5-2*10|=5,
+    # gone |1*5-0*10|=5 -> ties broken by key asc
+    assert got == [
+        ("a", 6, 1, 20),
+        ("new", 0, 2, 20),
+        ("b", 3, 2, 5),
+        ("gone", 1, 0, 5),
+    ]

@@ -493,6 +493,13 @@ CHECKS = {
     # assignment crossJoin is a 1-row broadcast (BNLJ), never a
     # shuffled cartesian
     "drift_psi_report": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # heavy-change: per-side count tables join (not raw rows); the two
+    # 1-row totals ride broadcasts (BNLJ); top-k is
+    # TakeOrderedAndProject, never a global Sort+Limit
+    "drift_heavy_change": (
+        ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
 }
 
 
