@@ -490,3 +490,92 @@ def ohlc_bars(
         F.max(F.when(F.col("_rd") == 1, F.col("v"))).alias("close"),
         dsum(F.col("v")).alias("vsum"),
     )
+
+
+def acf_exact(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    max_lag: int = 4,
+) -> DataFrame:
+    """Per-key sample autocorrelation at lags 1..max_lag — the
+    seasonality/persistence probe behind cadence detection and
+    forecast-model selection (batch oracle for the reference's keyed
+    aggregation lineage, WindowWordCount.java:20-23 → SURVEY A1/A2 ext,
+    applied to the time-series family like ts_linear_trend):
+
+        r_k = Σ_{t>k} (y_t − ȳ)(y_{t−k} − ȳ) / Σ_t (y_t − ȳ)²
+
+    computed BIT-IDENTICALLY cross-engine via the `ts_linear_trend`
+    integer-sufficient-statistics recipe: with y in cents and
+    S = Σy, n·(y_t − ȳ) = n·y_t − S termwise, so numerator·n² and
+    denominator·n² are EXACT decimal(38,0) sums of integer products;
+    the n² factors cancel in the ratio and only the final division is
+    a double. No rounding step anywhere. Overflow bound: n³·y² per
+    key must stay < 10³⁸ — with cents ≤ 10⁵ that is ~10⁹ rows per
+    key, far past any per-key series this engine targets (partition a
+    longer series by epoch first).
+
+    Scale shape: the per-key total (count·y − S) and the lag columns
+    ride ONE key-partitioned exchange (both window specs share the
+    partition key, Spark reuses the partitioning); the final per-key
+    aggregate is map-side combinable. Nothing is collected; output is
+    |keys|·max_lag rows.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+        F.round(F.col(value_col) * 100).cast("decimal(38,0)").alias("y"),
+    )
+    wp = Window.partitionBy("key")
+    wo = Window.partitionBy("key").orderBy("ts", "tb")
+    centered = base.select(
+        "key",
+        "ts",
+        "tb",
+        (
+            F.count(F.lit(1)).over(wp).cast("decimal(38,0)") * F.col("y")
+            - F.sum("y").over(wp)
+        ).alias("c"),
+    )
+    lagged = centered.select(
+        "key",
+        "c",
+        *[
+            F.lag("c", k).over(wo).alias(f"c{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = lagged.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("c * c")).alias("den"),
+        *[
+            F.sum(F.expr(f"c * c{k}")).alias(f"num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    acfs = agg.select(
+        "key",
+        "n",
+        *[
+            F.when(
+                F.col("den") != 0,
+                F.col(f"num{k}").cast("double")
+                / F.col("den").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"acf{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{k}, acf{k}" for k in range(1, max_lag + 1))
+    return acfs.select(
+        F.col("key").alias(key_col),
+        "n",
+        F.expr(f"stack({max_lag}, {stack_args}) as (lag, acf)"),
+    )

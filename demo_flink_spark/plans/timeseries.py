@@ -183,7 +183,53 @@ FROM s
 """
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation at lags 1-4 per event_type
+    (operators/timeseries.py::acf_exact): integer sufficient
+    statistics — n·(y−ȳ) = n·y−S termwise, the n² factors cancel in
+    the ratio — so only the final division is a double, bit-identical
+    cross-engine with no rounding step."""
+    from demo_flink_spark.operators.timeseries import acf_exact
+
+    return acf_exact(load_table(spark, sf_dir, "events"), max_lag=4)
+
+
+_ACF_ORACLE = """
+WITH base AS (
+    SELECT event_type AS key, ts, event_id AS tb,
+           CAST(round(value * 100) AS HUGEINT) AS y
+    FROM events WHERE value IS NOT NULL
+),
+c AS (
+    SELECT key, ts, tb,
+           CAST(count(*) OVER (PARTITION BY key) AS HUGEINT) * y
+             - sum(y) OVER (PARTITION BY key) AS c
+    FROM base
+),
+l AS (
+    SELECT key, c,
+           lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+           lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4
+    FROM c WINDOW w AS (PARTITION BY key ORDER BY ts, tb)
+),
+a AS (
+    SELECT key, CAST(count(*) AS BIGINT) AS n, sum(c * c) AS den,
+           sum(c * c1) AS n1, sum(c * c2) AS n2,
+           sum(c * c3) AS n3, sum(c * c4) AS n4
+    FROM l GROUP BY key
+)
+SELECT key AS event_type, n, u.lag, CASE WHEN den <> 0
+           THEN CAST(u.num AS DOUBLE) / CAST(den AS DOUBLE)
+           ELSE 0.0 END AS acf
+FROM a, (VALUES (1), (2), (3), (4)) AS lags(lag),
+LATERAL (SELECT CASE lags.lag WHEN 1 THEN n1 WHEN 2 THEN n2
+                WHEN 3 THEN n3 ELSE n4 END AS num,
+                lags.lag AS lag) AS u
+"""
+
+
 SPECS = [
+    QuerySpec("ts_acf", q_acf, oracle=_ACF_ORACLE),
     QuerySpec(
         "ts_cusum_drift",
         q_cusum,

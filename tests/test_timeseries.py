@@ -121,3 +121,43 @@ def test_ohlc_bars_semantics(spark):
     a1 = out[("a", "2024-01-01 00:15:00")]
     assert a1["n_ticks"] == 1 and a1["open"] == a1["close"] == 4.0
     assert out[("b", "2024-01-01 00:00:00")]["n_ticks"] == 1
+
+
+def test_acf_exact_matches_numpy_plugin_estimator(spark):
+    """acf_exact must equal the textbook plug-in estimator
+    r_k = sum((y_t-m)(y_{t-k}-m)) / sum((y_t-m)^2) to float tolerance
+    on an AR(1)-ish series, and be EXACTLY 1-adjacent on a constant
+    offset pattern; a constant series (den=0) yields acf=0."""
+    import numpy as np
+
+    from demo_flink_spark.operators.timeseries import acf_exact
+
+    vals = []
+    v = 50.0
+    for i in range(200):
+        v = 0.8 * v + ((i * 37) % 11 - 5)  # deterministic AR(1)
+        vals.append(round(v, 2))
+    rows = [(i, "a", float(x)) for i, x in enumerate(vals)]
+    rows += [(i, "const", 7.0) for i in range(10)]
+    df = spark.createDataFrame(
+        [(eid, k, x, eid) for eid, k, x in rows],
+        "event_id long, event_type string, value double, seq long",
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.timestamp_seconds(F.col("seq") + 1_600_000_000).alias("ts"),
+    )
+    got = {
+        (r["event_type"], r["lag"]): (r["n"], r["acf"])
+        for r in acf_exact(df, max_lag=3).collect()
+    }
+    y = np.array([round(x * 100) for x in vals], dtype=object)  # cents
+    m = y.sum() / len(y)
+    den = ((y - m) ** 2).sum()
+    for k in (1, 2, 3):
+        want = (((y[k:] - m) * (y[:-k] - m)).sum()) / den
+        n, acf = got[("a", k)]
+        assert n == 200
+        assert abs(acf - float(want)) < 1e-12, (k, acf, want)
+        assert got[("const", k)] == (10, 0.0)

@@ -500,6 +500,9 @@ CHECKS = {
         ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
         ["CartesianProduct"],
     ),
+    # ACF: the per-key-total and lag windows share the partition key
+    # (one exchange), final agg map-side combinable; never a join
+    "ts_acf": (["Window", "HashAggregate"], ["Join", "CartesianProduct"]),
 }
 
 
