@@ -253,3 +253,102 @@ def resize_media(
             "target_h int, out_bytes long, resized binary",
         )
     )
+
+
+def byte_entropy(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Shannon entropy of the BYTE distribution of each binary payload
+    — the content-randomness probe that needs no decoder: already-
+    compressed/encrypted media sits near 8 bits/byte (5.545 nats),
+    text/bitmap payloads sit far lower. The standard cheap filter for
+    "don't re-compress / don't try to parse this" routing in an ingest
+    pipeline, and the binary twin of `textstats.token_entropy`.
+
+    Engine-exact by the token_entropy recipe: byte symbols are hex
+    pairs of `hex(payload)` (pure JVM, no UDF); each ln(c/n) is the
+    portable softln series rounded to 6dp; c·round6 products are exact
+    doubles summed in decimal(38,6); the final 6dp division is
+    round-half-away integer arithmetic. `max_byte_share_micros` and
+    `looks_compressed` (H > 5.0 nats) derive from the same integers.
+
+    Scale: ZERO exchanges — the histogram is higher-order array
+    expressions per row, O(d·n) with d ≤ 256 distinct bytes. For
+    multi-MB payloads switch to the explode+groupBy form (the oracle's
+    plan); same values.
+    """
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    base = media.select(
+        "doc_id", F.hex(F.col(payload_col)).alias("h")
+    )
+    pairs = F.expr(
+        "CASE WHEN h IS NULL OR length(h) < 2 THEN array('') "
+        "ELSE transform(sequence(1, length(h) div 2), "
+        "i -> substring(h, (i-1)*2+1, 2)) END"
+    )
+    # sentinel array('') for empty payloads keeps types uniform; n=0
+    # routes them to the zero row before any term math matters
+    step = base.select(
+        "doc_id",
+        F.when(
+            F.col("h").isNull() | (F.length("h") < 2), F.lit(0)
+        )
+        .otherwise(F.length("h") / 2)
+        .cast("long")
+        .alias("n"),
+        pairs.alias("t"),
+    )
+    t = F.col("t")
+    step2 = step.select(
+        "doc_id", "n", "t", F.array_distinct(t).alias("d")
+    )
+    counts = F.transform(
+        F.col("d"),
+        lambda x: F.size(F.filter(F.col("t"), lambda y: y == x)),
+    )
+    nn = F.col("n")
+    terms = F.transform(
+        counts,
+        lambda c: c.cast("double") * F.round(softln_ratio(c, nn), 6),
+    )
+    ent_sum = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, x: acc + x.cast("decimal(38,6)"),
+    )
+    step3 = step2.select(
+        "doc_id",
+        nn.alias("n_bytes"),
+        F.when(nn == 0, F.lit(0))
+        .otherwise(F.size("d"))
+        .cast("long")
+        .alias("n_distinct_bytes"),
+        F.when(nn == 0, F.lit(0))
+        .otherwise(F.array_max(counts))
+        .cast("long")
+        .alias("_maxc"),
+        F.when(nn == 0, F.lit(0).cast("decimal(38,6)"))
+        .otherwise(ent_sum)
+        .alias("_s"),
+    )
+    ent_micros = F.expr(
+        "(abs(CAST(_s * 1000000 AS DECIMAL(38,0))) * 2"
+        " + CAST(n_bytes AS DECIMAL(38,0)))"
+        " div (2 * CAST(n_bytes AS DECIMAL(38,0)))"
+    )
+    return step3.select(
+        "doc_id",
+        "n_bytes",
+        "n_distinct_bytes",
+        F.when(F.col("n_bytes") == 0, F.lit(0))
+        .otherwise(
+            F.expr("(_maxc * 1000000) div n_bytes")
+        )
+        .cast("long")
+        .alias("max_byte_share_micros"),
+        F.when(F.col("n_bytes") == 0, F.lit(0.0))
+        .otherwise(ent_micros.cast("double") / 1_000_000.0)
+        .alias("entropy_nats"),
+        F.when(F.col("n_bytes") == 0, F.lit(False))
+        .otherwise(ent_micros > 5_000_000)
+        .alias("looks_compressed"),
+    )

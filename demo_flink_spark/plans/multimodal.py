@@ -100,8 +100,72 @@ FROM r
 """
 
 
+def q_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-distribution entropy of each payload
+    (operators/multimodal.py::byte_entropy): the no-decoder
+    content-randomness filter (compressed/encrypted detection),
+    engine-exact via the token_entropy softln recipe."""
+    return mm.byte_entropy(_media(spark, sf_dir))
+
+
+def _byte_entropy_oracle() -> str:
+    from demo_flink_spark.operators.relational import softln_ratio_sql
+
+    softln = softln_ratio_sql("c", "n")
+    # symbols are single ASCII chars (char == byte on this corpus);
+    # entropy/max-share/distinct-count depend only on the count
+    # multiset, so the hex-pair vs char symbol choice cannot matter
+    return f"""
+WITH ch AS (
+    SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+    FROM documents, LATERAL unnest(range(1,
+         CAST(length(text) AS BIGINT) + 1)) AS u(i)
+    WHERE text IS NOT NULL
+),
+cnt AS (
+    SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+    FROM ch GROUP BY doc_id, ch
+),
+tot AS (
+    SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n
+    FROM documents
+),
+terms AS (
+    SELECT cnt.doc_id, tot.n, cnt.c,
+           CAST(CAST(cnt.c AS DOUBLE) * round({softln}, 6)
+                AS DECIMAL(38,6)) AS term
+    FROM cnt JOIN tot USING (doc_id)
+),
+agg AS (
+    SELECT doc_id, any_value(n) AS n,
+           CAST(count(*) AS BIGINT) AS d,
+           max(c) AS maxc,
+           sum(term) AS s
+    FROM terms GROUP BY doc_id
+),
+mic AS (
+    SELECT doc_id, n, d, maxc,
+           (abs(CAST(s * 1000000 AS HUGEINT)) * 2 + n) // (2 * n)
+               AS ent_micros
+    FROM agg WHERE n > 0
+)
+SELECT t.doc_id,
+       t.n AS n_bytes,
+       CAST(coalesce(m.d, 0) AS BIGINT) AS n_distinct_bytes,
+       CAST(coalesce((m.maxc * 1000000) // m.n, 0) AS BIGINT)
+           AS max_byte_share_micros,
+       coalesce(CAST(m.ent_micros AS DOUBLE) / 1000000.0, 0.0)
+           AS entropy_nats,
+       coalesce(m.ent_micros > 5000000, FALSE) AS looks_compressed
+FROM tot t LEFT JOIN mic m USING (doc_id)
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_resize", q_resize, oracle=_RESIZE_ORACLE),
+    QuerySpec(
+        "media_byte_entropy", q_byte_entropy, oracle=_byte_entropy_oracle()
+    ),
     QuerySpec(
         "multimodal_decode_meta",
         q_decode_meta,

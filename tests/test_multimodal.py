@@ -99,3 +99,36 @@ def test_resize_media_dims_and_stride(spark):
     r2 = out[32]
     assert (r2["target_w"], r2["target_h"]) == (64, 64)
     assert bytes(r2["resized"]) == b"y" * 50
+
+
+def test_byte_entropy_discriminates_random_from_repetitive(spark):
+    """Pseudo-random bytes must flag looks_compressed (H near ln 256 =
+    5.545 nats); a single-byte run has H = 0 and 100% max share; an
+    empty payload yields the all-zeros row; entropy must equal the
+    numpy plug-in estimator to the 6dp contract."""
+    import math
+
+    import numpy as np
+
+    from demo_flink_spark.operators.multimodal import byte_entropy
+
+    rnd = bytes(((i * 193 + 71) % 256) for i in range(4096))  # full-period
+    runs = b"a" * 500
+    mixed = b"abab" * 100 + b"c" * 17
+    df = spark.createDataFrame(
+        [(1, rnd), (2, runs), (3, mixed), (4, b"")],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in byte_entropy(df).collect()}
+
+    assert got[1]["looks_compressed"] and got[1]["n_distinct_bytes"] == 256
+    assert abs(got[1]["entropy_nats"] - math.log(256)) < 1e-5
+    assert got[2]["entropy_nats"] == 0.0 and not got[2]["looks_compressed"]
+    assert got[2]["max_byte_share_micros"] == 1_000_000
+    assert got[4]["n_bytes"] == 0 and got[4]["entropy_nats"] == 0.0
+
+    vals, counts = np.unique(np.frombuffer(mixed, np.uint8), return_counts=True)
+    p = counts / counts.sum()
+    want = float(-(p * np.log(p)).sum())
+    assert abs(got[3]["entropy_nats"] - want) < 2e-6
+    assert got[3]["max_byte_share_micros"] == 200 * 1_000_000 // 417

@@ -503,6 +503,12 @@ CHECKS = {
     # ACF: the per-key-total and lag windows share the partition key
     # (one exchange), final agg map-side combinable; never a join
     "ts_acf": (["Window", "HashAggregate"], ["Join", "CartesianProduct"]),
+    # byte entropy: per-row higher-order exprs only — zero exchanges,
+    # zero joins, no Python boundary
+    "media_byte_entropy": (
+        [],
+        ["Exchange", "Join", "CartesianProduct", "ArrowEvalPython"],
+    ),
 }
 
 
