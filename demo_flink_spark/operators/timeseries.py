@@ -579,3 +579,82 @@ def acf_exact(
         "n",
         F.expr(f"stack({max_lag}, {stack_args}) as (lag, acf)"),
     )
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    season: int = 24,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast ŷ_t = y_{t−season} per
+    key — the mandatory baseline every forecasting pipeline must beat,
+    and the cheapest cadence sanity check (a LOW seasonal-naive error
+    at lag m is evidence of period-m seasonality, the actionable twin
+    of `acf_exact`).
+
+    Metrics, ALL integers (the rollup lesson — no float in the
+    contract):
+      mae_micros   — mean |y_t − ŷ_t| in value-micros,
+      smape_micros — mean of 2|y−ŷ|/(|y|+|ŷ|) (0 when both are 0),
+                     each term a 6dp round-half-away INTEGER ratio,
+                     so the mean is exact integer arithmetic,
+      mase_micros  — MAE relative to the in-sample lag-1 naive
+                     (Hyndman's scaled error), integer cross-division.
+
+    Values are cents (exact off-tie rounding as in linear_trend);
+    every numerator/denominator stays in decimal(38,0)/HUGEINT, and
+    each division is the (2a+b) div 2b half-away form.
+
+    Scale: ONE key-partitioned window provides both lags; the metric
+    aggregate is map-side combinable. O(1) state per row, |keys| rows
+    out.
+    """
+    if season < 2:
+        raise ValueError("season must be >= 2 (use 1 and MASE=1 otherwise)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+        F.round(F.col(value_col) * 100).cast("decimal(38,0)").alias("y"),
+    )
+    wo = Window.partitionBy("key").orderBy("ts", "tb")
+    lagged = base.select(
+        "key",
+        "y",
+        F.lag("y", season).over(wo).alias("ym"),
+        F.lag("y", 1).over(wo).alias("y1"),
+    )
+    em = F.abs(F.col("y") - F.col("ym"))
+    e1 = F.abs(F.col("y") - F.col("y1"))
+    # (2a + b) div 2b half-away integer division, a = 2*em*1e6, b = sden
+    smape_term = F.expr(
+        "CASE WHEN ym IS NULL THEN NULL"
+        " WHEN abs(y) + abs(ym) = 0 THEN CAST(0 AS DECIMAL(38,0))"
+        " ELSE CAST((4 * abs(y - ym) * 1000000 + (abs(y) + abs(ym)))"
+        "      div (2 * (abs(y) + abs(ym))) AS DECIMAL(38,0)) END"
+    )
+    agg = lagged.groupBy("key").agg(
+        F.count("ym").cast("decimal(38,0)").alias("nm"),
+        F.count("y1").cast("decimal(38,0)").alias("n1"),
+        F.sum(em).alias("sem"),
+        F.sum(e1).alias("se1"),
+        F.sum(smape_term).alias("ssm"),
+    )
+    # cents -> value micros: * 1e4
+    mae = F.expr("(2 * sem * 10000 + nm) div (2 * nm)")
+    smape = F.expr("(2 * ssm + nm) div (2 * nm)")
+    # MASE = (sem/nm) / (se1/n1) = sem*n1 / (se1*nm), in micros
+    mase = F.when(
+        (F.col("se1") != 0) & (F.col("nm") != 0),
+        F.expr("(2 * sem * n1 * 1000000 + se1 * nm) div (2 * se1 * nm)"),
+    )
+    return agg.filter(F.col("nm") > 0).select(
+        F.col("key").alias(key_col),
+        F.col("nm").cast("long").alias("n_eval"),
+        mae.cast("long").alias("mae_micros"),
+        smape.cast("long").alias("smape_micros"),
+        mase.cast("long").alias("mase_micros"),
+    )

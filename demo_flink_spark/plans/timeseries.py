@@ -228,8 +228,60 @@ LATERAL (SELECT CASE lags.lag WHEN 1 THEN n1 WHEN 2 THEN n2
 """
 
 
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-24) forecast backtest per event_type
+    (operators/timeseries.py::seasonal_naive_eval): MAE / sMAPE / MASE
+    as exact integer micros — every division is the (2a+b) div 2b
+    half-away form over decimal/HUGEINT sums; no float anywhere."""
+    from demo_flink_spark.operators.timeseries import seasonal_naive_eval
+
+    return seasonal_naive_eval(
+        load_table(spark, sf_dir, "events"), season=24
+    )
+
+
+_SEASONAL_ORACLE = """
+WITH base AS (
+    SELECT event_type AS key, ts, event_id AS tb,
+           CAST(round(value * 100) AS HUGEINT) AS y
+    FROM events WHERE value IS NOT NULL
+),
+l AS (
+    SELECT key, y, lag(y, 24) OVER w AS ym, lag(y, 1) OVER w AS y1
+    FROM base WINDOW w AS (PARTITION BY key ORDER BY ts, tb)
+),
+t AS (
+    SELECT key, y, ym, y1,
+           CASE WHEN ym IS NULL THEN NULL
+                WHEN abs(y) + abs(ym) = 0 THEN CAST(0 AS HUGEINT)
+                ELSE (4 * abs(y - ym) * 1000000 + (abs(y) + abs(ym)))
+                     // (2 * (abs(y) + abs(ym))) END AS sm
+    FROM l
+),
+a AS (
+    SELECT key, CAST(count(ym) AS HUGEINT) AS nm,
+           CAST(count(y1) AS HUGEINT) AS n1,
+           sum(abs(y - ym)) AS sem,
+           sum(abs(y - y1)) AS se1,
+           sum(sm) AS ssm
+    FROM t GROUP BY key
+)
+SELECT key AS event_type,
+       CAST(nm AS BIGINT) AS n_eval,
+       CAST((2 * sem * 10000 + nm) // (2 * nm) AS BIGINT) AS mae_micros,
+       CAST((2 * ssm + nm) // (2 * nm) AS BIGINT) AS smape_micros,
+       CAST(CASE WHEN se1 <> 0 THEN
+            (2 * sem * n1 * 1000000 + se1 * nm) // (2 * se1 * nm)
+            END AS BIGINT) AS mase_micros
+FROM a WHERE nm > 0
+"""
+
+
 SPECS = [
     QuerySpec("ts_acf", q_acf, oracle=_ACF_ORACLE),
+    QuerySpec(
+        "ts_seasonal_naive_eval", q_seasonal_naive, oracle=_SEASONAL_ORACLE
+    ),
     QuerySpec(
         "ts_cusum_drift",
         q_cusum,

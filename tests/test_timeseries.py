@@ -161,3 +161,38 @@ def test_acf_exact_matches_numpy_plugin_estimator(spark):
         assert n == 200
         assert abs(acf - float(want)) < 1e-12, (k, acf, want)
         assert got[("const", k)] == (10, 0.0)
+
+
+def test_seasonal_naive_eval_exact_metrics(spark):
+    """A perfectly period-4 series has MAE=sMAPE=MASE=0 at season=4;
+    a hand-computed tiny series pins the exact integer micros."""
+    from demo_flink_spark.operators.timeseries import seasonal_naive_eval
+
+    per = [10.0, 20.0, 30.0, 40.0] * 6
+    rows = [(i, "periodic", v, i) for i, v in enumerate(per)]
+    # key "tiny": values 1,2,4,8,9,11 at season=4 -> pairs (9,1),(11,2)
+    tiny = [1.0, 2.0, 4.0, 8.0, 9.0, 11.0]
+    rows += [(100 + i, "tiny", v, 100 + i) for i, v in enumerate(tiny)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, seq long"
+    ).select(
+        "event_id", "event_type", "value",
+        F.timestamp_seconds(F.col("seq") + 1_600_000_000).alias("ts"),
+    )
+    got = {
+        r["event_type"]: r
+        for r in seasonal_naive_eval(df, season=4).collect()
+    }
+    p = got["periodic"]
+    assert (p["n_eval"], p["mae_micros"], p["smape_micros"]) == (20, 0, 0)
+    assert p["mase_micros"] == 0
+
+    t = got["tiny"]
+    # errors in cents: |900-100|=800, |1100-200|=900 -> MAE = 850 cents
+    assert t["n_eval"] == 2 and t["mae_micros"] == 8_500_000
+    # smape terms (micros): 2*800e6/(1000) = 1_600_000, 2*900e6/1300
+    # = 1384615.38 -> half-away 1384615; mean = (1600000+1384615+1)//2
+    assert t["smape_micros"] == (2 * (1_600_000 + 1_384_615) + 2) // 4
+    # lag-1 errors: 100,200,400,100,200 cents -> se1=1000, n1=5
+    # MASE = (1700/2)/(1000/5) = 4.25
+    assert t["mase_micros"] == 4_250_000

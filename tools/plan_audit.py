@@ -509,6 +509,11 @@ CHECKS = {
         [],
         ["Exchange", "Join", "CartesianProduct", "ArrowEvalPython"],
     ),
+    # seasonal backtest: ONE keyed window (both lags), map-side agg
+    "ts_seasonal_naive_eval": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
 }
 
 
