@@ -654,3 +654,78 @@ def mmr_rerank(
         per_query,
         "query_id long, rk int, vec_id long, relevance double, mmr_score double",
     )
+
+
+def label_centroid_cosine(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the cluster-geometry audit behind label-taxonomy health checks
+    (two labels with cos ≈ 1 are candidates to merge; a label whose
+    centroid sits far from all others is a candidate outlier class).
+
+    Engine-exact: components are rounded to integer micros (off any
+    tie by representation error), per-(label, dim) sums and all dot
+    products are exact decimal arithmetic, and since
+    centroid = s/n, cos(c₁, c₂) = s₁·s₂ / (|s₁||s₂|) — the 1/n
+    factors cancel, so NO division happens until the final
+    dot / sqrt(n₁·n₂), both IEEE-correctly-rounded over exact
+    integers. Overflow: Σ|s_d| per label must stay < 10¹⁹-ish per
+    dim — fine to billions of unit-scale vectors per label.
+
+    Scale shape: posexplode → (label, dim) partial sums is ONE
+    map-side-combinable aggregate over |rows|·dim narrow rows; the
+    pair join runs on |labels|·dim centroid rows, never raw vectors.
+    Output is |labels|²/2 rows.
+    """
+    comps = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "comp"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("comp").cast("double") * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    sums = comps.groupBy("label", "dim").agg(F.sum("c").alias("s"))
+    norms = sums.groupBy("label").agg(
+        F.sum(F.expr("s * s")).alias("n2")
+    )
+    counts = emb.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(b, on="dim")
+        .filter(F.col("a.label") < F.col("b.label"))
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(F.sum(F.expr("a.s * b.s")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    return (
+        dots.join(na, F.col("label_a") == F.col("na.label"))
+        .join(nb, F.col("label_b") == F.col("nb.label"))
+        .join(ca, F.col("label_a") == F.col("ca.label"))
+        .join(cb, F.col("label_b") == F.col("cb.label"))
+        .select(
+            "label_a",
+            "label_b",
+            F.col("ca.n_vecs").alias("n_a"),
+            F.col("cb.n_vecs").alias("n_b"),
+            F.when(
+                (F.col("na.n2") == 0) | (F.col("nb.n2") == 0), F.lit(0.0)
+            )
+            .otherwise(
+                F.col("dot").cast("double")
+                / F.sqrt(F.expr("na.n2 * nb.n2").cast("double"))
+            )
+            .alias("cos"),
+        )
+    )

@@ -590,7 +590,53 @@ def _matryoshka_oracle() -> str:
     """
 
 
+def q_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroids
+    (operators/similarity.py::label_centroid_cosine): micros-integer
+    component sums, 1/n factors cancel, only the final
+    dot / sqrt(n₁·n₂) is floating point — both operations
+    IEEE-correctly-rounded over exact integers."""
+    from demo_flink_spark.operators.similarity import label_centroid_cosine
+
+    return label_centroid_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+_CENTROID_COS_ORACLE = """
+WITH comps AS (
+    SELECT label, u.ord AS dim,
+           CAST(round(CAST(embedding[CAST(u.ord AS INT)] AS DOUBLE)
+                      * 1000000) AS HUGEINT) AS c
+    FROM embeddings,
+         LATERAL unnest(range(1, len(embedding) + 1)) AS u(ord)
+),
+sums AS (SELECT label, dim, sum(c) AS s FROM comps GROUP BY label, dim),
+norms AS (SELECT label, sum(s * s) AS n2 FROM sums GROUP BY label),
+counts AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+),
+dots AS (
+    SELECT a.label AS la, b.label AS lb, sum(a.s * b.s) AS dot
+    FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+)
+SELECT la AS label_a, lb AS label_b, ca.n AS n_a, cb.n AS n_b,
+       CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+            ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE))
+       END AS cos
+FROM dots
+JOIN norms na ON la = na.label
+JOIN norms nb ON lb = nb.label
+JOIN counts ca ON la = ca.label
+JOIN counts cb ON lb = cb.label
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "label_centroid_cosine",
+        q_label_centroid_cosine,
+        oracle=_CENTROID_COS_ORACLE,
+    ),
     QuerySpec(
         "similarity_topk_bruteforce",
         q_topk_bruteforce,

@@ -371,3 +371,40 @@ def test_binary_quantize_rejects_non_multiple_of_32(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="multiple of 32"):
         sim.binary_quantize_words(df, "embedding", "vec_id", dim=48)
+
+
+def test_label_centroid_cosine_matches_numpy(spark):
+    """Centroid cosine must equal numpy over the SAME micros-rounded
+    integers; two labels whose members share a direction hit cos=1."""
+    import numpy as np
+
+    from demo_flink_spark.operators.similarity import label_centroid_cosine
+
+    rows = []
+    base = {
+        0: [1.0, 0.0, 0.0, 0.5],
+        1: [2.0, 0.0, 0.0, 1.0],  # same direction as 0 -> cos 1
+        2: [0.0, 1.0, -1.0, 0.25],
+    }
+    for lbl, v in base.items():
+        for i in range(3):  # 3 identical members per label
+            rows.append((lbl * 10 + i, [float(x) for x in v], lbl))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in label_centroid_cosine(df).collect()
+    }
+    s = {
+        lbl: np.array([round(float(np.float32(x)) * 1e6) for x in v],
+                      dtype=np.int64) * 3
+        for lbl, v in base.items()
+    }
+    for (a, b), r in got.items():
+        want = float(
+            (s[a] @ s[b]) / np.sqrt(float((s[a] @ s[a]) * (s[b] @ s[b])))
+        )
+        assert r["n_a"] == 3 and r["n_b"] == 3
+        assert r["cos"] == want, (a, b, r["cos"], want)
+    assert got[(0, 1)]["cos"] == 1.0
