@@ -77,9 +77,11 @@ def pagerank(
     same pattern as the connected-components fixed point
     (`operators/dedup.py` star contraction). When two consecutive
     boundaries agree, ONE verification iteration confirms a true
-    fixed point (`f(r) = r`, not merely an `f^k` cycle) and the loop
-    returns early — bit-identical to running all `n_iter` rounds, by
-    construction. With damping 0.85 the residual shrinks ~0.85^t, so
+    fixed point (`f(r) = r`, not merely an `f^k` cycle) and — because
+    a 64-bit signature can in principle collide — the final exit is
+    gated on an EXACT anti-join equality check of the two vectors
+    (one |V|-row job, runs at most once per call), after which the
+    early return is bit-identical to running all `n_iter` rounds. With damping 0.85 the residual shrinks ~0.85^t, so
     exact convergence needs O(52·ln2/0.16) ≈ 220 rounds on generic
     graphs — the exit is for near-regular graphs (uniform start is
     already ulps from the fixed point) and high-`n_iter` callers, not
@@ -167,9 +169,15 @@ def pagerank(
                     nxt = _step(ranks).transform(cut_lineage)
                     i += 1
                     nxt_sig = _sig(nxt)
-                    ranks = nxt
-                    if nxt_sig == sig:
+                    # signature agreement is necessary but (64-bit
+                    # hash) not sufficient: prove f(r) = r exactly
+                    # with one |V|-row anti-join before exiting
+                    if nxt_sig == sig and nxt.join(
+                        ranks, ["node", "rank"], "left_anti"
+                    ).isEmpty():
+                        ranks = nxt
                         break
+                    ranks = nxt
                     sig = nxt_sig
                 prev_sig = sig
     if stats is not None:

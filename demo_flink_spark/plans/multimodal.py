@@ -112,22 +112,28 @@ def _byte_entropy_oracle() -> str:
     from demo_flink_spark.operators.relational import softln_ratio_sql
 
     softln = softln_ratio_sql("c", "n")
-    # symbols are single ASCII chars (char == byte on this corpus);
-    # entropy/max-share/distinct-count depend only on the count
-    # multiset, so the hex-pair vs char symbol choice cannot matter
+    # Byte symbols via hex pairs of the UTF-8 encoding — the EXACT
+    # symbol alphabet the operator uses (hex(payload) pairs), so the
+    # oracle is byte-correct for ANY content, not just pure-ASCII
+    # corpora (where char == byte happened to hold). hex() emits pure
+    # ASCII, so character substring over it is byte-safe.
     return f"""
-WITH ch AS (
-    SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
-    FROM documents, LATERAL unnest(range(1,
-         CAST(length(text) AS BIGINT) + 1)) AS u(i)
-    WHERE text IS NOT NULL
+WITH hx AS (
+    SELECT doc_id, hex(encode(text)) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+ch AS (
+    SELECT doc_id,
+           substring(h, CAST((i - 1) * 2 + 1 AS INT), 2) AS ch
+    FROM hx, LATERAL unnest(range(1,
+         CAST(length(h) // 2 AS BIGINT) + 1)) AS u(i)
 ),
 cnt AS (
     SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
     FROM ch GROUP BY doc_id, ch
 ),
 tot AS (
-    SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n
+    SELECT doc_id, CAST(coalesce(strlen(text), 0) AS BIGINT) AS n
     FROM documents
 ),
 terms AS (

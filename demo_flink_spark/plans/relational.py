@@ -694,15 +694,17 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the §2.3/§2.7 SQL-surface completeness row for
     `WITH RECURSIVE`: the same statement runs on both engines (the
-    only divergence is Spark's mandatory MAX RECURSION LEVEL clause —
-    the default cap is 100 levels, one level per spine day here). (For pure spine GENERATION Spark's `sequence()` is the
-    cheaper plan — `gapfill_locf` uses it; this query exists because
-    users port recursive SQL as-is.) Recursion depth = day span
-    (bounded by data, ~2.4k for 7 years); each step is a 1-row frame.
+    only divergence is Spark's MAX RECURSION LEVEL clause — DuckDB
+    has none). (For pure spine GENERATION Spark's `sequence()` is
+    the cheaper plan — `gapfill_locf` uses it; this query exists
+    because users port recursive SQL as-is.) Recursion depth is
+    LOG-depth via the doubling spine (see the SQL comment above):
+    ceil(log2 D) ≈ 12 levels for the ~2.4k-day span, well inside
+    Spark's default 100-level cap; each level doubles the frame.
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rsp")
-    # Spark caps recursion at 100 levels by default; the spine needs
-    # one level per day of order history. DuckDB has no such clause.
+    # Spark's recursion cap (100 levels) is comfortably above the
+    # ~12 doubling levels the spine needs. DuckDB has no such clause.
     return spark.sql(
         _RECURSIVE_SPINE_SQL.format(
             orders="orders_rsp",
@@ -1421,7 +1423,8 @@ SPECS = [
         oracle="""
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-               to_json(struct_pack(t := event_type, u := user_id)) AS reconstructed
+               CAST(to_json(struct_pack(t := event_type, u := user_id))
+                    AS VARCHAR) AS reconstructed
         FROM events
         """,
     ),

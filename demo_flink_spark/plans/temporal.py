@@ -555,8 +555,13 @@ SPECS = [
             FROM events GROUP BY 1, 2
         ),
         daily AS (
+            -- CAST(SUM(cnt) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT
+            -- (int128); the UNION ALL below would promote the whole cnt
+            -- column to HUGEINT, which round-trips as `1` via fetchall()
+            -- but float 1.0 via pandas / decimal128 via Arrow — the exact
+            -- local-green/driver-red split seen in rounds 3, 5, 6.
             SELECT time_bucket(INTERVAL '1 day', window_start) AS window_start,
-                   key, SUM(cnt) AS cnt, SUM(s) AS s
+                   key, CAST(SUM(cnt) AS BIGINT) AS cnt, SUM(s) AS s
             FROM hourly GROUP BY 1, 2
         )
         SELECT '1 hour' AS granularity, window_start, key, cnt,

@@ -17,6 +17,15 @@ half-up decimal quantization, so the streamed report is BIT-IDENTICAL
 to the batch operator run over the same rows, per micro-batch, not
 just at convergence.
 
+NaN contract (scope of "the same rows"): the stream DROPS NaN values
+(the `v == v` filter below), because Arrow→pandas float columns
+represent SQL NULL as NaN — inside the stateful kernel NULL and NaN
+are indistinguishable, and the batch query (`q_psi_drift`) filters
+NULLs. The batch OPERATOR, fed a literal (non-NULL) NaN, would bin it
+into bin 1 (`edge < NaN` is false). Callers who can emit literal NaN
+must pre-filter it (`isnan(value) = false`) on BOTH sides; the
+bit-identical guarantee holds over NaN-free, NULL-free rows.
+
 State per key: n_bins + 2 integers, forever.
 """
 
@@ -107,6 +116,9 @@ def drift_op(
         (grp,) = key
         arrivals = []
         for pdf in pdfs:
+            # v == v drops NaN == drops SQL NULL (Arrow float columns
+            # carry NULL as NaN); see the NaN contract in the module
+            # docstring.
             arrivals.extend(float(v) for v in pdf["value"] if v == v)
         if not arrivals:
             return

@@ -402,8 +402,10 @@ def test_label_centroid_cosine_matches_numpy(spark):
         for lbl, v in base.items()
     }
     for (a, b), r in got.items():
+        # Dots are ~3.6e13 int64 scalars; their raw product (~1.3e27)
+        # wraps int64 — convert each dot to float BEFORE multiplying.
         want = float(
-            (s[a] @ s[b]) / np.sqrt(float((s[a] @ s[a]) * (s[b] @ s[b])))
+            (s[a] @ s[b]) / np.sqrt(float(s[a] @ s[a]) * float(s[b] @ s[b]))
         )
         assert r["n_a"] == 3 and r["n_b"] == 3
         assert r["cos"] == want, (a, b, r["cos"], want)

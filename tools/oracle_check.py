@@ -73,6 +73,67 @@ def canonical_rows(df: pd.DataFrame) -> list[str]:
     )
 
 
+# DuckDB result types that canonicalize identically across ALL fetch
+# paths (fetchall / pandas / Arrow). Anything outside this set —
+# HUGEINT above all (DuckDB's SUM(BIGINT) result) — round-trips
+# differently per path: HUGEINT is Python int via fetchall(), float64
+# via pandas, decimal128(38,0) via Arrow. That split certified
+# `rollup_time_hour_day` green locally while the driver hash-FAILED it
+# three rounds running (r03/r05/r06).
+_BLESSED_TYPE_PREFIXES = (
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "DECIMAL",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BOOLEAN",
+)
+
+
+def _type_ok(t: str) -> bool:
+    t = str(t).upper()
+    if t.startswith("HUGEINT") or t.startswith("UHUGEINT"):
+        return False
+    if t.endswith("[]"):  # list type — check the element type
+        return _type_ok(t[:-2])
+    return any(t.startswith(p) for p in _BLESSED_TYPE_PREFIXES)
+
+
+def typelint(sf_dir: str) -> int:
+    """Registry-wide oracle result-type lint: bind every oracle SQL in
+    DuckDB (no execution) and fail on any output column whose type is
+    outside the blessed cross-fetch-path-stable set."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from demo_flink_spark.sources import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = 0
+    oracles = e.oracle_sql()
+    for name, sql in oracles.items():
+        try:
+            rel = con.sql(sql)  # lazy: binds + plans, does not execute
+        except Exception as exc:  # noqa: BLE001
+            print(f"TYPELINT FAIL {name}: oracle does not bind: {exc}")
+            bad += 1
+            continue
+        for col, typ in zip(rel.columns, rel.types):
+            if not _type_ok(str(typ)):
+                print(f"TYPELINT FAIL {name}: column {col!r} has type {typ}")
+                bad += 1
+    print(f"typelint: {len(oracles)} oracles checked, {bad} violations")
+    return 1 if bad else 0
+
+
 def dump_query(name: str, sf_dir: str) -> int:
     """Run one query on both engines; write sorted canonical rows to
     /tmp/oracle_dump_<name>.{spark,duck}.txt and print differing lines."""
@@ -120,6 +181,10 @@ def dump_query(name: str, sf_dir: str) -> int:
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--typelint":
+        return typelint(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        )
     if len(sys.argv) > 2 and sys.argv[1] == "--dump":
         return dump_query(
             sys.argv[2],

@@ -94,6 +94,13 @@ def ensure_sf1(spark) -> str:
     ready = os.path.join(SF1_DIR, "_READY")
     if os.path.exists(ready):
         return SF1_DIR
+    # Crash-safety: a build interrupted mid-copy leaves SF1_DIR
+    # without _READY; the per-table existence checks below would then
+    # skip the repair (and copytree raises on a partial dir). A
+    # missing _READY means the whole dir is suspect — rebuild from
+    # scratch.
+    if os.path.exists(SF1_DIR):
+        shutil.rmtree(SF1_DIR)
     os.makedirs(SF1_DIR, exist_ok=True)
     src = "/root/testdata/sf0.1"
     replicas = F.explode(F.array([F.lit(i) for i in range(10)])).alias("_r")
