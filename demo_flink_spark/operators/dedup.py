@@ -1377,3 +1377,106 @@ def dedup_keep_best(
     return scored.withColumn(
         "is_kept", F.row_number().over(w) == 1
     )
+
+
+def ppjoin_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs above threshold via PREFIX FILTERING
+    (SSJoin/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
+    the LOSSLESS scale path, where `ngram_jaccard_pairs`' `max_df` cut
+    is a documented approximation.
+
+    Prefix-filter lemma: order every doc's shingles by a global total
+    order (ascending document frequency, then shingle — rarest
+    first). If J(A,B) >= t then |A∩B| >= ceil(t·|A|), and the
+    GLOBALLY-SMALLEST common shingle must sit within the first
+    |A| - ceil(t·|A|) + 1 shingles of A *and* the first
+    |B| - ceil(t·|B|) + 1 of B — so indexing only those prefixes
+    finds every qualifying pair. Hot (high-df) shingles land at the
+    END of the order, so they fall out of most prefixes: the exact
+    mechanism by which PPJoin kills the posting-list skew that
+    `max_df` could only truncate.
+
+    Exactness bookkeeping: the threshold is a RATIONAL
+    (`threshold_num/threshold_den`), so ceil(t·n) is exact integer
+    arithmetic — `(num·n + den - 1) div den` — on both engines (a
+    float ceil can round the prefix a token short and silently drop
+    pairs). Candidates are verified with the FULL shingle sets
+    (array_intersect) and the final test is integer
+    cross-multiplication: den·|A∩B| >= num·|A∪B|. The DuckDB oracle
+    is the textbook full-posting-list join with the same integer
+    test — pair-for-pair equality IS the losslessness proof.
+
+    Scale shape: posting list size Σ_doc prefix_len ≈ (1-t)·Σ|doc|;
+    candidate pairs Σ_shingle prefix_df² — bounded by the same
+    banded-equi-join discipline as every other pair generator here,
+    with no df cut needed. Verification joins the (small) candidate
+    set back to the shingle arrays twice.
+    """
+    from pyspark.sql.window import Window
+
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(docs, text_col, n).transform(cut_lineage)
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        posting.join(dfreq, "shingle")
+        .select("doc_id", "shingle", "df")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    prefix = ranked.join(sizes, "doc_id").filter(
+        F.col("pos")
+        <= F.col("n_sh")
+        - F.expr(
+            f"({threshold_num} * n_sh + {threshold_den - 1})"
+            f" div {threshold_den}"
+        )
+        + 1
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_common")
+            >= F.lit(threshold_num)
+            * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -255,3 +255,133 @@ def triangle_count(
         .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    k: int = 100,
+    max_deg: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph given as
+    (possibly one-direction) edge rows: for every NON-adjacent pair
+    (x, y) with at least one common neighbor,
+
+        score(x, y) = Σ_{z ∈ N(x) ∩ N(y)}  1 / ln(deg(z))
+
+    — rare shared neighbors are strong evidence, hub neighbors weak —
+    and return the top-k candidate links. The classic
+    collaborative-filtering / "people you may know" primitive
+    (Adamic & Adar 2003), here as the recommendation extension of the
+    co-purchase graph family (`q_pagerank_copurchase`).
+
+    Engine-exact numerics: deg(z) >= 2 for any z with a neighbor
+    PAIR, so 1/ln(deg) is computed from the portable softln series
+    (`softln_ratio(1, deg)` = -ln deg — operators/relational.py),
+    rounded half-up at 6 dp, and summed as exact decimal(38,6):
+    order-independent, bit-identical in any engine; `score_micros`
+    is the exact integer Σ. Ties at equal score break by (x, y).
+
+    Scale shape: the pair generator is the posting-list self-join on
+    the common neighbor z — Σ_z deg(z)^2 candidate rows, never |V|^2.
+    `max_deg` caps hub fan-out exactly like `max_df` caps hot
+    shingles in `dedup.ngram_jaccard_pairs` (drop z with deg > cap
+    from the CENTER role only): documented approximation for
+    power-law graphs; the declared query runs uncapped so its DuckDB
+    oracle is exact. Existing edges are removed with one anti-join.
+    """
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.select("a", "b")
+        .union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .transform(cut_lineage_lazy)  # adjacency feeds 3 branches
+    )
+    deg = und.groupBy(F.col("a").alias("z")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # per-neighbor weight: -softln(1, deg) == ln(deg); deg >= 2 when z
+    # centers a pair, so the guard never divides by ln(1) = 0
+    w = deg.filter(F.col("deg") >= 2).select(
+        "z",
+        F.round(
+            F.lit(-1.0) / softln_ratio(F.lit(1), F.col("deg")), 6
+        )
+        .cast("decimal(38,6)")
+        .alias("w"),
+    )
+    if max_deg is not None:
+        w = w.filter(F.col("deg") <= max_deg)
+    adj = und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    n1 = adj.select("z", F.col("x").alias("xa"))
+    n2 = adj.select("z", F.col("x").alias("xb"))
+    cand = (
+        n1.join(n2, "z")
+        .filter(F.col("xa") < F.col("xb"))
+        .join(w, "z")
+        .groupBy(F.col("xa").alias("x"), F.col("xb").alias("y"))
+        .agg(F.sum("w").alias("s"))
+    )
+    existing = und.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    return (
+        cand.join(existing, ["x", "y"], "left_anti")
+        .select(
+            "x",
+            "y",
+            (F.col("s") * 1000000).cast("long").alias("score_micros"),
+        )
+        .orderBy(F.col("score_micros").desc(), "x", "y")
+        .limit(k)
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node to
+    every node reachable within `max_hops`, over a directed edge list
+    (symmetrize first for undirected semantics). Returns (node, hops)
+    with hops = 0 for the seeds themselves.
+
+    The Spark-first form of reachability is FRONTIER ITERATION, not a
+    recursive CTE: each round expands only the newly-discovered
+    frontier (join to edges, distinct, anti-join the visited set), so
+    work per round is O(frontier out-degree), every node is expanded
+    exactly once, and cycles terminate by construction — the same
+    loop discipline as `pagerank` (edges as the checkpointed loop
+    invariant, lineage cut per round). A naive UNION ALL recursion
+    enumerates WALKS (exponential on cyclic graphs); the DuckDB
+    oracle can afford recursive-UNION + min(hop) at oracle scale, the
+    engine side cannot assume that at 100 TB.
+
+    Output is pure integers — hash-exact across engines.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).transform(cut_lineage_lazy)
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    dist = dist.withColumn("hops", F.lit(0)).transform(cut_lineage)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .transform(cut_lineage)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).transform(cut_lineage)
+        frontier = nxt.select("node")
+    return dist.select("node", F.col("hops").cast("int").alias("hops"))

@@ -1110,3 +1110,55 @@ def pmi_cooccurrence(
         -softln_ratio(den, num)
     )
     return scored.select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-style reading-ease per document with fully deterministic
+    counting rules — the curation-side readability gate (route
+    too-hard/too-degenerate text out of a pretraining mix, stratify
+    eval sets by difficulty).
+
+    Counting rules (documented proxies, exact on both engines):
+    - words: maximal [a-z]+ runs of lower(text) — same tokenization
+      family as `lang_id`;
+    - syllables: maximal [aeiouy]+ vowel groups of lower(text) (the
+      standard cheap syllable proxy; word-splitting characters are
+      non-vowels, so the global count equals the per-word sum);
+    - sentences: maximal [.!?]+ runs of the raw text.
+
+    Score in exact integer micros (no float in the formula):
+
+        flesch_micros = 206_835_000
+                      - (1_015_000 * words)     div max(sentences, 1)
+                      - (84_600_000 * syllables) div max(words, 1)
+
+    i.e. the classic 206.835 - 1.015*(W/S) - 84.6*(Syl/W) with each
+    ratio term floor-divided in micros — deterministic in any engine
+    (all quantities non-negative, so floor == truncate). Band
+    thresholds (>=70 easy, >=50 standard, else difficult) follow the
+    published Flesch bands.
+
+    Scale: one narrow pass, three regexp scans per row, no shuffle.
+    """
+    n_words = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"))
+    n_syl = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    )
+    n_sent = F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)"))
+    out = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllable_groups"),
+    ).withColumn(
+        "flesch_micros",
+        F.lit(206_835_000).cast("long")
+        - F.expr("(1015000 * n_words) div greatest(n_sentences, 1)")
+        - F.expr("(84600000 * n_syllable_groups) div greatest(n_words, 1)"),
+    )
+    return out.withColumn(
+        "band",
+        F.when(F.col("flesch_micros") >= 70_000_000, F.lit("easy"))
+        .when(F.col("flesch_micros") >= 50_000_000, F.lit("standard"))
+        .otherwise(F.lit("difficult")),
+    )

@@ -658,3 +658,87 @@ def seasonal_naive_eval(
         smape.cast("long").alias("smape_micros"),
         mase.cast("long").alias("mase_micros"),
     )
+
+
+def stl_decompose(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    period_hours: int = 24,
+    half_window_hours: int = 12,
+) -> DataFrame:
+    """STL-lite additive decomposition of per-key hourly count series:
+
+        cnt = trend + seasonal + residual
+
+    - trend: centered moving average over a RANGE frame of
+      ±`half_window_hours` on the epoch axis (a time-range frame, not
+      a rows frame, so irregular/gappy series window correctly —
+      hours with no bucket simply contribute nothing);
+    - seasonal: per-(key, phase) mean of the detrended series, phase =
+      hour-of-day (period 24);
+    - residual: what's left.
+
+    Classic STL iterates loess fits; this single-pass MA/phase-mean
+    form is the standard cheap decomposition for monitoring
+    dashboards and anomaly baselines, and unlike loess it is exactly
+    reproducible: every mean is round-half-away INTEGER division in
+    micros (the covariance_triples recipe), so trend/seasonal/residual
+    are exact integers, bit-identical on any engine and partitioning.
+
+    Scale: one groupBy (hourly buckets ≈ |keys|·|hours| rows, tiny vs
+    input), then two window passes over the bucketed series — per-key
+    partitions, no cross-key traffic.
+    """
+    hourly = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("epoch_s", F.unix_timestamp("window_start"))
+    )
+    half = half_window_hours * 3600
+    win = (
+        Window.partitionBy("key").orderBy("epoch_s").rangeBetween(-half, half)
+    )
+    t = hourly.select(
+        "key",
+        "window_start",
+        "cnt",
+        F.sum("cnt").over(win).alias("w_sum"),
+        F.count(F.lit(1)).over(win).alias("w_n"),
+        (F.hour("window_start") % period_hours).alias("phase"),
+    ).withColumn(
+        # round-half-away mean in micros: w_sum, w_n > 0 always
+        "trend_micros",
+        F.expr("(w_sum * 2000000 + w_n) div (2 * w_n)"),
+    ).withColumn(
+        "detr_micros", F.col("cnt") * 1000000 - F.col("trend_micros")
+    )
+    pw = Window.partitionBy("key", "phase")
+    s = t.select(
+        "key",
+        "window_start",
+        "cnt",
+        "trend_micros",
+        "detr_micros",
+        F.sum("detr_micros").over(pw).alias("p_sum"),
+        F.count(F.lit(1)).over(pw).alias("p_n"),
+    ).withColumn(
+        "seasonal_micros",
+        F.expr(
+            "(CASE WHEN p_sum < 0 THEN -1 ELSE 1 END)"
+            " * ((abs(p_sum) * 2 + p_n) div (2 * p_n))"
+        ),
+    )
+    return s.select(
+        "key",
+        "window_start",
+        "cnt",
+        "trend_micros",
+        "seasonal_micros",
+        (F.col("detr_micros") - F.col("seasonal_micros")).alias(
+            "residual_micros"
+        ),
+    )

@@ -110,6 +110,18 @@ def q_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.4 pairs via PPJoin-style prefix filtering —
+    the LOSSLESS scale path (no df cut): only each doc's
+    |d| - ceil(0.4|d|) + 1 rarest shingles enter the posting list
+    (operators/dedup.py::ppjoin_prefix_pairs); candidates verified
+    against full shingle sets with an integer cross-multiplied
+    threshold. Oracle = textbook full posting join, so pair-for-pair
+    equality proves losslessness on every run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ppjoin_prefix_pairs(docs, n=3, threshold_num=2, threshold_den=5)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
@@ -851,6 +863,43 @@ SPECS = [
                CAST(len(fps) AS BIGINT) AS n_selected,
                md5(array_to_string(list_sort(fps), ',')) AS fp_md5
         FROM s
+        """,
+    ),
+    QuerySpec(
+        "dedup_ppjoin_prefix",
+        q_ppjoin_prefix,
+        # textbook FULL posting-list join (no prefix, no df cut) with
+        # the same integer cross-multiplied threshold: hash equality
+        # with the prefix-filtered engine plan proves the filter is
+        # lossless, run after run
+        oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(list_transform(
+                       range(0, greatest(len(string_split({_CANON}, ' ')) - 3, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(string_split({_CANON}, ' '), i + 1, i + 3), ' ')
+                   )), s -> s <> '') AS shingles
+            FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM posting a JOIN posting b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh
+                  FROM sh)
+        SELECT doc_a, doc_b, n_common,
+               round(n_common
+                     / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+                   AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 5 * n_common >= 2 * (sa.n_sh + sb.n_sh - n_common)
         """,
     ),
 ]

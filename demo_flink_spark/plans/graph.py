@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_flink_spark.operators.graph import pagerank
+from demo_flink_spark.operators.graph import adamic_adar_topk, bfs_hops, pagerank
+from demo_flink_spark.operators.relational import softln_ratio_sql
 from demo_flink_spark.plans.spec import QuerySpec
 from demo_flink_spark.sources import load_table
 
@@ -74,6 +75,67 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(edges)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-order edges with the >= 2 co-order noise floor — the
+    shared graph for triangle census / link prediction."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
+        .groupBy(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("src", "dst")
+    )
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted new links in the part co-order graph by
+    Adamic-Adar score ("parts likely to be co-ordered next") —
+    operators/graph.py::adamic_adar_topk over the same thresholded
+    edge list as the triangle census."""
+    return adamic_adar_topk(_copurchase_edges(spark, sf_dir), k=100)
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer↔part co-purchase bipartite
+    graph: hop distance from the 5 highest-order-count customers to
+    every node within 4 hops (market-reach / influence-radius
+    analysis). operators/graph.py::bfs_hops frontier iteration; the
+    oracle is the recursive-CTE min-hop form."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_partkey") * 2 + 1).alias("part"),
+        )
+        .distinct()
+    )
+    edges = cp.select(F.col("cust").alias("src"), F.col("part").alias("dst")).union(
+        cp.select(F.col("part").alias("src"), F.col("cust").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+        .limit(5)
+        .select((F.col("o_custkey") * 2).alias("node"))
+    )
+    r = bfs_hops(edges, seeds, max_hops=4)
+    return r.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        "hops",
+    )
 
 
 SPECS = [
@@ -213,6 +275,81 @@ SPECS = [
                (SELECT count(*) FROM e) AS n_edges,
                n_triangles
         FROM tri
+        """,
+    ),
+    QuerySpec(
+        "graph_adamic_adar",
+        q_adamic_adar,
+        # 1/ln(deg) via the portable softln series (-softln(1, deg) ==
+        # ln deg), rounded half-up at 6dp, summed as exact decimal —
+        # identical expression tree on both engines
+        oracle=f"""
+        WITH e AS (
+            SELECT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg
+                FROM und GROUP BY a),
+        w AS (
+            SELECT z,
+                   CAST(round(-1.0 / ({softln_ratio_sql("1", "deg")}), 6)
+                        AS DECIMAL(38,6)) AS w
+            FROM deg WHERE deg >= 2
+        ),
+        adj AS (SELECT b AS z, a AS x FROM und),
+        cand AS (
+            SELECT n1.x AS x, n2.x AS y, SUM(w.w) AS s
+            FROM adj n1
+            JOIN adj n2 ON n1.z = n2.z AND n1.x < n2.x
+            JOIN w ON w.z = n1.z
+            GROUP BY 1, 2
+        )
+        SELECT x, y, CAST(s * 1000000 AS BIGINT) AS score_micros
+        FROM cand
+        WHERE NOT EXISTS (
+            SELECT 1 FROM und u WHERE u.a = cand.x AND u.b = cand.y
+        )
+        ORDER BY score_micros DESC, x, y
+        LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "graph_bfs_hops",
+        q_bfs_hops,
+        # recursive-UNION walk enumeration + min(hop): affordable at
+        # oracle scale; the engine side uses frontier iteration (each
+        # node expanded once) — see operators/graph.py::bfs_hops
+        oracle="""
+        WITH RECURSIVE cp AS (
+            SELECT DISTINCT o_custkey * 2 AS cust, l_partkey * 2 + 1 AS part
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT cust AS src, part AS dst FROM cp
+            UNION ALL
+            SELECT part AS src, cust AS dst FROM cp
+        ),
+        seeds AS (
+            SELECT o_custkey * 2 AS node
+            FROM orders GROUP BY o_custkey
+            ORDER BY count(*) DESC, o_custkey LIMIT 5
+        ),
+        walk(node, hop) AS (
+            SELECT node, 0 FROM seeds
+            UNION
+            SELECT e.dst, w.hop + 1
+            FROM walk w JOIN e ON w.node = e.src
+            WHERE w.hop < 4
+        )
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END
+                   AS node_type,
+               node // 2 AS key,
+               CAST(min(hop) AS INTEGER) AS hops
+        FROM walk GROUP BY 1, 2
         """,
     ),
 ]

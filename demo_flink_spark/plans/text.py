@@ -388,6 +388,14 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading-ease per document, integer-micros exact
+    (operators/textstats.py::readability_scores): words / vowel-group
+    syllables / sentence runs counted by anchored regexes, score and
+    band from floor-divided micros."""
+    return textstats.readability_scores(load_table(spark, sf_dir, "documents"))
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish tokens per word and chars per token, per language
     (operators/textstats.py::tokenizer_fertility) — corpus-to-token
@@ -1598,6 +1606,39 @@ SPECS = [
                CAST(sum(bpe) AS DOUBLE) / sum(ws) AS fertility,
                CAST(sum(chars) AS DOUBLE) / sum(bpe) AS chars_per_token
         FROM per_doc GROUP BY lang
+        """,
+    ),
+    QuerySpec(
+        "text_readability",
+        q_readability,
+        # same counting rules, same integer-micros formula; all-int
+        # output so the hash is exact by construction
+        oracle="""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                        AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[.!?]+'))
+                        AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syllable_groups
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllable_groups,
+               206835000
+                 - (1015000 * n_words) // greatest(n_sentences, 1)
+                 - (84600000 * n_syllable_groups) // greatest(n_words, 1)
+                   AS flesch_micros,
+               CASE WHEN 206835000
+                         - (1015000 * n_words) // greatest(n_sentences, 1)
+                         - (84600000 * n_syllable_groups)
+                           // greatest(n_words, 1) >= 70000000 THEN 'easy'
+                    WHEN 206835000
+                         - (1015000 * n_words) // greatest(n_sentences, 1)
+                         - (84600000 * n_syllable_groups)
+                           // greatest(n_words, 1) >= 50000000 THEN 'standard'
+                    ELSE 'difficult' END AS band
+        FROM c
         """,
     ),
 ]

@@ -277,6 +277,14 @@ FROM a WHERE nm > 0
 """
 
 
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of per-event_type hourly counts into
+    trend (±12h centered MA on a RANGE frame) + hour-of-day seasonal
+    + residual, all in exact integer micros
+    (operators/timeseries.py::stl_decompose)."""
+    return ts.stl_decompose(load_table(spark, sf_dir, "events"))
+
+
 SPECS = [
     QuerySpec("ts_acf", q_acf, oracle=_ACF_ORACLE),
     QuerySpec(
@@ -406,6 +414,57 @@ SPECS = [
         WHERE n_win >= 8
           AND abs((value - s1 / n_win)
                   / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1))) > 2.5
+        """,
+    ),
+    QuerySpec(
+        "ts_stl_decompose",
+        q_stl_decompose,
+        # same ±12h RANGE-frame MA + per-(key, hour-of-day) phase mean,
+        # every mean as round-half-away integer division in micros —
+        # all-integer output, hash-exact by construction
+        oracle="""
+        WITH hourly AS (
+            SELECT event_type AS key,
+                   date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT key, window_start, cnt,
+                   CAST(epoch(window_start) AS BIGINT) AS epoch_s,
+                   CAST(hour(window_start) % 24 AS INTEGER) AS phase
+            FROM hourly
+        ),
+        tr AS (
+            SELECT key, window_start, cnt, phase,
+                   CAST(SUM(cnt) OVER fr AS BIGINT) AS w_sum,
+                   CAST(COUNT(*) OVER fr AS BIGINT) AS w_n
+            FROM w
+            WINDOW fr AS (PARTITION BY key ORDER BY epoch_s
+                          RANGE BETWEEN 43200 PRECEDING
+                                    AND 43200 FOLLOWING)
+        ),
+        det AS (
+            SELECT key, window_start, cnt, phase,
+                   (w_sum * 2000000 + w_n) // (2 * w_n) AS trend_micros,
+                   cnt * 1000000
+                     - (w_sum * 2000000 + w_n) // (2 * w_n) AS detr_micros
+            FROM tr
+        ),
+        seas AS (
+            SELECT key, window_start, cnt, trend_micros, detr_micros,
+                   CAST(SUM(detr_micros) OVER pw AS BIGINT) AS p_sum,
+                   CAST(COUNT(*) OVER pw AS BIGINT) AS p_n
+            FROM det
+            WINDOW pw AS (PARTITION BY key, phase)
+        )
+        SELECT key, window_start, cnt, trend_micros,
+               (CASE WHEN p_sum < 0 THEN -1 ELSE 1 END)
+                 * ((abs(p_sum) * 2 + p_n) // (2 * p_n)) AS seasonal_micros,
+               detr_micros
+                 - (CASE WHEN p_sum < 0 THEN -1 ELSE 1 END)
+                   * ((abs(p_sum) * 2 + p_n) // (2 * p_n)) AS residual_micros
+        FROM seas
         """,
     ),
 ]

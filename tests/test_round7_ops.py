@@ -1,0 +1,258 @@
+"""Round-7 operators: Adamic-Adar link prediction, multi-source BFS,
+PPJoin prefix-filtered Jaccard, Flesch readability, STL-lite
+decomposition — plus the oracle result-type lint."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------- graph
+
+
+def test_adamic_adar_matches_hand_computation(spark):
+    """Path graph 1-2-3 plus hub 4 connected to 1,2,3:
+    verify the classic score on a graph small enough to enumerate."""
+    from demo_flink_spark.operators.graph import adamic_adar_topk
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 1), (4, 2), (4, 3)], "src long, dst long"
+    )
+    got = {
+        (r["x"], r["y"]): r["score_micros"]
+        for r in adamic_adar_topk(edges, k=10).collect()
+    }
+    # adjacency: 1:{2,4} 2:{1,3,4} 3:{2,4} 4:{1,2,3}
+    # non-adjacent pairs: (1,3) via common {2,4}: 1/ln3 + 1/ln3
+    w = {n: round(1.0 / math.log(n), 6) for n in (2, 3, 4)}
+    assert got[(1, 3)] == int(round(w[3] * 1e6)) * 2
+    # no existing edge may appear
+    assert (1, 2) not in got and (2, 3) not in got
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+def test_adamic_adar_rare_neighbor_outweighs_hub(spark):
+    """Two candidate pairs: one shares a degree-2 (rare) neighbor, the
+    other a degree-4 hub — the rare-neighbor pair must score higher."""
+    from demo_flink_spark.operators.graph import adamic_adar_topk
+
+    edges = spark.createDataFrame(
+        # rare z=10 connects 1,2 ; hub z=20 connects 3,4,5,6
+        [(10, 1), (10, 2), (20, 3), (20, 4), (20, 5), (20, 6)],
+        "src long, dst long",
+    )
+    rows = adamic_adar_topk(edges, k=100).collect()
+    scores = {(r["x"], r["y"]): r["score_micros"] for r in rows}
+    assert scores[(1, 2)] > scores[(3, 4)]  # 1/ln2 > 1/ln4
+
+
+def test_bfs_hops_distances_and_cycle_termination(spark):
+    """Cycle 1→2→3→1 plus a tail 3→4→5; BFS from {1} must terminate
+    and report shortest hop counts."""
+    from demo_flink_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    """Two seeds: each node gets the MIN distance over sources, and
+    nodes beyond max_hops are absent."""
+    from demo_flink_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 2).collect()}
+    # 3 is 2 hops from 1 but 1 hop from 9; 4 is 2 hops via 9
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2}
+
+
+# --------------------------------------------------------------- ppjoin
+
+
+def test_ppjoin_equals_full_jaccard_join(spark):
+    """Losslessness on a corpus with repeated shingles everywhere:
+    prefix-filtered pairs == uncut posting-list pairs (same integer
+    threshold), pair for pair."""
+    from demo_flink_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_prefix_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " bank"),
+            (3, base.replace("quick", "slow")),
+            (4, "a completely different text about spark and flink engines"),
+            (5, "a completely different text about spark and flink engines!"),
+        ],
+        "doc_id long, text string",
+    )
+    pp = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ppjoin_prefix_pairs(
+            docs, n=3, threshold_num=2, threshold_den=5
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    }
+    assert set(pp) >= {(1, 2), (4, 5)}
+    # completeness: every full-join pair at rounded jaccard >= 0.4
+    # must be found by the prefix plan, with identical counts
+    for k, (nc, j) in full.items():
+        if j >= 0.4:
+            assert k in pp, f"prefix filter lost pair {k}"
+            assert pp[k] == (nc, j)
+    # soundness: every emitted pair satisfies the exact integer rule
+    # (ngram_jaccard_pairs' rounded filter can only differ at the
+    # 6th-decimal boundary, which this corpus does not sit on)
+    assert set(pp) == {k for k, (nc, j) in full.items() if j >= 0.4}
+
+
+def test_ppjoin_prefix_finds_threshold_boundary_pair(spark):
+    """A pair at exactly Jaccard 0.4 (2 common of 5+2-2=5 union):
+    integer cross-multiplication keeps it (float rounding might not)."""
+    from demo_flink_spark.operators.dedup import ppjoin_prefix_pairs
+
+    # doc1 tokens a b c d e f g -> 5 trigrams; doc2 shares exactly 2
+    d1 = "aa bb cc dd ee ff gg"
+    d2 = "aa bb cc dd ee zz yy"  # trigrams: shares 'aa bb cc','bb cc dd','cc dd ee'
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    rows = ppjoin_prefix_pairs(
+        docs, n=3, threshold_num=2, threshold_den=5
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 3 common, 5+5-3=7 union -> 3/7 ~ 0.4286 >= 0.4
+    assert (r["doc_a"], r["doc_b"], r["n_common"]) == (1, 2, 3)
+    assert 5 * r["n_common"] >= 2 * 7
+
+
+# ---------------------------------------------------------- readability
+
+
+def test_readability_hand_counts(spark):
+    from demo_flink_spark.operators.textstats import readability_scores
+
+    text = "The cat sat. It ran!"
+    # words: the cat sat it ran -> 5; sentences: '.' '!' -> 2
+    # vowel groups: e|a|a|i|a -> 5
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = readability_scores(docs).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllable_groups"]) == (5, 2, 5)
+    want = 206_835_000 - (1_015_000 * 5) // 2 - (84_600_000 * 5) // 5
+    assert r["flesch_micros"] == want
+    assert r["band"] == "easy"  # ~119.7 on the Flesch scale
+
+
+def test_readability_zero_guards(spark):
+    """Empty text and punctuation-free text must not divide by zero."""
+    from demo_flink_spark.operators.textstats import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "no sentence punctuation here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    assert rows[1]["flesch_micros"] == 206_835_000  # 0 words, 0 sentences
+    assert rows[2]["n_sentences"] == 0
+    assert rows[2]["flesch_micros"] is not None
+
+
+# ------------------------------------------------------------------ stl
+
+
+def test_stl_identity_and_constant_series(spark):
+    """A constant hourly series decomposes to trend == cnt, seasonal
+    == 0, residual == 0; and cnt*1e6 == trend + seasonal + residual
+    holds row-for-row on any series."""
+    from demo_flink_spark.operators.timeseries import stl_decompose
+
+    rows = []
+    for d in range(3):
+        for h in range(24):
+            for _ in range(5):  # constant 5 events per hour
+                rows.append(("a", f"2024-01-0{d+1} {h:02d}:15:00"))
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = stl_decompose(ev).collect()
+    assert len(out) == 72
+    for r in out:
+        assert r["cnt"] == 5
+        assert r["trend_micros"] == 5_000_000
+        assert r["seasonal_micros"] == 0
+        assert r["residual_micros"] == 0
+        assert (
+            r["cnt"] * 1_000_000
+            == r["trend_micros"] + r["seasonal_micros"] + r["residual_micros"]
+        )
+
+
+def test_stl_recovers_planted_daily_seasonality(spark):
+    """Series = 10 + big spike at hour 12: the hour-12 seasonal
+    component must dominate every other hour's."""
+    from demo_flink_spark.operators.timeseries import stl_decompose
+
+    rows = []
+    for d in range(4):
+        for h in range(24):
+            n = 30 if h == 12 else 10
+            for _ in range(n):
+                rows.append(("k", f"2024-02-0{d+1} {h:02d}:00:00"))
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = stl_decompose(ev).collect()
+    seas = {}
+    for r in out:
+        h = r["window_start"].hour
+        seas.setdefault(h, set()).add(r["seasonal_micros"])
+    # phase means are constant per hour-of-day by construction
+    assert all(len(v) == 1 for v in seas.values())
+    s12 = seas[12].pop()
+    others = [v.pop() for h, v in seas.items() if h != 12]
+    assert s12 > 0 and all(s12 > o for o in others)
+    # identity on every row
+    for r in out:
+        assert (
+            r["cnt"] * 1_000_000
+            == r["trend_micros"] + r["seasonal_micros"] + r["residual_micros"]
+        )
+
+
+# ------------------------------------------------------------- typelint
+
+
+def test_oracle_typelint_rejects_hugeint():
+    """The lint that turns the rollup_time_hour_day class of
+    cross-fetch-path type laundering into a visible error."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_check import _type_ok
+
+    assert _type_ok("BIGINT")
+    assert _type_ok("DECIMAL(38,6)")
+    assert _type_ok("VARCHAR")
+    assert _type_ok("TIMESTAMP")
+    assert _type_ok("BIGINT[]")
+    assert not _type_ok("HUGEINT")
+    assert not _type_ok("UHUGEINT")
+    assert not _type_ok("HUGEINT[]")
+    assert not _type_ok("JSON")
