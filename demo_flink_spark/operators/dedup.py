@@ -1480,3 +1480,60 @@ def ppjoin_prefix_pairs(
             6,
         ).alias("jaccard"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    window: int = 4,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    sort all records by a blocking key (here the name itself), then
+    compare each record only to its `window - 1` successors in sort
+    order, keeping pairs within `max_dist` Levenshtein edits. The
+    classic entity-resolution blocking scheme: near-identical strings
+    sort adjacently, so candidate pairs are O(n·window) instead of
+    O(n²) — the record-linkage counterpart of the dedup family's
+    posting-list discipline.
+
+    Plan shape: ONE global sort (rank assignment — at 100 TB this is
+    a range-partitioned sort, Spark's standard total-order exchange),
+    then the neighbor join is an integer EQUI-join: each row explodes
+    to `window - 1` (rank + k) probes that hash-join back to ranks.
+    No window-function self-join, no range join, no skew (ranks are
+    unique). Levenshtein runs JVM-side (`F.levenshtein`) on just the
+    candidate pairs.
+
+    Determinism: rank ties are impossible (total order on
+    (name, key)); Levenshtein is the standard unit-cost edit distance
+    in both engines. All-integer/string output — hash-exact.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("nm", "k")
+    ranked = df.select(
+        F.col(key_col).alias("k"), F.col(name_col).alias("nm")
+    ).withColumn("rn", F.row_number().over(w)).transform(cut_lineage_lazy)
+    probes = ranked.select(
+        F.col("k").alias("key_a"),
+        F.col("nm").alias("name_a"),
+        "rn",
+        F.explode(F.array([F.lit(i) for i in range(1, window)])).alias("off"),
+    ).select(
+        "key_a", "name_a", (F.col("rn") + F.col("off")).alias("rn")
+    )
+    pairs = probes.join(
+        ranked.select(
+            "rn", F.col("k").alias("key_b"), F.col("nm").alias("name_b")
+        ),
+        "rn",
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("key_a", "key_b", "edit_dist")
+    )

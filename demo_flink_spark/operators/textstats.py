@@ -1162,3 +1162,153 @@ def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(F.col("flesch_micros") >= 50_000_000, F.lit("standard"))
         .otherwise(F.lit("difficult")),
     )
+
+
+def zipf_fit_by_lang(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of ln(freq) on ln(rank)
+    over the top-`top_k` word frequencies — the corpus-health
+    diagnostic that flags synthetic/templated text (slope far from
+    ≈ -1) and tokenizer-unfriendly sources before training.
+
+    Engine-exact by the linear_trend recipe: ln(rank) and ln(freq)
+    come from the portable softln series (ln k = -softln(1, k)),
+    rounded half-up at 6dp to integer micros; all four OLS sufficient
+    statistics are exact BIGINT sums (magnitudes ≤ ~5.5e17 at
+    top_k = 100, under int64), and only the final slope division is a
+    double — bit-identical cross-engine with no rounding step.
+
+    Scale: one groupBy (lang, word) word count — map-side combinable
+    — then a per-lang top-k window over ≤ |vocab| rows and a |langs|-
+    row aggregate. Nothing driver-side.
+    """
+    from demo_flink_spark.operators.relational import softln_ratio
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    freq = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "word")
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+    # ln k in half-up 6dp micros. The rounded double goes through
+    # decimal(38,6) BEFORE the ×1e6: a double multiply could land a
+    # hair under the integer and Spark's double→long cast TRUNCATES
+    # while DuckDB's ROUNDS — the decimal route is exact on both.
+    ln_micros = lambda c: (  # noqa: E731
+        F.round(F.lit(-1.0) * softln_ratio(F.lit(1), c), 6).cast(
+            "decimal(38,6)"
+        )
+        * 1000000
+    ).cast("long")
+    base = top.select(
+        "lang",
+        ln_micros(F.col("rank")).alias("x"),
+        ln_micros(F.col("freq")).alias("y"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    n_types = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    return (
+        agg.join(n_types, "lang")
+        .select(
+            "lang",
+            "n_types",
+            F.col("n").cast("long").alias("n_top"),
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+def kl_unigram_by_source(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    full-corpus distribution, D(P_source || Q_corpus) — the drift/mix
+    diagnostic that ranks which slices pull the token distribution
+    hardest (complementing `drift_psi_report`'s binned numeric PSI
+    with an exact vocabulary-level divergence).
+
+    Q is the corpus MIXTURE, so q(w) > 0 wherever p(w) > 0 — no
+    smoothing needed, and every per-source KL is finite and >= 0.
+
+        D = Σ_w (c_w/n)·ln( (c_w·m) / (d_w·n) )
+
+    with c_w = source count, n = source total, d_w = corpus count,
+    m = corpus total. Engine-exact by the token_entropy recipe: each
+    log-ratio is the portable softln series on exact integer products
+    (sign-split around a <= b), rounded half-up at 6dp; c·round6
+    products are exact doubles summed in decimal(38,6); the final
+    division by n is round-half-away integer micros.
+
+    Scale: two map-side-combinable word-count aggregates (per-source,
+    corpus) joined on word — the corpus side is |vocab|-sized and
+    broadcast-eligible; no row ever carries text past tokenization.
+    """
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    c = words.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
+    d = words.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
+    n = c.groupBy("grp").agg(F.sum("c").alias("n"))
+    m = words.count()  # one scalar: total corpus tokens
+    joined = (
+        c.join(d, "word")
+        .join(F.broadcast(n), "grp")
+        .withColumn("a", F.col("c") * F.lit(m))
+        .withColumn("b", F.col("d") * F.col("n"))
+    )
+    ln_ratio = F.when(
+        F.col("a") <= F.col("b"),
+        F.round(softln_ratio(F.col("a"), F.col("b")), 6),
+    ).otherwise(
+        F.lit(-1.0) * F.round(softln_ratio(F.col("b"), F.col("a")), 6)
+    )
+    terms = joined.select(
+        "grp",
+        "n",
+        (F.col("c").cast("double") * ln_ratio)
+        .cast("decimal(38,6)")
+        .alias("term"),
+    )
+    agg = terms.groupBy("grp").agg(
+        F.first("n").alias("n"), F.sum("term").alias("s")
+    )
+    return agg.select(
+        F.col("grp").alias("source"),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+            " * ((abs(CAST(s * 1000000 AS DECIMAL(38,0))) * 2"
+            "      + CAST(n AS DECIMAL(38,0)))"
+            "     div (2 * CAST(n AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("kl_micros"),
+    )

@@ -122,6 +122,17 @@ def q_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ppjoin_prefix_pairs(docs, n=3, threshold_num=2, threshold_den=5)
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over part names: window-4
+    neighbors in name sort order, kept within 2 Levenshtein edits
+    (operators/dedup.py::sorted_neighborhood_pairs) — the classic
+    O(n·w) entity-resolution blocking scheme."""
+    part = load_table(spark, sf_dir, "part")
+    return dd.sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", window=4, max_dist=2
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
@@ -900,6 +911,25 @@ SPECS = [
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE 5 * n_common >= 2 * (sa.n_sh + sb.n_sh - n_common)
+        """,
+    ),
+    QuerySpec(
+        "linkage_sorted_neighborhood",
+        q_sorted_neighborhood,
+        # same total order (p_name, p_partkey), same window-4 neighbor
+        # pairs, same unit-cost Levenshtein in both engines
+        oracle="""
+        WITH ranked AS (
+            SELECT p_partkey AS k, p_name AS nm,
+                   CAST(row_number() OVER (ORDER BY p_name, p_partkey)
+                        AS BIGINT) AS rn
+            FROM part
+        )
+        SELECT a.k AS key_a, b.k AS key_b,
+               CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS edit_dist
+        FROM ranked a JOIN ranked b
+          ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        WHERE levenshtein(a.nm, b.nm) <= 2
         """,
     ),
 ]

@@ -388,6 +388,24 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit per language over the top-100 word
+    frequencies (operators/textstats.py::zipf_fit_by_lang): exact
+    integer sufficient statistics from softln micros, one final
+    double division."""
+    return textstats.zipf_fit_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+def q_kl_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram mixture
+    (operators/textstats.py::kl_unigram_by_source): exact counts,
+    softln log-ratios, decimal(38,6) term sums, round-half-away
+    integer micros."""
+    return textstats.kl_unigram_by_source(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style reading-ease per document, integer-micros exact
     (operators/textstats.py::readability_scores): words / vowel-group
@@ -1639,6 +1657,100 @@ SPECS = [
                            // greatest(n_words, 1) >= 50000000 THEN 'standard'
                     ELSE 'difficult' END AS band
         FROM c
+        """,
+    ),
+    QuerySpec(
+        "zipf_fit_by_lang",
+        q_zipf_fit,
+        # identical construction: softln micros through decimal(38,6),
+        # BIGINT sufficient statistics, one final double division
+        oracle=f"""
+        WITH words AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents
+        ),
+        freq AS (
+            SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+            FROM words GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT lang, freq,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY freq DESC, word
+                   ) AS BIGINT) AS rnk
+            FROM freq
+        ),
+        top AS (SELECT * FROM ranked WHERE rnk <= 100),
+        xy AS (
+            SELECT lang,
+                   CAST(CAST(round(-1.0 * ({softln_ratio_sql("1", "rnk")}), 6)
+                             AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS x,
+                   CAST(CAST(round(-1.0 * ({softln_ratio_sql("1", "freq")}), 6)
+                             AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS y
+            FROM top
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM xy GROUP BY lang
+        ),
+        nt AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_types
+            FROM freq GROUP BY lang
+        )
+        SELECT a.lang, nt.n_types, a.n AS n_top,
+               CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE)
+                 / CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE) AS zipf_slope
+        FROM agg a JOIN nt USING (lang)
+        """,
+    ),
+    QuerySpec(
+        "kl_unigram_by_source",
+        q_kl_unigram,
+        oracle=f"""
+        WITH words AS (
+            SELECT source AS grp,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents
+        ),
+        c AS (
+            SELECT grp, word, CAST(count(*) AS BIGINT) AS c
+            FROM words GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS d
+            FROM words GROUP BY 1
+        ),
+        n AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM words),
+        j AS (
+            SELECT c.grp, c.c, n.n,
+                   c.c * m.m AS a, d.d * n.n AS b
+            FROM c JOIN d USING (word) JOIN n USING (grp) CROSS JOIN m
+        ),
+        terms AS (
+            SELECT grp, n,
+                   CAST(CAST(c AS DOUBLE)
+                        * (CASE WHEN a <= b
+                                THEN round({softln_ratio_sql("a", "b")}, 6)
+                                ELSE -round({softln_ratio_sql("b", "a")}, 6)
+                           END) AS DECIMAL(38,6)) AS term
+            FROM j
+        ),
+        agg AS (
+            SELECT grp, any_value(n) AS n, sum(term) AS s
+            FROM terms GROUP BY grp
+        )
+        SELECT grp AS source, n AS n_tokens,
+               CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                    * ((abs(CAST(s * 1000000 AS HUGEINT)) * 2 + n)
+                       // (2 * n)) AS BIGINT) AS kl_micros
+        FROM agg
         """,
     ),
 ]

@@ -256,3 +256,95 @@ def test_oracle_typelint_rejects_hugeint():
     assert not _type_ok("UHUGEINT")
     assert not _type_ok("HUGEINT[]")
     assert not _type_ok("JSON")
+
+
+# ------------------------------------------------------- zipf / kl
+
+
+def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
+    """A corpus with planted freq(r) ∝ 1/r must fit slope ≈ -1."""
+    from demo_flink_spark.operators.textstats import zipf_fit_by_lang
+
+    # word_r appears round(1000/r) times, r = 1..50
+    words = []
+    for r in range(1, 51):
+        words.extend([f"w{chr(97 + r // 26)}{chr(97 + r % 26)}"] * (1000 // r))
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "xx")], "doc_id long, text string, lang string"
+    )
+    r = zipf_fit_by_lang(docs, top_k=50).collect()[0]
+    assert r["n_types"] == 50 and r["n_top"] == 50
+    assert -1.05 < r["zipf_slope"] < -0.92, r["zipf_slope"]
+
+
+def test_kl_zero_for_identical_sources_and_positive_for_skewed(spark):
+    from demo_flink_spark.operators.textstats import kl_unigram_by_source
+
+    same = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, same, "s1"),
+            (2, same, "s2"),
+            (3, "alpha alpha alpha alpha", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in kl_unigram_by_source(docs).collect()}
+    # s1 and s2 are identical 1/4-uniform slices of a corpus where
+    # alpha dominates -> equal, positive KL; s3 is maximally skewed
+    assert got["s1"]["kl_micros"] == got["s2"]["kl_micros"] > 0
+    assert got["s3"]["kl_micros"] > got["s1"]["kl_micros"]
+    assert all(r["kl_micros"] >= 0 for r in got.values())
+
+
+def test_kl_single_source_is_zero(spark):
+    """One source == the whole corpus: p == q everywhere, KL == 0."""
+    from demo_flink_spark.operators.textstats import kl_unigram_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a", "only"), (2, "b c d", "only")],
+        "doc_id long, text string, source string",
+    )
+    rows = kl_unigram_by_source(docs).collect()
+    assert len(rows) == 1 and rows[0]["kl_micros"] == 0
+
+
+# ------------------------------------------------------------ linkage
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    from demo_flink_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "john smith"),
+            (2, "john smyth"),   # 1 substitution from 1
+            (3, "jon smith"),    # 1 deletion from 1, 2 edits from 2
+            (4, "zzz unrelated"),
+        ],
+        "id long, name string",
+    )
+    pairs = {
+        (r["key_a"], r["key_b"]): r["edit_dist"]
+        for r in sorted_neighborhood_pairs(df, "id", "name", window=4).collect()
+    }
+    # sort order: john smith, john smyth, jon smith, zzz unrelated
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 1  # delete the 'h'
+    assert pairs[(2, 3)] == 2  # y->i substitution + 'h' deletion
+    assert all(k[0] != 4 and k[1] != 4 for k in pairs)  # zzz beyond 2 edits
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    """Identical names further than `window-1` apart in sort order are
+    NOT paired — the documented blocking tradeoff."""
+    from demo_flink_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, "dup") for i in range(1, 7)] + [(99, "unique")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted_neighborhood_pairs(df, "id", "name", window=3).collect()
+    # 6 'dup' rows, window 3 -> each row pairs with <= 2 successors:
+    # 5 + 4*... = (5 rows with 2 successors is wrong: rows 1..4 have 2,
+    # row 5 has 1, row 6 has 0) = 4*2 + 1 = 9 pairs
+    assert len(got) == 9
+    assert all(r["edit_dist"] == 0 for r in got)

@@ -61,13 +61,24 @@ PROBES = {
 # are flat 500 rows between sf0.001 and sf0.01)
 _SCALES_FROM_0001 = {"lineitem", "orders", "events", "customer", "part"}
 
-# relational-core probes that get the synthetic sf1 third decade
+# probes that get the synthetic sf1 third decade — r7 extends it from
+# the relational core to the document/embedding families (their
+# replicas are content-perturbed, see ensure_sf1)
 THIRD_DECADE = {
     "q1_pricing_summary",
     "q9_product_profit",
     "window_topn_users_hourly",
     "asof_join_last_purchase",
     "graph_pagerank_copurchase",
+    "heavy_hitter_words",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "hybrid_search_rrf",
+    "split_leakage_audit",
+    "ngram_diversity_by_source",
+    "perplexity_bucket_filter",
 }
 
 SF1_DIR = "/tmp/spark_graft_sf1"
@@ -81,9 +92,22 @@ def ensure_sf1(spark) -> str:
     contributes NEW orders joining to NEW lineitems (join fan-out and
     group count scale, referential integrity holds); events offset
     event_id and user_id the same way so event-keyed windows gain 10×
-    groups. Dims (nation…part, documents, embeddings) copy unchanged —
-    fact-dominated growth, which is what the third-decade slope should
-    measure.
+    groups.
+
+    documents/embeddings (r7): replicated ×10 with key shifts AND a
+    per-replica content perturbation, so the decade scales the
+    WORKLOAD, not just the row count. Bare text copies would make
+    every doc a 10-way exact/near dup (posting lists ×10 → candidate
+    pairs ×100 — a corpus-structure change masquerading as quadratic
+    cost), so replica r suffixes every alphabetic token with a
+    replica letter: token counts, lengths and WITHIN-replica dup
+    structure are preserved exactly, while replicas share no
+    shingles. Embedding replicas circularly shift coordinates by r —
+    intra-replica cosines are permutation-invariant (structure
+    preserved), cross-replica directions decorrelate.
+
+    Small dims (nation…part) copy unchanged — fact-dominated growth,
+    which is what the third-decade slope should measure.
     """
     import shutil
 
@@ -91,7 +115,9 @@ def ensure_sf1(spark) -> str:
 
     from demo_flink_spark.sources.tables import TABLES, load_table
 
-    ready = os.path.join(SF1_DIR, "_READY")
+    # versioned marker: bumping it invalidates sf1 dirs built by
+    # older probe versions (v1 copied documents/embeddings unchanged)
+    ready = os.path.join(SF1_DIR, "_READY_v2")
     if os.path.exists(ready):
         return SF1_DIR
     # Crash-safety: a build interrupted mid-copy leaves SF1_DIR
@@ -127,8 +153,55 @@ def ensure_sf1(spark) -> str:
     shifted(
         "events", {"event_id": ev_maxes[0] + 1, "user_id": ev_maxes[1] + 1}
     )
+
+    # documents: per-replica token suffix (see docstring), union of 10
+    # statically-transformed replicas so the regex replacement string
+    # stays a literal per replica
+    docs = load_table(spark, src, "documents")
+    doc_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    doc_parts = []
+    for r in range(10):
+        suffix = chr(ord("a") + r)
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + r * doc_stride).alias("doc_id"),
+                F.regexp_replace(
+                    "text", "([A-Za-z]+)", "$1" + suffix
+                ).alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.union(p)
+    d.write.mode("overwrite").parquet(os.path.join(SF1_DIR, "documents.parquet"))
+
+    # embeddings: circular coordinate shift per replica
+    emb = load_table(spark, src, "embeddings")
+    vec_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    emb_parts = []
+    for r in range(10):
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + r * vec_stride).alias("vec_id"),
+                F.expr(
+                    f"concat(slice(embedding, {r} + 1,"
+                    f" size(embedding) - {r}),"
+                    f" slice(embedding, 1, {r}))"
+                    if r
+                    else "embedding"
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    v = emb_parts[0]
+    for p in emb_parts[1:]:
+        v = v.union(p)
+    v.write.mode("overwrite").parquet(os.path.join(SF1_DIR, "embeddings.parquet"))
+
     for name in TABLES:
-        if name in ("orders", "lineitem", "events"):
+        if name in ("orders", "lineitem", "events", "documents", "embeddings"):
             continue
         dst = os.path.join(SF1_DIR, f"{name}.parquet")
         s = os.path.join(src, f"{name}.parquet")
@@ -210,10 +283,16 @@ def main() -> None:
         "documents/embeddings hold 500 rows at BOTH sf0.001 and sf0.01",
         "(TESTDATA.md), so document-shaped queries carry signal only on",
         "the 0.01 → 0.1 step — their first-step slope is omitted.",
-        "The sf1 column is the SYNTHETIC third decade for the",
-        "relational core: fact tables replicated ×10 above sf0.1 with",
-        "key-shifted replicas (see tools/scale_probe.py::ensure_sf1) —",
-        "built locally, never part of the driver's data.",
+        "The sf1 column is the SYNTHETIC third decade: fact tables",
+        "replicated ×10 above sf0.1 with key-shifted replicas, and",
+        "(r7) documents/embeddings replicated ×10 with per-replica",
+        "content perturbation — replica r suffixes every token with a",
+        "replica letter / circularly shifts embedding coordinates, so",
+        "within-replica dup/similarity structure is preserved exactly",
+        "while replicas stay disjoint (a bare copy would square the",
+        "candidate-pair count — a corpus change, not a scale step).",
+        "See tools/scale_probe.py::ensure_sf1 — built locally, never",
+        "part of the driver's data.",
         "",
         "| query | input | t@sf0.001 | t@sf0.01 | t@sf0.1 | t@sf1synth | slope 0.001→0.01 | slope 0.01→0.1 | slope 0.1→1 |",
         "|---|---|---|---|---|---|---|---|---|",
