@@ -1533,6 +1533,73 @@ def ppjoin_prefix_pairs(
     )
 
 
+def global_sorted_rank(
+    df: DataFrame, sort_cols: list[str], num_partitions: int | None = None
+) -> DataFrame:
+    """Dense total-order rank (1-based `rn`) WITHOUT the
+    single-partition global Window: `row_number() OVER (ORDER BY …)`
+    moves every row to ONE partition — the canonical Spark scale
+    anti-pattern. This is the standard two-phase distributed ranking:
+
+    1. `repartitionByRange` on the sort key + `sortWithinPartitions`
+       (Spark's total-order exchange: partition i's rows all precede
+       partition j's for i < j), pinned with `localCheckpoint` so the
+       sampled range boundaries cannot differ between the two reads;
+    2. per-partition LOCAL ranks from one Arrow pass (mapInPandas
+       sees a partition's batches sequentially in one task — a plain
+       running counter), plus global offsets from the ≤ #partitions
+       row-count table (a bounded collect), added as a literal map.
+
+    Rank values depend only on the total order (ties must be
+    impossible — include a unique key in `sort_cols`), not on the
+    sampled partition boundaries, so the result is deterministic.
+    """
+    sess = df.sparkSession
+    n_parts = num_partitions or sess.sparkContext.defaultParallelism
+    base = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .transform(cut_lineage)
+    )
+    counts = sorted(
+        (r["_pid"], r["count"]) for r in base.groupBy("_pid").count().collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in base.schema)
+        + ", _lrn bigint"
+    )
+
+    def add_local_rank(batches):
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lrn"] = range(i + 1, i + len(pdf) + 1)
+            i += len(pdf)
+            yield pdf
+
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    return (
+        base.mapInPandas(add_local_rank, out_schema)
+        .withColumn(
+            "rn",
+            (
+                F.col("_lrn")
+                + F.coalesce(
+                    off_map.getItem(F.col("_pid")), F.lit(0)
+                ).cast("long")
+            ),
+        )
+        .drop("_pid", "_lrn")
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     key_col: str,
@@ -1549,11 +1616,12 @@ def sorted_neighborhood_pairs(
     O(n²) — the record-linkage counterpart of the dedup family's
     posting-list discipline.
 
-    Plan shape: ONE global sort (rank assignment — at 100 TB this is
-    a range-partitioned sort, Spark's standard total-order exchange),
-    then the neighbor join is an integer EQUI-join: each row explodes
-    to `window - 1` (rank + k) probes that hash-join back to ranks.
-    No window-function self-join, no range join, no skew (ranks are
+    Plan shape: rank assignment is the two-phase distributed ranking
+    (`global_sorted_rank`: range-partitioned sort + local ranks +
+    offsets — NOT a single-partition global Window), then the
+    neighbor join is an integer EQUI-join: each row explodes to
+    `window - 1` (rank + k) probes that hash-join back to ranks. No
+    window-function self-join, no range join, no skew (ranks are
     unique). Levenshtein runs JVM-side (`F.levenshtein`) on just the
     candidate pairs.
 
@@ -1561,12 +1629,10 @@ def sorted_neighborhood_pairs(
     (name, key)); Levenshtein is the standard unit-cost edit distance
     in both engines. All-integer/string output — hash-exact.
     """
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("nm", "k")
-    ranked = df.select(
-        F.col(key_col).alias("k"), F.col(name_col).alias("nm")
-    ).withColumn("rn", F.row_number().over(w)).transform(cut_lineage_lazy)
+    ranked = global_sorted_rank(
+        df.select(F.col(key_col).alias("k"), F.col(name_col).alias("nm")),
+        ["nm", "k"],
+    ).transform(cut_lineage_lazy)
     probes = ranked.select(
         F.col("k").alias("key_a"),
         F.col("nm").alias("name_a"),

@@ -348,3 +348,27 @@ def test_sorted_neighborhood_window_bounds_candidates(spark):
     # row 5 has 1, row 6 has 0) = 4*2 + 1 = 9 pairs
     assert len(got) == 9
     assert all(r["edit_dist"] == 0 for r in got)
+
+
+def test_global_sorted_rank_matches_single_partition_window(spark):
+    """Two-phase distributed ranking must equal the textbook global
+    row_number regardless of partition boundaries."""
+    from pyspark.sql.window import Window
+
+    from demo_flink_spark.operators.dedup import global_sorted_rank
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        F.format_string("v%04d", (F.col("id") * 91) % 1000).alias("nm"),
+    )
+    got = {
+        (r["nm"], r["k"]): r["rn"]
+        for r in global_sorted_rank(df, ["nm", "k"], num_partitions=7).collect()
+    }
+    want = {
+        (r["nm"], r["k"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("nm", "k"))
+        ).collect()
+    }
+    assert got == want

@@ -514,6 +514,54 @@ CHECKS = {
         ["Window", "HashAggregate"],
         ["Join", "CartesianProduct"],
     ),
+    # ---- round 7 ----
+    # Adamic-Adar: posting-list equi-join on the common neighbor +
+    # per-pair hash agg; top-k never a global Sort+Limit
+    "graph_adamic_adar": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # BFS: frontier iteration materializes via localCheckpoint; the
+    # assembled result must never degrade to a cartesian
+    "graph_bfs_hops": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # PPJoin: rank window + candidate group-agg; the prefix self-join
+    # is an equi-join on the shingle, never all-pairs
+    "dedup_ppjoin_prefix": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # readability: three regexp scans per row — zero exchanges, no
+    # joins, no Python boundary
+    "text_readability": (
+        [],
+        ["Exchange", "Join", "CartesianProduct", "ArrowEvalPython"],
+    ),
+    # STL: hourly bucket agg + RANGE-frame window + phase window, all
+    # on the key partition; never a join
+    "ts_stl_decompose": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # zipf: word-count agg + per-lang top-k window + n_types join
+    # (lang-keyed, tiny) — never a cartesian
+    "zipf_fit_by_lang": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # KL: two word-count aggs joined on word; the corpus total is a
+    # driver literal (one bounded count), NOT a crossJoin
+    "kl_unigram_by_source": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # linkage: two-phase distributed rank (range exchange + Arrow
+    # local-rank pass — materialized behind the localCheckpoint, so
+    # the visible plan is the ExistingRDD scan) + integer equi-join;
+    # the single-partition global Window must never reappear
+    "linkage_sorted_neighborhood": (
+        ["Scan ExistingRDD", "BroadcastHashJoin"],
+        ["CartesianProduct", "Window"],
+    ),
 }
 
 
