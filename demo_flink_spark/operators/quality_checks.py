@@ -365,3 +365,126 @@ def heavy_change_detection(
         .orderBy(F.desc("change_score"), F.asc("key"))
         .limit(k)
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as 6dp
+# micros LITERALS — pinned constants, not engine math, so both engines
+# compare against identical integers.
+BENFORD_MICROS = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+
+
+def benford_first_digit(
+    df: DataFrame, cents_col: Column, group_col: str | None = None
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integer-cents
+    column — the classic fabricated-data / fraud screen (genuine
+    multiplicative-growth amounts follow P(d) = log10(1 + 1/d);
+    invented numbers don't).
+
+    First digit via exact integer→string conversion (identical in
+    both engines — no float log10 in the path); observed shares are
+    round-half-away integer micros; deviation is |share - benford|
+    per digit. All-integer output — hash-exact. One
+    map-side-combinable aggregate, one 9-row broadcast-sized result
+    per group.
+    """
+    base = df.select(
+        (F.lit("all") if group_col is None else F.col(group_col)).alias(
+            "grp"
+        ),
+        F.substring(cents_col.cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    ).filter(F.col("digit") >= 1)
+    counts = base.groupBy("grp", "digit").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("n"))
+    benford = F.create_map(
+        *[F.lit(v) for kv in BENFORD_MICROS.items() for v in kv]
+    )
+    return (
+        counts.join(F.broadcast(totals), "grp")
+        .select(
+            F.col("grp").alias("group_key"),
+            "digit",
+            F.col("c").cast("long").alias("n_obs"),
+            F.expr("(c * 2000000 + n) div (2 * n)").alias("share_micros"),
+            benford.getItem(F.col("digit")).cast("long").alias(
+                "benford_micros"
+            ),
+        )
+        .withColumn(
+            "dev_micros",
+            F.abs(F.col("share_micros") - F.col("benford_micros")),
+        )
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the contingency-table DQ primitive (is order priority
+    independent of order status? is label independent of source?).
+
+        chi2 = Σ_ij (O_ij·N - r_i·c_j)² / (r_i·c_j·N)
+
+    — the (O-E)²/E form cleared of fractions, so every numerator and
+    denominator is an EXACT integer (decimal(38,0): O·N reaches ~1e10
+    at sf0.1 and its square ~1e20 overflows int64). Each cell's term
+    is round-half-away integer micros; chi2_micros is their exact
+    sum. Output also carries the degrees of freedom and N so a
+    consumer can threshold against any critical value.
+
+    One contingency aggregate (map-side combinable) + two
+    broadcast-sized marginal joins; nothing driver-side.
+    """
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("cc")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("cc").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "cc")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "cc",
+            "o",
+            F.expr("CAST(rt AS DECIMAL(38,0))").alias("rtd"),
+            F.expr("CAST(ct AS DECIMAL(38,0))").alias("ctd"),
+            F.expr("CAST(n AS DECIMAL(38,0))").alias("nd"),
+            F.col("n"),
+        )
+        .withColumn(
+            "num",
+            F.expr("(CAST(o AS DECIMAL(38,0)) * nd - rtd * ctd)"),
+        )
+        .withColumn(
+            "term_micros",
+            F.expr(
+                "CAST((num * num * 1000000 * 2 + rtd * ctd * nd)"
+                " div (2 * rtd * ctd * nd) AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    n_r = rt.count()
+    n_c = ct.count()
+    return cells.agg(
+        F.sum("term_micros").cast("long").alias("chi2_micros"),
+        F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof"),
+        F.first("n").cast("long").alias("n"),
+    )

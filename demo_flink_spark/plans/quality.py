@@ -147,6 +147,79 @@ def _health_oracle() -> str:
     """
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem extended prices in exact
+    integer cents (operators/quality_checks.py::benford_first_digit):
+    per-digit observed share vs the pinned log10(1+1/d) constants."""
+    from demo_flink_spark.operators.quality_checks import benford_first_digit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return benford_first_digit(li, cents)
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of order priority × order status
+    (operators/quality_checks.py::chi_square_independence): exact
+    decimal fraction-cleared form, integer-micros statistic."""
+    from demo_flink_spark.operators.quality_checks import (
+        chi_square_independence,
+    )
+
+    return chi_square_independence(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939"
+    " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947"
+    " WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM lineitem
+),
+counts AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS c
+    FROM base WHERE digit >= 1 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts)
+SELECT 'all' AS group_key, digit, c AS n_obs,
+       (c * 2000000 + n) // (2 * n) AS share_micros,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_micros,
+       abs((c * 2000000 + n) // (2 * n)
+           - CAST({_BENFORD_CASE} AS BIGINT)) AS dev_micros
+FROM counts CROSS JOIN tot
+"""
+
+_CHI_SQUARE_ORACLE = """
+WITH obs AS (
+    SELECT o_orderpriority AS r, o_orderstatus AS cc,
+           CAST(count(*) AS BIGINT) AS o
+    FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT cc, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+terms AS (
+    SELECT n,
+           CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS num,
+           CAST(rt AS HUGEINT) * ct * n AS den
+    FROM obs JOIN rt USING (r) JOIN ct USING (cc) CROSS JOIN tot
+)
+SELECT CAST(sum((num * num * 1000000 * 2 + den) // (2 * den)) AS BIGINT)
+           AS chi2_micros,
+       CAST(((SELECT count(*) FROM rt) - 1)
+            * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+       any_value(n) AS n
+FROM terms
+"""
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution-drift report between two snapshot halves of
     events.value (reference = even event ids, current = odd — stands
@@ -282,5 +355,9 @@ SPECS = [
     QuerySpec("drift_psi_report", q_psi_drift, oracle=_psi_oracle()),
     QuerySpec(
         "drift_heavy_change", q_heavy_change, oracle=_HEAVY_CHANGE_ORACLE
+    ),
+    QuerySpec("dq_benford_prices", q_benford, oracle=_BENFORD_ORACLE),
+    QuerySpec(
+        "dq_chi_square_independence", q_chi_square, oracle=_CHI_SQUARE_ORACLE
     ),
 ]
