@@ -306,3 +306,30 @@ def mixture_interleave(
         "src_rank",
         (F.col("src_rank").cast("double") / weight).alias("virtual_time"),
     )
+
+
+def systematic_sample(
+    df: "DataFrame",
+    sort_cols: list[str],
+    k: int,
+    offset: int = 0,
+) -> "DataFrame":
+    """Systematic (every k-th) sampling over a total order — the
+    survey-sampling classic: sort by `sort_cols` (must be
+    tie-free — include a unique key), keep ranks where
+    (rank - 1) % k == offset. Unlike Bernoulli/hash sampling the
+    sample is evenly SPREAD across the sort axis (time, key range),
+    which is what makes it the right tool for eyeballing drift along
+    a dimension or building a balanced audit slice.
+
+    Rank assignment is `global_sorted_rank` (two-phase distributed
+    ranking — range exchange + Arrow local ranks + offsets), never a
+    single-partition global Window; the modulo keep-filter is a
+    narrow map after it. Deterministic and engine-exact: the oracle's
+    textbook row_number() form selects the same rows because the
+    total order is tie-free.
+    """
+    from demo_flink_spark.operators.dedup import global_sorted_rank
+
+    ranked = global_sorted_rank(df, sort_cols)
+    return ranked.filter((F.col("rn") - 1) % k == offset)

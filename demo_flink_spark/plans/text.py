@@ -579,6 +579,20 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 20th order along the (o_orderdate, o_orderkey) total
+    order (operators/sampling.py::systematic_sample): evenly-spread
+    audit slice; rank via the two-phase distributed global rank."""
+    from demo_flink_spark.operators.sampling import systematic_sample
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return systematic_sample(o, ["o_orderdate", "o_orderkey"], k=20).select(
+        "o_orderkey", "o_orderdate", "rn"
+    )
+
+
 def q_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified selection (operators/sampling.py::
     exact_k_per_group): exactly min(25, |lang group|) docs per
@@ -1192,6 +1206,23 @@ SPECS = [
                '/docs/' || CAST(doc_id AS VARCHAR) AS path,
                lang AS q_lang
         FROM documents
+        """,
+    ),
+    QuerySpec(
+        # every 20th order along the (date, key) total order — the
+        # survey-sampling systematic design; rank assignment is the
+        # two-phase distributed global rank, never a single-partition
+        # Window (operators/sampling.py::systematic_sample)
+        "sample_systematic_orders",
+        q_systematic_sample,
+        oracle="""
+        SELECT o_orderkey, o_orderdate, rn FROM (
+            SELECT o_orderkey, o_orderdate,
+                   CAST(row_number() OVER (
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS BIGINT) AS rn
+            FROM orders
+        ) t WHERE (rn - 1) % 20 = 0
         """,
     ),
     QuerySpec(

@@ -372,3 +372,15 @@ def test_global_sorted_rank_matches_single_partition_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_systematic_sample_every_kth(spark):
+    from demo_flink_spark.operators.sampling import systematic_sample
+
+    df = spark.range(0, 100).select(
+        (99 - F.col("id")).alias("v")  # reversed so sort matters
+    )
+    got = sorted(
+        r["v"] for r in systematic_sample(df, ["v"], k=10, offset=3).collect()
+    )
+    assert got == [3, 13, 23, 33, 43, 53, 63, 73, 83, 93]
