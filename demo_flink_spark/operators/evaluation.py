@@ -236,3 +236,50 @@ def split_leakage(
         )
         .select(F.col("doc").alias(id_col), "split", "n_train_dups", "max_sim")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0,1] score against a binary
+    label — the calibration companion to `binary_auc` (AUC says the
+    ranking is good; calibration says the VALUES mean what they say —
+    the check run before a classifier score is used as a sampling
+    weight or threshold).
+
+    Per equal-width bin: count, positives, mean score and positive
+    rate, ALL in exact integer micros: the score enters as
+    decimal(38,6) micros (6dp scores are exact there), the bin index
+    is integer division, and both means are round-half-away integer
+    divisions — engine-exact, no float boundary anywhere. Consumers
+    compute ECE as Σ n_b·|mean−rate|/N from these integers.
+
+    One map-side-combinable aggregate over ≤ n_bins output rows.
+    """
+    if 1_000_000 % n_bins:
+        raise ValueError("n_bins must divide 1e6")
+    width = 1_000_000 // n_bins
+    sm = (score_col.cast("decimal(38,6)") * 1_000_000).cast("long")
+    base = df.select(
+        sm.alias("sm"),
+        F.when(label_col, 1).otherwise(0).alias("p"),
+    ).select(
+        F.least(F.expr(f"sm div {width}"), F.lit(n_bins - 1))
+        .cast("int")
+        .alias("bin"),
+        "sm",
+        "p",
+    )
+    return base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.expr("(sum(sm) * 2 + count(1)) div (2 * count(1))")
+        .cast("long")
+        .alias("mean_score_micros"),
+        F.expr("(sum(p) * 2000000 + count(1)) div (2 * count(1))")
+        .cast("long")
+        .alias("pos_rate_micros"),
+    )

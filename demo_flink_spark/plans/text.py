@@ -374,6 +374,19 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins of the stopword-ratio quality signal against
+    lang='en' (operators/evaluation.py::calibration_bins) — the
+    calibration companion to quality_auc_eval, all-integer micros."""
+    from demo_flink_spark.operators.evaluation import calibration_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.quality_score(docs, keep=("lang",))
+    return calibration_bins(
+        scored, F.col("stopword_ratio"), F.col("lang") == "en"
+    )
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/2/3-gram diversity per source slice
     (operators/textstats.py::ngram_diversity): the template-spam
@@ -1052,6 +1065,46 @@ SPECS = [
                      ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 6)
                    AS distinct_ratio
         FROM tok
+        """,
+    ),
+    QuerySpec(
+        # same stopword-ratio construction as the quality_score
+        # oracle, then integer-micros binning — no float boundary
+        "quality_calibration_bins",
+        q_calibration,
+        oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> length(w) > 0) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT lang,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks,
+                                  w -> w IN ({_STOPWORDS_SQL})))
+                              / CAST(len(toks) AS DOUBLE) END, 6) AS s
+            FROM tok
+        ),
+        m AS (
+            SELECT CAST(CAST(s AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                       AS sm,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+            FROM scored
+        ),
+        b AS (
+            SELECT CAST(least(sm // 100000, 9) AS INTEGER) AS bin, sm, p
+            FROM m
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST((CAST(sum(sm) AS HUGEINT) * 2 + count(*))
+                    // (2 * count(*)) AS BIGINT) AS mean_score_micros,
+               CAST((CAST(sum(p) AS HUGEINT) * 2000000 + count(*))
+                    // (2 * count(*)) AS BIGINT) AS pos_rate_micros
+        FROM b GROUP BY bin
         """,
     ),
     QuerySpec(

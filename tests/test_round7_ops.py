@@ -384,3 +384,25 @@ def test_systematic_sample_every_kth(spark):
         r["v"] for r in systematic_sample(df, ["v"], k=10, offset=3).collect()
     )
     assert got == [3, 13, 23, 33, 43, 53, 63, 73, 83, 93]
+
+
+def test_calibration_bins_hand_computed(spark):
+    from demo_flink_spark.operators.evaluation import calibration_bins
+
+    rows = [
+        (0.05, True), (0.05, False),            # bin 0: rate 0.5, mean 0.05
+        (0.95, True), (0.97, True), (1.0, True) # 1.0 clamps into bin 9
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = {
+        r["bin"]: r
+        for r in calibration_bins(df, F.col("s"), F.col("y")).collect()
+    }
+    assert set(got) == {0, 9}
+    assert (got[0]["n"], got[0]["n_pos"]) == (2, 1)
+    assert got[0]["mean_score_micros"] == 50_000
+    assert got[0]["pos_rate_micros"] == 500_000
+    assert (got[9]["n"], got[9]["n_pos"]) == (3, 3)
+    # mean of 950000, 970000, 1000000 -> 2920000/3 = 973333.33 -> 973333
+    assert got[9]["mean_score_micros"] == 973_333
+    assert got[9]["pos_rate_micros"] == 1_000_000
