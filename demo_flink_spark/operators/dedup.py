@@ -1592,7 +1592,7 @@ def global_sorted_rank(
             (
                 F.col("_lrn")
                 + F.coalesce(
-                    off_map.getItem(F.col("_pid")), F.lit(0)
+                    F.element_at(off_map, F.col("_pid")), F.lit(0)
                 ).cast("long")
             ),
         )

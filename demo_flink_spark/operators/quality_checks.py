@@ -420,7 +420,7 @@ def benford_first_digit(
             "digit",
             F.col("c").cast("long").alias("n_obs"),
             F.expr("(c * 2000000 + n) div (2 * n)").alias("share_micros"),
-            benford.getItem(F.col("digit")).cast("long").alias(
+            F.element_at(benford, F.col("digit")).cast("long").alias(
                 "benford_micros"
             ),
         )
