@@ -385,3 +385,117 @@ def bfs_hops(
         dist = dist.union(nxt).transform(cut_lineage)
         frontier = nxt.select("node")
     return dist.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    d_min: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree distribution summary + Hill/MLE power-law exponent for
+    an undirected graph:
+
+        alpha = 1 + n / Σ_{deg_i >= d_min} ln(deg_i / d_min)
+
+    (Clauset-Shalizi-Newman's discrete-tail MLE with fixed d_min) —
+    the graph-shape diagnostic that tells you whether a key/degree
+    distribution is heavy-tailed enough to need skew handling
+    (salting, hub caps) BEFORE a join falls over at scale.
+
+    Engine-exact: each ln(deg/d_min) is the portable softln series
+    (deg >= d_min ⇒ ratio >= 1 ⇒ -softln(d_min, deg)), half-up 6dp
+    micros; their sum is an exact BIGINT; the final alpha division is
+    one double op. Output: tail size, max/mean degree (mean as
+    round-half-away micros), alpha_micros.
+
+    One degree aggregate + one |V|-row reduction; nothing driver-side.
+    """
+    from demo_flink_spark.operators.relational import softln_ratio
+
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    ln_micros = (
+        F.round(
+            F.lit(-1.0) * softln_ratio(F.lit(d_min), F.col("deg")), 6
+        ).cast("decimal(38,6)")
+        * 1000000
+    ).cast("long")
+    tail = deg.filter(F.col("deg") >= d_min)
+    return (
+        tail.agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum("deg").alias("sdeg"),
+            F.max("deg").alias("max_degree"),
+            F.sum(ln_micros).alias("sln"),
+        )
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_tail").cast("long").alias("n_tail"),
+            F.col("max_degree").cast("long").alias("max_degree"),
+            F.expr("(sdeg * 2000000 + n_tail) div (2 * n_tail)").alias(
+                "mean_tail_degree_micros"
+            ),
+            # alpha = 1 + n_tail / (sln/1e6): one double division over
+            # exact integers
+            (
+                F.lit(1.0)
+                + F.col("n_tail").cast("double")
+                / (F.col("sln").cast("double") / F.lit(1000000.0))
+            ).alias("alpha"),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all directed edge instances of the
+    symmetrized graph — positive means hubs link to hubs (social
+    shape), negative means hub-leaf (internet/bipartite-projection
+    shape). The second scale diagnostic next to `degree_powerlaw`:
+    disassortative graphs concentrate join fan-out on hub-leaf edges.
+
+    Exact-integer sufficient statistics (the linear_trend recipe):
+    every Σ is a decimal(38,0) sum of degree products (degrees are
+    ints), only the final correlation is double arithmetic —
+    bit-identical cross-engine.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("a").alias("u"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("a").alias("v"), F.col("deg").alias("dy"))
+    pairs = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .join(da, "u")
+        .join(db, "v")
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    num = F.expr("CAST(m * sxy - sx * sy AS DOUBLE)")
+    den = F.expr(
+        "sqrt(CAST(m * sxx - sx * sx AS DOUBLE))"
+        " * sqrt(CAST(m * syy - sy * sy AS DOUBLE))"
+    )
+    return agg.select(
+        F.expr("CAST(m AS BIGINT)").alias("n_edge_ends"),
+        (num / den).alias("assortativity"),
+    )

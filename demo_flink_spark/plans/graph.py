@@ -93,6 +93,25 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution summary + Hill/MLE power-law exponent of
+    the part co-order graph (operators/graph.py::degree_powerlaw) —
+    the is-this-graph-heavy-tailed diagnostic run before choosing a
+    join skew strategy."""
+    from demo_flink_spark.operators.graph import degree_powerlaw
+
+    return degree_powerlaw(_copurchase_edges(spark, sf_dir), d_min=2)
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the part co-order graph
+    (operators/graph.py::degree_assortativity): exact-integer
+    sufficient statistics, one final double correlation."""
+    from demo_flink_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(spark, sf_dir))
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 predicted new links in the part co-order graph by
     Adamic-Adar score ("parts likely to be co-ordered next") —
@@ -350,6 +369,78 @@ SPECS = [
                node // 2 AS key,
                CAST(min(hop) AS INTEGER) AS hops
         FROM walk GROUP BY 1, 2
+        """,
+    ),
+    QuerySpec(
+        "graph_degree_powerlaw",
+        q_degree_powerlaw,
+        oracle=f"""
+        WITH e AS (
+            SELECT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
+                FROM und GROUP BY a),
+        tail AS (
+            SELECT deg,
+                   CAST(CAST(round(-1.0 * ({softln_ratio_sql("2", "deg")}), 6)
+                             AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS lnm
+            FROM deg WHERE deg >= 2
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_tail,
+                   CAST(sum(deg) AS BIGINT) AS sdeg,
+                   CAST(max(deg) AS BIGINT) AS max_degree,
+                   CAST(sum(lnm) AS BIGINT) AS sln
+            FROM tail
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT n_nodes, n_tail, max_degree,
+               (sdeg * 2000000 + n_tail) // (2 * n_tail)
+                   AS mean_tail_degree_micros,
+               1.0 + CAST(n_tail AS DOUBLE)
+                   / (CAST(sln AS DOUBLE) / 1000000.0) AS alpha
+        FROM agg CROSS JOIN nn
+        """,
+    ),
+    QuerySpec(
+        "graph_assortativity",
+        q_assortativity,
+        oracle="""
+        WITH e AS (
+            SELECT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
+                FROM und GROUP BY a),
+        pairs AS (
+            SELECT CAST(dx.deg AS HUGEINT) AS x,
+                   CAST(dy.deg AS HUGEINT) AS y
+            FROM und
+            JOIN deg dx ON und.a = dx.a
+            JOIN deg dy ON und.b = dy.a
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS HUGEINT) AS m,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy
+            FROM pairs
+        )
+        SELECT CAST(m AS BIGINT) AS n_edge_ends,
+               CAST(m * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+                   AS assortativity
+        FROM agg
         """,
     ),
 ]

@@ -406,3 +406,37 @@ def test_calibration_bins_hand_computed(spark):
     # mean of 950000, 970000, 1000000 -> 2920000/3 = 973333.33 -> 973333
     assert got[9]["mean_score_micros"] == 973_333
     assert got[9]["pos_rate_micros"] == 1_000_000
+
+
+def test_degree_powerlaw_on_star_graph(spark):
+    """Star K1,5: hub degree 5, leaves degree 1 — tail (d>=2) is just
+    the hub, so alpha = 1 + 1/ln(5/2)."""
+    import math
+
+    from demo_flink_spark.operators.graph import degree_powerlaw
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_powerlaw(edges, d_min=2).collect()[0]
+    assert r["n_nodes"] == 6 and r["n_tail"] == 1 and r["max_degree"] == 5
+    assert r["mean_tail_degree_micros"] == 5_000_000
+    want = 1.0 + 1.0 / (round(math.log(5 / 2), 6))
+    assert abs(r["alpha"] - want) < 1e-6
+
+
+def test_assortativity_signs(spark):
+    """A star is maximally disassortative (hub-leaf only): r = -1...
+    except Pearson r is undefined for constant marginals, so use a
+    double star; a clean 2-regular cycle has zero variance -> test a
+    barbell-ish mix instead for sign behavior."""
+    from demo_flink_spark.operators.graph import degree_assortativity
+
+    # two hubs joined, each with 3 leaves: hub-hub edge is
+    # assortative, hub-leaf edges disassortative -> overall negative
+    edges = [(0, 100), (1, 100), (2, 100), (100, 200),
+             (3, 200), (4, 200), (5, 200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = degree_assortativity(df).collect()[0]
+    assert r["n_edge_ends"] == 14  # 7 undirected edges, both directions
+    assert r["assortativity"] < 0

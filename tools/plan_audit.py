@@ -562,6 +562,39 @@ CHECKS = {
         ["Scan ExistingRDD", "BroadcastHashJoin"],
         ["CartesianProduct", "Window"],
     ),
+    # graph stats: degree aggregates + 1-row reductions; the only
+    # crossJoin is the broadcast 1-row n_nodes frame
+    "graph_degree_powerlaw": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "graph_assortativity": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # systematic sample: checkpointed rank pass + narrow modulo filter
+    "sample_systematic_orders": (
+        ["Scan ExistingRDD"],
+        ["CartesianProduct", "Window"],
+    ),
+    # calibration: one scan -> one n_bins-row aggregate; never a join
+    "quality_calibration_bins": (
+        ["HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # benford: one count aggregate; with the default single group the
+    # constant grp key folds away and the 1-row totals frame rides a
+    # broadcast nested loop — never a shuffled cartesian or SMJ
+    "dq_benford_prices": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # chi-square: contingency agg + broadcast marginals; the 1-row
+    # total rides a broadcast nested loop, never a shuffled cartesian
+    "dq_chi_square_independence": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
