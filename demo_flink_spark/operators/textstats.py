@@ -1312,3 +1312,61 @@ def kl_unigram_by_source(
             "     div (2 * CAST(n AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("kl_micros"),
     )
+
+
+def word_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of per-document counts) for
+    the corpus's top-`top_k` words — the burstiness/dispersion
+    diagnostic: function words disperse evenly (F ≈ 1, Poisson-like),
+    topical words are bursty (F ≫ 1, they pile into few docs), and a
+    templated/spam corpus shows F ≈ 0 for its boilerplate tokens
+    (identical count in EVERY doc). Complements `repetition_signals`
+    (within-doc) with the ACROSS-doc dispersion axis.
+
+    Exact arithmetic: with N docs and per-doc counts c_i (0 for docs
+    without the word — N enters as a constant),
+
+        F = (N·Σc² − (Σc)²) / (N·Σc)
+
+    — population variance over mean, cleared of fractions. Every term
+    is an exact BIGINT/decimal product; `fano_micros` is one
+    round-half-away integer division. Ordering ties break by word.
+
+    One (word, doc) count aggregate + a word-keyed reduction; the
+    global top-k is `orderBy().limit()` — Spark plans it as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), NOT a single-partition rank window. Nothing driver-side
+    beyond the k merged rows.
+    """
+    n_docs = docs.count()  # one scalar: the corpus size
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word"),
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_word = wc.groupBy("word").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.expr("c * c")).alias("sc2"),
+        F.count(F.lit(1)).alias("n_docs_with"),
+    )
+    top = per_word.orderBy(F.col("sc").desc(), "word").limit(top_k)
+    return top.select(
+        "word",
+        F.col("sc").cast("long").alias("n_occurrences"),
+        F.col("n_docs_with").cast("long").alias("n_docs_with"),
+        F.expr(
+            f"(({n_docs} * sc2 - sc * sc) * 2000000 + {n_docs} * sc)"
+            f" div (2 * {n_docs} * sc)"
+        )
+        .cast("long")
+        .alias("fano_micros"),
+    )

@@ -374,6 +374,13 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness of the top-20 corpus words
+    (operators/textstats.py::word_burstiness): across-doc dispersion
+    in exact integer micros; top-k via TakeOrderedAndProject."""
+    return textstats.word_burstiness(load_table(spark, sf_dir, "documents"))
+
+
 def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability bins of the stopword-ratio quality signal against
     lang='en' (operators/evaluation.py::calibration_bins) — the
@@ -1065,6 +1072,37 @@ SPECS = [
                      ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 6)
                    AS distinct_ratio
         FROM tok
+        """,
+    ),
+    QuerySpec(
+        # Fano = (N·Σc² − (Σc)²)/(N·Σc) per top word, round-half-away
+        # micros; the oracle repeats the same cleared-fraction form
+        "word_burstiness_top20",
+        q_burstiness,
+        oracle="""
+        WITH wc AS (
+            SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS word
+                FROM documents
+            ) t GROUP BY 1, 2
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        pw AS (
+            SELECT word, CAST(sum(c) AS BIGINT) AS sc,
+                   CAST(sum(c * c) AS BIGINT) AS sc2,
+                   CAST(count(*) AS BIGINT) AS n_docs_with
+            FROM wc GROUP BY word
+        ),
+        top AS (
+            SELECT * FROM pw ORDER BY sc DESC, word LIMIT 20
+        )
+        SELECT word, sc AS n_occurrences, n_docs_with,
+               ((n * sc2 - sc * sc) * 2000000 + n * sc)
+                   // (2 * n * sc) AS fano_micros
+        FROM top CROSS JOIN nd
         """,
     ),
     QuerySpec(

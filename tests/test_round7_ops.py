@@ -440,3 +440,25 @@ def test_assortativity_signs(spark):
     r = degree_assortativity(df).collect()[0]
     assert r["n_edge_ends"] == 14  # 7 undirected edges, both directions
     assert r["assortativity"] < 0
+
+
+def test_word_burstiness_bursty_vs_uniform(spark):
+    from demo_flink_spark.operators.textstats import word_burstiness
+
+    # 'aa' once in every doc (F = 0: constant count, zero variance);
+    # 'zz' 10 times in one doc only (F = 10*(5-1)/5 = 8)
+    docs = spark.createDataFrame(
+        [
+            (1, "aa " + "zz " * 10),
+            (2, "aa"),
+            (3, "aa"),
+            (4, "aa"),
+            (5, "aa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["word"]: r for r in word_burstiness(docs, top_k=5).collect()}
+    assert got["aa"]["fano_micros"] == 0
+    assert got["aa"]["n_docs_with"] == 5
+    assert got["zz"]["fano_micros"] == 8_000_000
+    assert got["zz"]["n_docs_with"] == 1
