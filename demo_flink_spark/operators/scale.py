@@ -272,3 +272,118 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def sketch_residual_quantile(
+    df,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+    accuracy: int = 100,
+):
+    """EXACT type-1 quantile elements per key WITHOUT a full per-key
+    sort — the sketch-first-then-residual recipe that the exact-rank
+    operators (`quantile_disc_by_segment`, `percentile_exact`,
+    `anomaly_mad_hampel`) document as the 100 TB path, implemented:
+
+    1. SKETCH: one `percentile_approx` aggregate per key (GK-style
+       mergeable sketch, map-side combinable) brackets each target
+       percentile p with [approx(p−2ε), approx(p+2ε)], ε = 1/accuracy.
+       The sketch's rank-error guarantee (≤ εn for any merge order /
+       partitioning) puts the TRUE rank-r* element inside that value
+       band regardless of how the sketch merged.
+    2. RESIDUAL: count rows strictly below the band (one aggregate),
+       then rank-select ONLY the band rows — a keyed window over
+       O(εn) rows per key instead of n. The selected element is the
+       same bit-copied input value the full-sort path returns; the
+       sketch only PRUNES, it never touches the answer.
+    3. FALLBACK: any (key, pct) whose target rank falls outside its
+       band (possible only for degenerate/tiny groups) is recomputed
+       by the audit-grade full-sort path — correctness never rests on
+       the sketch's guarantee being tight.
+
+    Returns (key, n, p{pct}...) with EXACTLY the values of the
+    full-sort `quantile_disc` contract: rank ⌊p·(n−1)⌋+1 under the
+    (value, tiebreak) total order, doubles bit-copied.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    eps = 1.0 / accuracy
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    lo_qs = [max(p / 100.0 - 2 * eps, 0.0) for p in pcts]
+    hi_qs = [min(p / 100.0 + 2 * eps, 1.0) for p in pcts]
+    stats = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("v", lo_qs, accuracy).alias("lo"),
+        F.percentile_approx("v", hi_qs, accuracy).alias("hi"),
+    )
+    bands = stats.select(
+        "k",
+        "n",
+        F.posexplode(F.arrays_zip("lo", "hi")).alias("i", "band"),
+    ).select(
+        "k",
+        "n",
+        F.element_at(
+            F.array(*[F.lit(p) for p in pcts]), F.col("i") + 1
+        ).alias("pct"),
+        F.col("band.lo").alias("lo"),
+        F.col("band.hi").alias("hi"),
+    ).withColumn("target", F.expr("(n - 1) * pct div 100 + 1"))
+    tagged = base.join(F.broadcast(bands), "k")
+    below = (
+        tagged.filter(F.col("v") < F.col("lo"))
+        .groupBy("k", "pct")
+        .agg(F.count(F.lit(1)).alias("n_below"))
+    )
+    band_rows = tagged.filter(
+        (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    ).join(F.broadcast(below), ["k", "pct"], "left").na.fill({"n_below": 0})
+    w = Window.partitionBy("k", "pct").orderBy("v", "tb")
+    picked = (
+        band_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("target") - F.col("n_below"))
+        .select("k", "pct", F.col("v").alias("element"))
+    )
+    # picked is keys×pcts rows; it feeds the output AND the fallback
+    # anti-join — materialize once instead of re-running the pipeline
+    from demo_flink_spark.operators.checkpointing import cut_lineage
+
+    picked = picked.transform(cut_lineage)
+    # fallback: (key, pct) pairs the band missed -> full-sort path,
+    # but ONLY over the missing keys' rows (left_semi first). In the
+    # normal case `missing` is empty and AQE's empty-relation
+    # propagation collapses the whole branch to nothing at runtime —
+    # no eager isEmpty() probe, no full-sort job.
+    missing = bands.join(picked, ["k", "pct"], "left_anti").select("k", "pct")
+    fb_base = base.join(
+        F.broadcast(missing.select("k").distinct()), "k", "left_semi"
+    )
+    wf = Window.partitionBy("k").orderBy("v", "tb")
+    fb = (
+        fb_base.select(
+            "k",
+            "v",
+            "tb",
+            F.row_number().over(wf).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n"),
+        )
+        .join(F.broadcast(missing), "k")
+        .filter(F.expr("rn = (n - 1) * pct div 100 + 1"))
+        .select("k", "pct", F.col("v").alias("element"))
+    )
+    wide = picked.unionByName(fb).groupBy("k").pivot("pct", list(pcts)).agg(
+        F.first("element")
+    )
+    out = stats.select("k", F.col("n").cast("long").alias("n")).join(
+        wide, "k"
+    )
+    for p in pcts:
+        out = out.withColumnRenamed(str(p), f"p{p}")
+    return out.withColumnRenamed("k", key_col)

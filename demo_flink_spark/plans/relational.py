@@ -754,6 +754,27 @@ def q_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact type-1 quantile elements as
+    `quantile_disc_by_segment`, computed by the 100 TB path those
+    operators document: sketch-first (percentile_approx brackets each
+    target), residual exact rank-select over only the O(εn) band
+    rows, full-sort fallback for any band miss
+    (operators/scale.py::sketch_residual_quantile). Shares the
+    full-sort query's oracle — hash equality proves the sketch never
+    changes the answer."""
+    from demo_flink_spark.operators.scale import sketch_residual_quantile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    d = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return sketch_residual_quantile(
+        d, "c_mktsegment", "o_totalprice", "o_orderkey"
+    )
+
+
 def q_sql_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL surface (SURVEY §2.3/§2.4 ext): CTE + scalar subquery.
 
@@ -1564,6 +1585,32 @@ SPECS = [
         q_quantile_disc,
         # rank-selected elements: bit-copied doubles, integer ranks —
         # no float arithmetic in the contract
+        oracle="""
+        WITH r AS (
+            SELECT c_mktsegment, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1
+                        THEN o_totalprice END) AS p50,
+               max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1
+                        THEN o_totalprice END) AS p90,
+               max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1
+                        THEN o_totalprice END) AS p99
+        FROM r GROUP BY c_mktsegment
+        """,
+    ),
+    QuerySpec(
+        # the sketch-first-then-residual 100 TB path, proven exact by
+        # sharing the full-sort query's oracle verbatim
+        "quantile_sketch_residual",
+        q_quantile_sketch_residual,
         oracle="""
         WITH r AS (
             SELECT c_mktsegment, o_totalprice,

@@ -462,3 +462,45 @@ def test_word_burstiness_bursty_vs_uniform(spark):
     assert got["aa"]["n_docs_with"] == 5
     assert got["zz"]["fano_micros"] == 8_000_000
     assert got["zz"]["n_docs_with"] == 1
+
+
+def test_sketch_residual_quantile_equals_full_sort(spark):
+    """The sketch path must return bit-identical elements to the
+    full-sort path, including under adversarial duplicates, and the
+    fallback must rescue bands on degenerate tiny groups."""
+    from pyspark.sql.window import Window
+
+    from demo_flink_spark.operators.scale import sketch_residual_quantile
+
+    rows = []
+    # key 'a': 1000 distinct values; key 'b': heavy duplicates
+    # (constant blocks); key 'c': tiny group (3 rows)
+    for i in range(1000):
+        rows.append(("a", float(i * 7 % 1000), i))
+    for i in range(500):
+        rows.append(("b", float(i // 100), 10_000 + i))
+    for i in range(3):
+        rows.append(("c", float(i), 20_000 + i))
+    df = spark.createDataFrame(rows, "k string, v double, tb long")
+
+    got = {
+        r["k"]: r
+        for r in sketch_residual_quantile(df, "k", "v", "tb").collect()
+    }
+    w = Window.partitionBy("k").orderBy("v", "tb")
+    full = df.select(
+        "k",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n"),
+    )
+    for pct in (50, 90, 99):
+        want = {
+            r["k"]: r["v"]
+            for r in full.filter(
+                F.expr(f"rn = (n - 1) * {pct} div 100 + 1")
+            ).collect()
+        }
+        for k in want:
+            assert got[k][f"p{pct}"] == want[k], (k, pct)
+    assert got["a"]["n"] == 1000 and got["c"]["n"] == 3
