@@ -187,8 +187,11 @@ def mad_outliers(
     Plan: two keyed window passes (value rank, then absdev rank) and
     a 1-row-per-key broadcast join back — shuffles only on the key.
     The full-sort-per-key window is the audit-grade exact path (same
-    caveat as `percentile_exact`): at 100 TB use the approx sketch to
-    locate the pivot and this operator on the residual slice.
+    caveat as `percentile_exact`): at 100 TB locate each median with
+    the sketch-first-then-residual recipe — IMPLEMENTED as
+    `operators/scale.py::sketch_residual_quantile` (exactness proven
+    by sharing the full-sort oracle) — and run this operator's
+    selection on the residual band only.
     """
     v, key = F.col(value_col), F.col(key_col)
     w = Window.partitionBy(key_col).orderBy(value_col, tiebreak_col)

@@ -643,8 +643,11 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and interpolate linearly at p·(n−1).
 
     Exact percentile materializes each group's values — at 100 TB use
-    the sketch; this query exists to BOUND the sketch's error on
-    samples and for final-report numbers where exactness is required.
+    the sketch-first-then-residual path (IMPLEMENTED:
+    `operators/scale.py::sketch_residual_quantile`, declared as
+    `quantile_sketch_residual` with the full-sort oracle); this query
+    exists to BOUND the sketch's error on samples and for
+    final-report numbers where exactness is required.
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -726,8 +729,9 @@ def q_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction and works unchanged for any orderable type (dates,
     decimals, strings). One keyed window pass + one aggregate; the
     full-sort-per-key window is the audit-grade exact path — at
-    100 TB locate pivots with the sketch first, as documented on
-    `percentile_exact`.
+    100 TB the sketch-first-then-residual twin
+    (`quantile_sketch_residual`, same oracle, same answer) replaces
+    the full sort with an O(εn)-band rank-select.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
