@@ -283,3 +283,28 @@ def calibration_bins(
         .cast("long")
         .alias("pos_rate_micros"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row ECE summary over `calibration_bins`:
+
+        ECE = Σ_b n_b · |mean_score_b − pos_rate_b| / N
+
+    in exact integer micros (the bin means are already integers;
+    the final division is round-half-away). The single-number
+    calibration headline next to the AUC headline.
+    """
+    bins = calibration_bins(df, score_col, label_col, n_bins)
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum("n").cast("long").alias("n"),
+        F.expr(
+            "CAST((sum(n * abs(mean_score_micros - pos_rate_micros)) * 2"
+            "      + sum(n)) div (2 * sum(n)) AS BIGINT)"
+        ).alias("ece_micros"),
+    )

@@ -745,3 +745,69 @@ def stl_decompose(
             "residual_micros"
         ),
     )
+
+
+def cross_correlation(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step: str = "hour",
+) -> DataFrame:
+    """Pearson cross-correlation (lag 0) between two event types'
+    bucketed count series — "do errors spike when clicks spike?", the
+    bivariate companion to `acf_exact`'s univariate autocorrelation.
+
+    The two series are aligned on the UNION of their buckets with
+    missing buckets as 0 (a bucket where only one side fired is
+    exactly the disagreement evidence the correlation must see;
+    inner-joining would bias r upward). Counts are exact ints; all
+    five sufficient statistics are decimal(38,0) sums; only the final
+    r is double arithmetic (sqrt is correctly rounded everywhere) —
+    bit-identical cross-engine.
+
+    One bucket aggregate + one full-outer self-alignment on the
+    bucket key + a scalar reduction.
+    """
+    b = (
+        events.filter(F.col(key_col).isin([type_a, type_b]))
+        .groupBy(
+            F.date_trunc(step, F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a_side = b.filter(F.col("k") == type_a).select(
+        "bucket", F.col("c").alias("ca")
+    )
+    b_side = b.filter(F.col("k") == type_b).select(
+        "bucket", F.col("c").alias("cb")
+    )
+    aligned = (
+        a_side.join(b_side, "bucket", "full_outer")
+        .select(
+            F.coalesce(F.col("ca"), F.lit(0)).cast("decimal(38,0)").alias("x"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("decimal(38,0)").alias("y"),
+        )
+    )
+    agg = aligned.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return agg.select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        F.expr("CAST(n AS BIGINT)").alias("n_buckets"),
+        (
+            F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+            / (
+                F.expr("sqrt(CAST(n * sxx - sx * sx AS DOUBLE))")
+                * F.expr("sqrt(CAST(n * syy - sy * sy AS DOUBLE))")
+            )
+        ).alias("r"),
+    )

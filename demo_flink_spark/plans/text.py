@@ -394,6 +394,21 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row expected-calibration-error headline for the
+    stopword-ratio signal vs lang='en'
+    (operators/evaluation.py::expected_calibration_error)."""
+    from demo_flink_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.quality_score(docs, keep=("lang",))
+    return expected_calibration_error(
+        scored, F.col("stopword_ratio"), F.col("lang") == "en"
+    )
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/2/3-gram diversity per source slice
     (operators/textstats.py::ngram_diversity): the template-spam
@@ -1143,6 +1158,50 @@ SPECS = [
                CAST((CAST(sum(p) AS HUGEINT) * 2000000 + count(*))
                     // (2 * count(*)) AS BIGINT) AS pos_rate_micros
         FROM b GROUP BY bin
+        """,
+    ),
+    QuerySpec(
+        # ECE over the same bins; the final division round-half-away
+        "quality_ece",
+        q_ece,
+        oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> length(w) > 0) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT lang,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks,
+                                  w -> w IN ({_STOPWORDS_SQL})))
+                              / CAST(len(toks) AS DOUBLE) END, 6) AS s
+            FROM tok
+        ),
+        m AS (
+            SELECT CAST(CAST(s AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                       AS sm,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+            FROM scored
+        ),
+        b AS (
+            SELECT least(sm // 100000, 9) AS bin, sm, p FROM m
+        ),
+        bins AS (
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST((CAST(sum(sm) AS HUGEINT) * 2 + count(*))
+                        // (2 * count(*)) AS BIGINT) AS msm,
+                   CAST((CAST(sum(p) AS HUGEINT) * 2000000 + count(*))
+                        // (2 * count(*)) AS BIGINT) AS prm
+            FROM b GROUP BY bin
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_bins_used,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST((CAST(sum(n * abs(msm - prm)) AS HUGEINT) * 2
+                     + sum(n)) // (2 * sum(n)) AS BIGINT) AS ece_micros
+        FROM bins
         """,
     ),
     QuerySpec(

@@ -277,6 +277,16 @@ FROM a WHERE nm > 0
 """
 
 
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson cross-correlation of click vs error hourly counts,
+    zero-filled on the union grid
+    (operators/timeseries.py::cross_correlation): exact decimal
+    sufficient statistics, one final double correlation."""
+    return ts.cross_correlation(
+        load_table(spark, sf_dir, "events"), "click", "error"
+    )
+
+
 def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-lite decomposition of per-event_type hourly counts into
     trend (±12h centered MA on a RANGE frame) + hour-of-day seasonal
@@ -414,6 +424,37 @@ SPECS = [
         WHERE n_win >= 8
           AND abs((value - s1 / n_win)
                   / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1))) > 2.5
+        """,
+    ),
+    QuerySpec(
+        "ts_cross_correlation",
+        q_cross_correlation,
+        oracle="""
+        WITH b AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type AS k,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE event_type IN ('click', 'error')
+            GROUP BY 1, 2
+        ),
+        al AS (
+            SELECT CAST(coalesce(a.c, 0) AS HUGEINT) AS x,
+                   CAST(coalesce(e.c, 0) AS HUGEINT) AS y
+            FROM (SELECT bucket, c FROM b WHERE k = 'click') a
+            FULL OUTER JOIN (SELECT bucket, c FROM b WHERE k = 'error') e
+            USING (bucket)
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM al
+        )
+        SELECT 'click' AS type_a, 'error' AS type_b,
+               CAST(n AS BIGINT) AS n_buckets,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+        FROM agg
         """,
     ),
     QuerySpec(

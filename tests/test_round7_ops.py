@@ -504,3 +504,58 @@ def test_sketch_residual_quantile_equals_full_sort(spark):
         for k in want:
             assert got[k][f"p{pct}"] == want[k], (k, pct)
     assert got["a"]["n"] == 1000 and got["c"]["n"] == 3
+
+
+def test_cross_correlation_perfect_and_anti(spark):
+    from demo_flink_spark.operators.timeseries import cross_correlation
+
+    rows = []
+    # 'a' counts 1,2,3,4 per hour; 'b' counts 4,3,2,1 -> r = -1
+    for h, (na, nb) in enumerate([(1, 4), (2, 3), (3, 2), (4, 1)]):
+        for _ in range(na):
+            rows.append(("a", f"2024-03-01 0{h}:10:00"))
+        for _ in range(nb):
+            rows.append(("b", f"2024-03-01 0{h}:20:00"))
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    r = cross_correlation(ev, "a", "b").collect()[0]
+    assert r["n_buckets"] == 4
+    assert abs(r["r"] - (-1.0)) < 1e-12
+
+
+def test_cross_correlation_zero_fills_missing_buckets(spark):
+    """A bucket where only one side fired must enter as (c, 0) — not
+    be dropped by an inner join."""
+    from demo_flink_spark.operators.timeseries import cross_correlation
+
+    rows = [("a", "2024-03-01 00:00:00"), ("a", "2024-03-01 01:00:00"),
+            ("b", "2024-03-01 01:00:00"), ("b", "2024-03-01 02:00:00")]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    r = cross_correlation(ev, "a", "b").collect()[0]
+    assert r["n_buckets"] == 3  # union of hours 0,1,2
+    # series a = (1,1,0), b = (0,1,1) -> r = -0.5
+    assert abs(r["r"] - (-0.5)) < 1e-12
+
+
+def test_ece_perfectly_calibrated_is_zero(spark):
+    from demo_flink_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    # bin 2 (scores 0.25): half positive; mean 250000, rate 500000
+    # -> per-bin gap 250000; single bin -> ECE = 250000
+    df = spark.createDataFrame(
+        [(0.25, True), (0.25, False)], "s double, y boolean"
+    )
+    r = expected_calibration_error(df, F.col("s"), F.col("y")).collect()[0]
+    assert r["n_bins_used"] == 1 and r["n"] == 2
+    assert r["ece_micros"] == 250_000
+    # perfectly calibrated: score 0.5, half positive -> gap 0
+    df2 = spark.createDataFrame(
+        [(0.5, True), (0.5, False)], "s double, y boolean"
+    )
+    r2 = expected_calibration_error(df2, F.col("s"), F.col("y")).collect()[0]
+    assert r2["ece_micros"] == 0
