@@ -320,3 +320,60 @@ def random_projection(
         )
         coords.append((dot * F.lit(scale)).alias(f"y{k}"))
     return df.select("vec_id", F.array(*coords).alias("proj"))
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_cents: Column,
+    id_cols: tuple[str, ...],
+    m: int = 10,
+) -> DataFrame:
+    """Leave-one-out target encoding with m-estimate smoothing — the
+    categorical-feature workhorse that window EXCLUDE CURRENT ROW
+    would express if Spark supported it (it doesn't; this is the
+    subtract-own-row formulation, exact and leak-free):
+
+        encode_i = ( (S_cat − y_i)·N + m·S_all )
+                 / ( (n_cat − 1 + m)·N )
+
+    i.e. the category's mean target EXCLUDING row i, shrunk toward
+    the global mean by pseudo-count m. Removing the own row is what
+    prevents the target leaking into its own feature — the classic
+    CatBoost/Kaggle trick, and the reason a plain groupBy-mean join
+    is wrong for training features.
+
+    Exactness: the target enters as integer cents; S_cat, S_all, N,
+    n_cat are exact decimal(38,0) aggregates; numerator and
+    denominator are exact integer products (the fraction is cleared
+    of the global-mean ratio) and only the FINAL division is a
+    double — bit-identical cross-engine, no rounding rule.
+
+    Plan: one category aggregate (broadcast-sized), one global
+    1-row aggregate, broadcast both back onto the scan — per-row
+    arithmetic, no self-join, no window.
+    """
+    y = target_cents.cast("decimal(38,0)")
+    base = df.select(*id_cols, F.col(cat_col).alias("cat"), y.alias("y"))
+    per_cat = base.groupBy("cat").agg(
+        F.sum("y").alias("s_cat"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_cat"),
+    )
+    tot = base.agg(
+        F.sum("y").alias("s_all"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_all"),
+    )
+    return (
+        base.join(F.broadcast(per_cat), "cat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *id_cols,
+            F.col("cat").alias(cat_col),
+            (
+                F.expr(
+                    f"CAST(((s_cat - y) * n_all + {m} * s_all) AS DOUBLE)"
+                )
+                / F.expr(f"CAST((n_cat - 1 + {m}) * n_all AS DOUBLE)")
+            ).alias("encoded"),
+        )
+    )

@@ -108,7 +108,45 @@ def _rp_oracle() -> str:
         """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free leave-one-out target encoding of order priority by
+    total price (operators/features.py::target_encode_loo): exact
+    integer-cleared fraction, one final double division, m = 10."""
+    orders = load_table(spark, sf_dir, "orders")
+    return ft.target_encode_loo(
+        orders,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100),
+        ("o_orderkey",),
+        m=10,
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "feature_target_encode_loo",
+        q_target_encode,
+        oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority AS cat,
+                   CAST(round(o_totalprice * 100) AS HUGEINT) AS y
+            FROM orders
+        ),
+        pc AS (
+            SELECT cat, sum(y) AS s_cat,
+                   CAST(count(*) AS HUGEINT) AS n_cat
+            FROM base GROUP BY cat
+        ),
+        tot AS (
+            SELECT sum(y) AS s_all, CAST(count(*) AS HUGEINT) AS n_all
+            FROM base
+        )
+        SELECT o_orderkey, cat AS o_orderpriority,
+               CAST(((s_cat - y) * n_all + 10 * s_all) AS DOUBLE)
+                 / CAST((n_cat - 1 + 10) * n_all AS DOUBLE) AS encoded
+        FROM base JOIN pc USING (cat) CROSS JOIN tot
+        """,
+    ),
     QuerySpec(
         "embedding_random_projection", q_random_projection, oracle=_rp_oracle()
     ),

@@ -559,3 +559,40 @@ def test_ece_perfectly_calibrated_is_zero(spark):
     )
     r2 = expected_calibration_error(df2, F.col("s"), F.col("y")).collect()[0]
     assert r2["ece_micros"] == 0
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    """Hand-check: cat 'x' has targets 100, 300 cents; m=0 degenerates
+    to the plain LOO mean — row with y=100 must see 300, not 200."""
+    from demo_flink_spark.operators.features import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.00), (2, "x", 3.00), (3, "z", 5.00), (4, "z", 7.00)],
+        "id long, cat string, price double",
+    )
+    got = {
+        r["id"]: r["encoded"]
+        for r in target_encode_loo(
+            df, "cat", F.round(F.col("price") * 100), ("id",), m=0
+        ).collect()
+    }
+    assert got[1] == 300.0 and got[2] == 100.0
+    assert got[3] == 700.0 and got[4] == 500.0
+
+
+def test_target_encode_loo_smoothing_pulls_to_global(spark):
+    from demo_flink_spark.operators.features import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.00), (2, "x", 3.00), (3, "z", 5.00), (4, "z", 7.00)],
+        "id long, cat string, price double",
+    )
+    got = {
+        r["id"]: r["encoded"]
+        for r in target_encode_loo(
+            df, "cat", F.round(F.col("price") * 100), ("id",), m=1000
+        ).collect()
+    }
+    g = 400.0  # global mean cents
+    for v in got.values():
+        assert abs(v - g) < 5  # huge m -> everything near the global mean
