@@ -595,6 +595,28 @@ CHECKS = {
         ["HashAggregate"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # burstiness: global top-k must be TakeOrderedAndProject, never a
+    # single-partition rank window
+    "word_burstiness_top20": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["Window", "CartesianProduct"],
+    ),
+    # sketch-residual quantile: band-only rank window; the sketch agg
+    # is ObjectHashAggregate (percentile_approx); no cartesian
+    "quantile_sketch_residual": (
+        ["Window", "ObjectHashAggregate"],
+        ["CartesianProduct"],
+    ),
+    "quality_ece": (["HashAggregate"], ["Join", "CartesianProduct"]),
+    # cross-correlation: two broadcast-sized aggregates full-outer
+    # aligned on the bucket; never a cartesian
+    "ts_cross_correlation": (["HashAggregate"], ["CartesianProduct"]),
+    # target encoding: broadcast category stats + 1-row global frame
+    # back onto the scan; no shuffle join, no window
+    "feature_target_encode_loo": (
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "Window", "CartesianProduct"],
+    ),
 }
 
 
