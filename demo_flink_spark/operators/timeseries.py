@@ -811,3 +811,70 @@ def cross_correlation(
             )
         ).alias("r"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+) -> DataFrame:
+    """Per-key winsorization: clip values to the key's exact
+    [p_lo, p_hi] rank-selected ELEMENTS — the standard tail-taming
+    step before training on heavy-tailed features (cap, don't drop).
+
+    Fences follow the `quantile_disc` float-free contract: elements
+    at rank ⌊p·(n−1)⌋+1 under the (value, tiebreak) total order —
+    bit-copied inputs, integer ranks, no interpolation — so the
+    clipped output is always either the original value or an exact
+    input element, and the whole operator carries a value-hash
+    oracle. Emits `was_clipped` for audit.
+
+    Plan: one keyed rank window to locate fences, a 1-row-per-key
+    broadcast join back, then a narrow clip map. (At 100 TB locate
+    the fences with `scale.sketch_residual_quantile` — same values —
+    and keep only the clip map here.)
+    """
+    w = Window.partitionBy("k").orderBy("v", "tb")
+    wn = Window.partitionBy("k")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    ranked = base.select(
+        "k",
+        "v",
+        "tb",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    fences = ranked.groupBy("k").agg(
+        F.max(
+            F.when(
+                F.expr(f"rn = (n - 1) * {lo_pct} div 100 + 1"), F.col("v")
+            )
+        ).alias("fence_lo"),
+        F.max(
+            F.when(
+                F.expr(f"rn = (n - 1) * {hi_pct} div 100 + 1"), F.col("v")
+            )
+        ).alias("fence_hi"),
+    )
+    return (
+        base.join(F.broadcast(fences), "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("tb").alias(tiebreak_col),
+            F.col("v").alias(value_col),
+            F.greatest(
+                F.least(F.col("v"), F.col("fence_hi")), F.col("fence_lo")
+            ).alias("value_winsorized"),
+            (
+                (F.col("v") < F.col("fence_lo"))
+                | (F.col("v") > F.col("fence_hi"))
+            ).alias("was_clipped"),
+        )
+    )

@@ -277,6 +277,15 @@ FROM a WHERE nm > 0
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of `value` at the exact [p1, p99]
+    rank-selected elements (operators/timeseries.py::winsorize):
+    float-free fence contract, clip + audit flag."""
+    return ts.winsorize(
+        load_table(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
 def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson cross-correlation of click vs error hourly counts,
     zero-filled on the union grid
@@ -424,6 +433,33 @@ SPECS = [
         WHERE n_win >= 8
           AND abs((value - s1 / n_win)
                   / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1))) > 2.5
+        """,
+    ),
+    QuerySpec(
+        "feature_winsorize_events",
+        q_winsorize,
+        oracle="""
+        WITH r AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        f AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = ((n - 1) * 1) // 100 + 1
+                            THEN value END) AS fence_lo,
+                   max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1
+                            THEN value END) AS fence_hi
+            FROM r GROUP BY event_type
+        )
+        SELECT e.event_type, e.event_id, e.value,
+               greatest(least(e.value, f.fence_hi), f.fence_lo)
+                   AS value_winsorized,
+               e.value < f.fence_lo OR e.value > f.fence_hi AS was_clipped
+        FROM events e JOIN f USING (event_type)
         """,
     ),
     QuerySpec(

@@ -596,3 +596,19 @@ def test_target_encode_loo_smoothing_pulls_to_global(spark):
     g = 400.0  # global mean cents
     for v in got.values():
         assert abs(v - g) < 5  # huge m -> everything near the global mean
+
+
+def test_winsorize_clips_exact_fences(spark):
+    from demo_flink_spark.operators.timeseries import winsorize
+
+    # 100 values 0..99 per key: p1 element = rank (99*1)//100+1 = 1
+    # -> value 0; p99 element = rank 99*99//100+1 = 99 -> value 98
+    rows = [("k", float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, v double, id long")
+    out = winsorize(df, "key", "v", "id", 1, 99).collect()
+    clipped = {r["id"]: r for r in out}
+    assert clipped[99]["value_winsorized"] == 98.0
+    assert clipped[99]["was_clipped"]
+    assert clipped[0]["value_winsorized"] == 0.0
+    assert not clipped[0]["was_clipped"]
+    assert sum(1 for r in out if r["was_clipped"]) == 1  # only id=99
