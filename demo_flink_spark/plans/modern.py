@@ -215,9 +215,93 @@ FROM f GROUP BY eidx
 """
 
 
+def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 declarative SQL scalar UDF (`CREATE FUNCTION … RETURN
+    expr`) — the §2.10 UDF tier ABOVE Python: the body is pure SQL, so
+    Catalyst inlines it into the plan (codegen'd, pushdown-eligible,
+    zero serialization) where even a pandas UDF would be an opaque
+    Arrow exchange. Revenue per return flag through the UDF; the
+    oracle inlines the same expression — hash equality proves the UDF
+    call compiles away to the expression."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_rev(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(line_rev(l_extendedprice, l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem_sqludf GROUP BY l_returnflag
+        """
+    )
+
+
+def q_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 SQL TABLE function called LATERALLY with a correlated
+    argument — the declarative UDTF: split every high-value order's
+    total into 3 exact integer-cent installments (remainder cents go
+    to the earliest parts, Σ parts == total by construction)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_sqltf"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION installments(cents BIGINT)
+        RETURNS TABLE(part INT, amount_cents BIGINT) RETURN
+        SELECT 1, cents div 3 + CASE WHEN cents % 3 >= 1 THEN 1 ELSE 0 END
+        UNION ALL
+        SELECT 2, cents div 3 + CASE WHEN cents % 3 >= 2 THEN 1 ELSE 0 END
+        UNION ALL
+        SELECT 3, cents div 3
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, i.part, i.amount_cents
+        FROM orders_sqltf o,
+        LATERAL installments(
+            CAST(round(o.o_totalprice * 100) AS BIGINT)) i
+        WHERE o.o_totalprice > 400000
+        """
+    )
+
+
 SPECS = [
     QuerySpec(
         "pysource_event_counts", q_pysource_counts, oracle=_PYSOURCE_ORACLE
+    ),
+    QuerySpec(
+        "sql_udf_revenue",
+        q_sql_udf_revenue,
+        oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    QuerySpec(
+        "sql_table_udf_installments",
+        q_sql_table_udf,
+        # inline the table function body: 3 exact integer-cent parts,
+        # remainder to the earliest
+        oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_totalprice > 400000
+        )
+        SELECT o_orderkey, CAST(part AS INTEGER) AS part,
+               cents // 3 + CASE WHEN cents % 3 >= part THEN 1 ELSE 0 END
+                   AS amount_cents
+        FROM base, LATERAL unnest([1, 2, 3]) AS u(part)
+        """,
     ),
     QuerySpec(
         "variant_props_stats",
