@@ -277,6 +277,23 @@ FROM a WHERE nm > 0
 """
 
 
+def q_stl_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-aware anomaly summary: MAD/Hampel statistics over the
+    STL RESIDUAL series — the composition that plain z-scoring can't
+    match (it flags every daily peak; detrending + deseasonalizing
+    first means only genuine departures from the key's own rhythm
+    count as outliers). Both stages are the existing exact operators
+    (`stl_decompose` → `mad_outliers`), integers end to end."""
+    dec = ts.stl_decompose(load_table(spark, sf_dir, "events"))
+    return ts.mad_outliers(
+        dec,
+        key_col="key",
+        value_col="residual_micros",
+        tiebreak_col="window_start",
+        k=3.0,
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type winsorization of `value` at the exact [p1, p99]
     rank-selected elements (operators/timeseries.py::winsorize):
@@ -433,6 +450,85 @@ SPECS = [
         WHERE n_win >= 8
           AND abs((value - s1 / n_win)
                   / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1))) > 2.5
+        """,
+    ),
+    QuerySpec(
+        "anomaly_stl_residual",
+        q_stl_residual_anomaly,
+        # the stl CTE chain verbatim, then the MAD rank-median SQL
+        # over the residual column — all-integer medians/fences
+        oracle="""
+        WITH hourly AS (
+            SELECT event_type AS key,
+                   date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT key, window_start, cnt,
+                   CAST(epoch(window_start) AS BIGINT) AS epoch_s,
+                   CAST(hour(window_start) % 24 AS INTEGER) AS phase
+            FROM hourly
+        ),
+        tr AS (
+            SELECT key, window_start, cnt, phase,
+                   CAST(SUM(cnt) OVER fr AS BIGINT) AS w_sum,
+                   CAST(COUNT(*) OVER fr AS BIGINT) AS w_n
+            FROM w
+            WINDOW fr AS (PARTITION BY key ORDER BY epoch_s
+                          RANGE BETWEEN 43200 PRECEDING
+                                    AND 43200 FOLLOWING)
+        ),
+        det AS (
+            SELECT key, window_start, phase,
+                   cnt * 1000000
+                     - (w_sum * 2000000 + w_n) // (2 * w_n) AS detr_micros
+            FROM tr
+        ),
+        seas AS (
+            SELECT key, window_start, detr_micros,
+                   CAST(SUM(detr_micros) OVER pw AS BIGINT) AS p_sum,
+                   CAST(COUNT(*) OVER pw AS BIGINT) AS p_n
+            FROM det
+            WINDOW pw AS (PARTITION BY key, phase)
+        ),
+        stl AS (
+            SELECT key, window_start,
+                   detr_micros
+                     - (CASE WHEN p_sum < 0 THEN -1 ELSE 1 END)
+                       * ((abs(p_sum) * 2 + p_n) // (2 * p_n)) AS v
+            FROM seas
+        ),
+        ranked AS (
+            SELECT key, v, window_start AS tb,
+                   row_number() OVER (
+                       PARTITION BY key ORDER BY v, window_start
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM stl
+        ),
+        med AS (SELECT key, v AS med, n FROM ranked
+                WHERE rn = (n + 1) // 2),
+        dev AS (
+            SELECT r.key, r.v, r.tb, abs(r.v - m.med) AS absdev
+            FROM ranked r JOIN med m ON r.key = m.key
+        ),
+        dr AS (
+            SELECT key, absdev,
+                   row_number() OVER (
+                       PARTITION BY key ORDER BY absdev, tb
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM dev
+        ),
+        mad AS (SELECT key, absdev AS mad FROM dr WHERE rn = (n + 1) // 2)
+        SELECT d.key, CAST(m.n AS BIGINT) AS n, m.med, md.mad,
+               CAST(count(*) FILTER (WHERE d.absdev > 3.0 * md.mad)
+                    AS BIGINT) AS n_outliers
+        FROM dev d
+        JOIN med m ON d.key = m.key
+        JOIN mad md ON d.key = md.key
+        GROUP BY d.key, m.n, m.med, md.mad
         """,
     ),
     QuerySpec(

@@ -612,3 +612,43 @@ def test_winsorize_clips_exact_fences(spark):
     assert clipped[0]["value_winsorized"] == 0.0
     assert not clipped[0]["was_clipped"]
     assert sum(1 for r in out if r["was_clipped"]) == 1  # only id=99
+
+
+def test_stl_residual_anomaly_sees_through_seasonality(spark):
+    """A clean daily rhythm with one planted genuine anomaly: plain
+    magnitude-based flagging would mark every daily peak; the STL
+    residual path must flag ONLY the planted hour."""
+    from demo_flink_spark.operators.timeseries import (
+        mad_outliers,
+        stl_decompose,
+    )
+
+    rows = []
+    for d in range(6):
+        for h in range(24):
+            # baseline noise floor (deterministic) so the residual MAD
+            # is not degenerate-zero, + strong noon seasonal peak
+            n = 8 + (d * 7 + h * 3) % 4 + (15 if h == 12 else 0)
+            if d == 3 and h == 7:
+                n += 40  # the genuine anomaly, off-peak
+            for _ in range(n):
+                rows.append(("k", f"2024-04-0{d+1} {h:02d}:00:00"))
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    dec = stl_decompose(ev)
+    r = mad_outliers(
+        dec, "key", "residual_micros", "window_start", k=3.0
+    ).collect()[0]
+    # the noon peak is absorbed by the seasonal component; flagged
+    # rows are the planted hour, its five phase-siblings (the anomaly
+    # lifts its own phase mean by ~40/6, so the sibling 7am rows dip
+    # — honest MAD behavior) and a few MA-edge wobbles — far from the
+    # 144-row blowup a degenerate-MAD or magnitude rule would give
+    assert 1 <= r["n_outliers"] <= 15, r["n_outliers"]
+    top = (
+        dec.orderBy(F.abs(F.col("residual_micros")).desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert top["window_start"].day == 4 and top["window_start"].hour == 7
