@@ -155,6 +155,55 @@ WHERE t0 = 'view' AND t1 = 'click' AND t2 = 'purchase'
 """
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first-view → first-purchase
+    latency per converting user, summarized as EXACT rank-selected
+    p50/p90 second-elements per user cohort (user_id mod 4 — the
+    deterministic stand-in for an acquisition-channel dimension).
+    Integer seconds end to end (the quantile_disc float-free
+    contract); one user aggregate + one keyed rank window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("t_view"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_purchase"),
+        )
+        .filter(F.col("t_view") < F.col("t_purchase"))
+        .select(
+            (F.col("user_id") % 4).cast("int").alias("cohort"),
+            "user_id",
+            (
+                F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+            ).alias("latency_s"),
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("latency_s", "user_id")
+    r = per_user.select(
+        "cohort",
+        "latency_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cohort")).alias("n"),
+    )
+    pick = lambda pct: F.max(  # noqa: E731
+        F.when(
+            F.expr(f"rn = ((n - 1) * {pct}) div 100 + 1"),
+            F.col("latency_s"),
+        )
+    )
+    return r.groupBy("cohort").agg(
+        F.max("n").cast("long").alias("n_converted"),
+        pick(50).alias("p50_s"),
+        pick(90).alias("p90_s"),
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel: per-stage user counts and the
     strictly-ordered conversion count.
@@ -425,6 +474,43 @@ SPECS = [
     ),
     QuerySpec(
         "cep_pattern_view_click_purchase", q_cep_pattern, oracle=_CEP_ORACLE
+    ),
+    QuerySpec(
+        "funnel_latency_quantiles",
+        q_funnel_latency,
+        oracle="""
+        WITH pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+            FROM events GROUP BY user_id
+        ),
+        lat AS (
+            -- per-timestamp integer truncation (epoch_us // 1e6)
+            -- mirrors Spark's unix_timestamp, which floors EACH
+            -- timestamp to seconds before the subtraction; a plain
+            -- epoch(tp) - epoch(tv) keeps sub-second fractions and
+            -- lands one second off half the time
+            SELECT CAST(user_id % 4 AS INTEGER) AS cohort, user_id,
+                   epoch_us(tp) // 1000000 - epoch_us(tv) // 1000000
+                       AS latency_s
+            FROM pu WHERE tv < tp
+        ),
+        r AS (
+            SELECT cohort, latency_s,
+                   row_number() OVER (
+                       PARTITION BY cohort ORDER BY latency_s, user_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY cohort) AS n
+            FROM lat
+        )
+        SELECT cohort, CAST(max(n) AS BIGINT) AS n_converted,
+               max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1
+                        THEN latency_s END) AS p50_s,
+               max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1
+                        THEN latency_s END) AS p90_s
+        FROM r GROUP BY cohort
+        """,
     ),
     QuerySpec(
         "funnel_conversion",
