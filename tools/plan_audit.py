@@ -617,6 +617,27 @@ CHECKS = {
         ["BroadcastHashJoin"],
         ["SortMergeJoin", "Window", "CartesianProduct"],
     ),
+    # STL residual anomalies: window chain + broadcast med/mad joins
+    "anomaly_stl_residual": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # winsorize: rank window + 1-row-per-key broadcast fences
+    "feature_winsorize_events": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # funnel latency: ONE user aggregate + keyed rank window
+    "funnel_latency_quantiles": (
+        ["Window", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+    ),
+    # SQL UDF must inline: the plan is a plain aggregate over the
+    # scan — no Python boundary, no UDF node
+    "sql_udf_revenue": (
+        ["HashAggregate"],
+        ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 
