@@ -122,6 +122,20 @@ def q_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ppjoin_prefix_pairs(docs, n=3, threshold_num=2, threshold_den=5)
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: how many content
+    groups have 1, 2, 3… copies — the dedup REPORT a corpus owner
+    reads before deciding thresholds (a long tail of giant clusters
+    means boilerplate; all-singletons means exact dedup is done).
+    One aggregate over `exact_dedup`'s output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dd.exact_dedup(docs)
+        .groupBy(F.col("n_dups").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood record linkage over part names: window-4
     neighbors in name sort order, kept within 2 Levenshtein edits
@@ -911,6 +925,19 @@ SPECS = [
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE 5 * n_common >= 2 * (sa.n_sh + sb.n_sh - n_common)
+        """,
+    ),
+    QuerySpec(
+        "dedup_cluster_size_histogram",
+        q_cluster_size_histogram,
+        oracle=f"""
+        WITH g AS (
+            SELECT {_CANON} AS canon, CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY 1
+        )
+        SELECT n_dups AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM g GROUP BY n_dups
         """,
     ),
     QuerySpec(

@@ -204,6 +204,52 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    headline. Exact distinct users with NO distinct-over-window (not
+    expressible) and NO 7-way self-join: each (user, active-day) pair
+    is deduped once, then EXPLODED onto the 7 target days it supports
+    (day .. day+6), and WAU is a plain count-distinct per target day —
+    a bounded ×7 row expansion that scales linearly. Stickiness =
+    round-half-away DAU·1e6/WAU. Days beyond the observed range are
+    trimmed so every reported day has a full interpretation."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .distinct()
+    )
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("(dau * 2000000 + wau) div (2 * wau)").alias(
+                "stickiness_micros"
+            ),
+        )
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel: per-stage user counts and the
     strictly-ordered conversion count.
@@ -474,6 +520,36 @@ SPECS = [
     ),
     QuerySpec(
         "cep_pattern_view_click_purchase", q_cep_pattern, oracle=_CEP_ORACLE
+    ),
+    QuerySpec(
+        "dau_wau_engagement",
+        q_dau_wau,
+        # same explode-onto-target-days construction; WAU(d) counts
+        # users active in [d-6, d]
+        oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        dau AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY day
+        ),
+        contrib AS (
+            SELECT user_id, day + (k * INTERVAL '1 day') AS day
+            FROM ud, LATERAL unnest([0, 1, 2, 3, 4, 5, 6]) AS u(k)
+        ),
+        wau AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY day
+        )
+        SELECT d.day, d.dau, w.wau,
+               (d.dau * 2000000 + w.wau) // (2 * w.wau)
+                   AS stickiness_micros
+        FROM dau d JOIN wau w USING (day) CROSS JOIN bounds
+        WHERE d.day BETWEEN lo AND hi
+        """,
     ),
     QuerySpec(
         "funnel_latency_quantiles",
