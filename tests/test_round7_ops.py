@@ -652,3 +652,36 @@ def test_stl_residual_anomaly_sees_through_seasonality(spark):
         .collect()[0]
     )
     assert top["window_start"].day == 4 and top["window_start"].hour == 7
+
+
+def test_dau_wau_hand_computed(spark):
+    """3 users over 3 days: WAU(d) counts users active in [d-6, d]."""
+    rows = [
+        (1, "2024-05-01 10:00:00"),
+        (2, "2024-05-01 11:00:00"),
+        (1, "2024-05-02 09:00:00"),
+        (3, "2024-05-03 08:00:00"),
+        (1, "2024-05-03 23:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    import demo_flink_spark.plans.temporal as tp
+
+    # swap the module-level loader so the plan function runs over the
+    # fabricated frame
+    orig = tp.load_table
+    try:
+        tp.load_table = lambda spark_, sf_dir, name: ev  # noqa: ARG005
+        out = {
+            r["day"].day: r for r in tp.q_dau_wau(spark, "ignored").collect()
+        }
+    finally:
+        tp.load_table = orig
+    assert (out[1]["dau"], out[1]["wau"]) == (2, 2)
+    assert (out[2]["dau"], out[2]["wau"]) == (1, 2)
+    assert (out[3]["dau"], out[3]["wau"]) == (2, 3)
+    # stickiness: dau*1e6/wau round-half-away
+    assert out[3]["stickiness_micros"] == (2 * 2_000_000 + 3) // 6
