@@ -311,11 +311,14 @@ def sketch_residual_quantile(
     from pyspark.sql.window import Window
 
     eps = 1.0 / accuracy
+    # NULL values must be excluded EXPLICITLY: percentile_approx
+    # ignores them but count(*) would not, silently shifting every
+    # target rank on nullable columns
     base = df.select(
         F.col(key_col).alias("k"),
         F.col(value_col).alias("v"),
         F.col(tiebreak_col).alias("tb"),
-    )
+    ).filter(F.col("v").isNotNull())
     lo_qs = [max(p / 100.0 - 2 * eps, 0.0) for p in pcts]
     hi_qs = [min(p / 100.0 + 2 * eps, 1.0) for p in pcts]
     stats = base.groupBy("k").agg(

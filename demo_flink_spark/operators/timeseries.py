@@ -839,11 +839,14 @@ def winsorize(
     """
     w = Window.partitionBy("k").orderBy("v", "tb")
     wn = Window.partitionBy("k")
+    # explicit NULL exclusion: Spark sorts NULLS FIRST, DuckDB NULLS
+    # LAST — a nullable column would silently shift fence ranks
+    # differently per engine
     base = df.select(
         F.col(key_col).alias("k"),
         F.col(value_col).alias("v"),
         F.col(tiebreak_col).alias("tb"),
-    )
+    ).filter(F.col("v").isNotNull())
     ranked = base.select(
         "k",
         "v",

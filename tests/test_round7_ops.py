@@ -685,3 +685,34 @@ def test_dau_wau_hand_computed(spark):
     assert (out[3]["dau"], out[3]["wau"]) == (2, 3)
     # stickiness: dau*1e6/wau round-half-away
     assert out[3]["stickiness_micros"] == (2 * 2_000_000 + 3) // 6
+
+
+def test_sketch_and_winsorize_ignore_nulls(spark):
+    """NULL values must neither shift quantile target ranks (sketch
+    path) nor influence winsorize fences — Spark sorts NULLS FIRST,
+    DuckDB NULLS LAST, so any NULL participation would desync the
+    engines."""
+    from demo_flink_spark.operators.scale import sketch_residual_quantile
+    from demo_flink_spark.operators.timeseries import winsorize
+
+    rows = [("k", float(i), i) for i in range(100)]
+    with_nulls = rows + [("k", None, 1000 + i) for i in range(50)]
+    clean = spark.createDataFrame(rows, "k string, v double, tb long")
+    dirty = spark.createDataFrame(with_nulls, "k string, v double, tb long")
+
+    a = sketch_residual_quantile(clean, "k", "v", "tb").collect()[0]
+    b = sketch_residual_quantile(dirty, "k", "v", "tb").collect()[0]
+    assert (a["n"], a["p50"], a["p90"], a["p99"]) == (
+        b["n"], b["p50"], b["p90"], b["p99"],
+    )
+
+    wa = {
+        r["tb"]: r["value_winsorized"]
+        for r in winsorize(clean, "k", "v", "tb").collect()
+    }
+    wb = {
+        r["tb"]: r["value_winsorized"]
+        for r in winsorize(dirty, "k", "v", "tb").collect()
+        if r["tb"] < 1000
+    }
+    assert wa == wb
