@@ -456,9 +456,15 @@ def chi_square_independence(
     rt = obs.groupBy("r").agg(F.sum("o").alias("rt"))
     ct = obs.groupBy("cc").agg(F.sum("o").alias("ct"))
     tot = obs.agg(F.sum("o").alias("n"))
+    # the FULL marginal cross product, not just observed cells: an
+    # empty cell (O = 0) still contributes E = r·c/N to the statistic
+    # — summing observed cells only understates chi2 exactly when the
+    # dependence is strongest. The cross of two category-cardinality
+    # frames is broadcast-sized by construction.
+    grid = rt.crossJoin(F.broadcast(ct))
     cells = (
-        obs.join(F.broadcast(rt), "r")
-        .join(F.broadcast(ct), "cc")
+        grid.join(obs, ["r", "cc"], "left")
+        .na.fill({"o": 0})
         .crossJoin(F.broadcast(tot))
         .select(
             "r",

@@ -206,10 +206,14 @@ rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
 ct AS (SELECT cc, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
 tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
 terms AS (
+    -- FULL marginal grid: empty cells (O = 0) still contribute E
     SELECT n,
-           CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS num,
+           CAST(coalesce(o, 0) AS HUGEINT) * n
+             - CAST(rt AS HUGEINT) * ct AS num,
            CAST(rt AS HUGEINT) * ct * n AS den
-    FROM obs JOIN rt USING (r) JOIN ct USING (cc) CROSS JOIN tot
+    FROM rt CROSS JOIN ct
+    LEFT JOIN obs USING (r, cc)
+    CROSS JOIN tot
 )
 SELECT CAST(sum((num * num * 1000000 * 2 + den) // (2 * den)) AS BIGINT)
            AS chi2_micros,

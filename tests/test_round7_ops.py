@@ -716,3 +716,19 @@ def test_sketch_and_winsorize_ignore_nulls(spark):
         if r["tb"] < 1000
     }
     assert wa == wb
+
+
+def test_chi_square_counts_empty_cells(spark):
+    """A table with a structurally-empty cell: chi2 must include that
+    cell's full expected count (perfect-dependence 2x2 with zeros off
+    the diagonal -> chi2 == N exactly)."""
+    from demo_flink_spark.operators.quality_checks import (
+        chi_square_independence,
+    )
+
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10  # no (a,y), no (b,x)
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = chi_square_independence(df, "r", "c").collect()[0]
+    assert got["dof"] == 1 and got["n"] == 20
+    # perfect association in a 2x2: chi2 = N = 20
+    assert got["chi2_micros"] == 20_000_000
