@@ -947,9 +947,12 @@ def connected_components_star(
         )
 
     def _sig(cur: DataFrame):
+        # Order-independent, overflow-free signature: sum(xxhash64)
+        # can ARITHMETIC_OVERFLOW under ANSI depending on partial-sum
+        # order (partitioning-dependent flake); bit_xor cannot.
         row = cur.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         return row.n, row.h
 

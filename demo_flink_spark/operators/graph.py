@@ -73,9 +73,16 @@ def pagerank(
     Exact early exit (`early_exit=True`): the Q52 representation makes
     rank equality well-defined in bits, so at each checkpoint boundary
     (where the vector is materialized anyway) a 2-value convergence
-    signature — (count, Σ xxhash64(node, rank)) — is collected, the
-    same pattern as the connected-components fixed point
-    (`operators/dedup.py` star contraction). When two consecutive
+    signature — (count, bit_xor(xxhash64(node, rank))) — is collected,
+    the same pattern as the connected-components fixed point
+    (`operators/dedup.py` star contraction). RULE for every iterative
+    operator's signature: the aggregate must be order-independent AND
+    overflow-free under ANSI mode. sum(xxhash64) fails this — hash
+    values span the full int64 range, so whether a partial sum
+    overflows depends on the partitioning/merge order, turning the
+    query into a flake that passes locally and crashes elsewhere.
+    bit_xor (or a decimal(38,0) sum) is safe; tools/plan_audit.py
+    lints the class repo-wide. When two consecutive
     boundaries agree, ONE verification iteration confirms a true
     fixed point (`f(r) = r`, not merely an `f^k` cycle) and — because
     a 64-bit signature can in principle collide — the final exit is
@@ -145,9 +152,17 @@ def pagerank(
         )
 
     def _sig(r: DataFrame):
-        # 2-value convergence signature over the (materialized) vector
+        # 2-value convergence signature over the (materialized) vector.
+        # The aggregate MUST be order-independent AND overflow-free
+        # under ANSI mode: xxhash64 spans the full int64 range, so
+        # sum() can hit ARITHMETIC_OVERFLOW on some partial-sum orders
+        # and not others (a partitioning-dependent flake — it crashed
+        # the driver while passing locally on identical data). XOR is
+        # both, and just as collision-resistant for a cheap filter;
+        # the anti-join below makes the exit exact regardless.
         row = r.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("node", "rank")).alias("h")
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, rank))").alias("h"),
         ).collect()[0]
         return row["n"], row["h"]
 

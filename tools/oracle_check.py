@@ -180,7 +180,74 @@ def dump_query(name: str, sf_dir: str) -> int:
     return 1 if (n_diff or extra) else 0
 
 
+# Queries whose execution is iterative and/or ANSI-arithmetic-heavy:
+# the classes where partitioning-dependent behavior (partial-sum
+# overflow order, merge order in driver-side convergence loops) can
+# make a query pass under one shuffle layout and crash under another.
+# graph_pagerank_copurchase did exactly that in driver round 7 while
+# every fixed-partitioning local gate passed.
+SHAKE_QUERIES = [
+    "graph_pagerank_copurchase",
+    "graph_bfs_hops",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "dedup_clusters_ngram",
+    "dedup_cluster_keep_longest",
+    "dedup_cluster_size_histogram",
+    "quantile_sketch_residual",
+]
+SHAKE_PARTITIONS = (3, 17, 64)
+
+
+def shake(sf_dir: str, only: set[str] | None = None) -> int:
+    """Re-run the iterative/overflow-prone queries under several
+    spark.sql.shuffle.partitions settings; every setting must succeed
+    AND produce the same canonical value hash. Catches the class of
+    order-dependent failures that a single-partitioning local gate is
+    structurally blind to."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from demo_flink_spark.session import get_spark
+
+    spark = get_spark("oracle_shake")
+    qs = e.queries()
+    names = [
+        n for n in SHAKE_QUERIES if n in qs and (not only or n in only)
+    ]
+    n_fail = 0
+    for name in names:
+        hashes = {}
+        for parts in SHAKE_PARTITIONS:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            t0 = time.time()
+            try:
+                sdf = qs[name](spark, sf_dir).toPandas()
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL  {name} @parts={parts}: {exc}")
+                hashes[parts] = f"ERROR: {exc}"
+                continue
+            hashes[parts] = canonical_hash(sdf)
+            print(
+                f"  ran {name} @parts={parts}: {len(sdf)} rows "
+                f"[{time.time()-t0:.1f}s]"
+            )
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        vals = set(hashes.values())
+        if len(vals) != 1 or any(str(v).startswith("ERROR") for v in vals):
+            print(f"SHAKE FAIL {name}: {hashes}")
+            n_fail += 1
+        else:
+            print(f"SHAKE OK   {name}: identical across {SHAKE_PARTITIONS}")
+    print(f"\nshake: {len(names) - n_fail} ok, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--shake":
+        return shake(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
+            set(sys.argv[3:]) or None,
+        )
     if len(sys.argv) > 1 and sys.argv[1] == "--typelint":
         return typelint(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"

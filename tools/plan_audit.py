@@ -641,9 +641,55 @@ CHECKS = {
 }
 
 
+import os
+import re
+
+# sum() over a full-range int64 hash is an order-dependent ANSI
+# overflow: whether a partial sum overflows depends on partition/merge
+# order, so the query passes locally and crashes on other partitionings
+# (graph_pagerank_copurchase, driver r07). Signatures must use bit_xor
+# (order-independent, overflow-free) or sum a decimal(38,0) cast.
+_SUM_OVER_HASH = re.compile(
+    r"""(?:F\.sum\(\s*F\.(?:xxhash64|hash)\(   # F.sum(F.xxhash64(...
+        |(?<![\w.])(?<!bit_)sum\s*\(\s*(?:xxhash64|hash)\s*\(  # SQL sum(hash(
+        )""",
+    re.VERBOSE,
+)
+
+
+def srclint_sum_over_hash(root: str = "demo_flink_spark") -> list[str]:
+    """Return 'file:lineno: line' for every sum-over-int64-hash site
+    that lacks a decimal cast on the same line."""
+    hits = []
+    for dirpath, _dirs, files in os.walk(root):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path, encoding="utf-8") as fh:
+                for i, line in enumerate(fh, 1):
+                    if _SUM_OVER_HASH.search(line) and "decimal" not in line.lower():
+                        hits.append(f"{path}:{i}: {line.strip()}")
+    return hits
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     sys.path.insert(0, "/root/repo")
+    os.chdir("/root/repo")
+
+    hits = srclint_sum_over_hash()
+    if hits:
+        print("FAIL  srclint sum-over-hash (order-dependent ANSI overflow):")
+        for h in hits:
+            print("  " + h)
+        return 1
+    print("OK    srclint sum-over-hash (0 violations)")
+    if "--srclint" in sys.argv:
+        return 0
     import __spark_entry__ as e
     from demo_flink_spark.session import get_spark
 
