@@ -1279,11 +1279,17 @@ def kl_unigram_by_source(
     c = words.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
     d = words.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
     n = c.groupBy("grp").agg(F.sum("c").alias("n"))
-    m = words.count()  # one scalar: total corpus tokens
+    # total corpus tokens stays IN the lazy plan (broadcast 1-row
+    # crossJoin, like the sibling operators) — an eager words.count()
+    # here would run a full scan+tokenize job at plan-BUILD time and
+    # freeze m as a literal, stale if the source changes before
+    # execution
+    m = words.agg(F.count(F.lit(1)).alias("m"))
     joined = (
         c.join(d, "word")
         .join(F.broadcast(n), "grp")
-        .withColumn("a", F.col("c") * F.lit(m))
+        .crossJoin(F.broadcast(m))
+        .withColumn("a", F.col("c") * F.col("m"))
         .withColumn("b", F.col("d") * F.col("n"))
     )
     ln_ratio = F.when(

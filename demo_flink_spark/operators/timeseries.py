@@ -711,7 +711,10 @@ def stl_decompose(
         "cnt",
         F.sum("cnt").over(win).alias("w_sum"),
         F.count(F.lit(1)).over(win).alias("w_n"),
-        (F.hour("window_start") % period_hours).alias("phase"),
+        # phase off the epoch axis, NOT hour-of-day: hour() % p only
+        # matches when p divides 24 — a weekly period (168) would
+        # silently collapse to daily seasonality
+        (F.expr("epoch_s div 3600") % period_hours).alias("phase"),
     ).withColumn(
         # round-half-away mean in micros: w_sum, w_n > 0 always
         "trend_micros",
@@ -839,14 +842,16 @@ def winsorize(
     """
     w = Window.partitionBy("k").orderBy("v", "tb")
     wn = Window.partitionBy("k")
-    # explicit NULL exclusion: Spark sorts NULLS FIRST, DuckDB NULLS
-    # LAST — a nullable column would silently shift fence ranks
-    # differently per engine
-    base = df.select(
+    all_rows = df.select(
         F.col(key_col).alias("k"),
         F.col(value_col).alias("v"),
         F.col(tiebreak_col).alias("tb"),
-    ).filter(F.col("v").isNotNull())
+    )
+    # fences are computed over NON-NULL values only (Spark sorts NULLS
+    # FIRST, DuckDB NULLS LAST — a nullable rank column would shift
+    # fence ranks differently per engine), but NULL rows still PASS
+    # THROUGH the clip: a winsorizer caps values, it never drops rows
+    base = all_rows.filter(F.col("v").isNotNull())
     ranked = base.select(
         "k",
         "v",
@@ -866,18 +871,30 @@ def winsorize(
             )
         ).alias("fence_hi"),
     )
+    # explicit CASE on v IS NULL (not greatest/least NULL semantics,
+    # which differ across engines): NULL value -> NULL winsorized,
+    # was_clipped = false. Left join so keys whose values are ALL
+    # NULL (no fence row) still emit their rows.
     return (
-        base.join(F.broadcast(fences), "k")
+        all_rows.join(F.broadcast(fences), "k", "left")
         .select(
             F.col("k").alias(key_col),
             F.col("tb").alias(tiebreak_col),
             F.col("v").alias(value_col),
-            F.greatest(
-                F.least(F.col("v"), F.col("fence_hi")), F.col("fence_lo")
-            ).alias("value_winsorized"),
-            (
+            F.when(
+                F.col("v").isNull(), F.lit(None).cast(df.schema[value_col].dataType)
+            )
+            .otherwise(
+                F.greatest(
+                    F.least(F.col("v"), F.col("fence_hi")), F.col("fence_lo")
+                )
+            )
+            .alias("value_winsorized"),
+            F.when(F.col("v").isNull(), F.lit(False))
+            .otherwise(
                 (F.col("v") < F.col("fence_lo"))
                 | (F.col("v") > F.col("fence_hi"))
-            ).alias("was_clipped"),
+            )
+            .alias("was_clipped"),
         )
     )

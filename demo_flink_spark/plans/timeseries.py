@@ -467,7 +467,7 @@ SPECS = [
         w AS (
             SELECT key, window_start, cnt,
                    CAST(epoch(window_start) AS BIGINT) AS epoch_s,
-                   CAST(hour(window_start) % 24 AS INTEGER) AS phase
+                   CAST((CAST(epoch(window_start) AS BIGINT) // 3600) % 24 AS INTEGER) AS phase
             FROM hourly
         ),
         tr AS (
@@ -541,7 +541,7 @@ SPECS = [
                        PARTITION BY event_type ORDER BY value, event_id
                    ) AS rn,
                    count(*) OVER (PARTITION BY event_type) AS n
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ),
         f AS (
             SELECT event_type,
@@ -552,10 +552,13 @@ SPECS = [
             FROM r GROUP BY event_type
         )
         SELECT e.event_type, e.event_id, e.value,
-               greatest(least(e.value, f.fence_hi), f.fence_lo)
-                   AS value_winsorized,
-               e.value < f.fence_lo OR e.value > f.fence_hi AS was_clipped
-        FROM events e JOIN f USING (event_type)
+               CASE WHEN e.value IS NULL THEN NULL
+                    ELSE greatest(least(e.value, f.fence_hi), f.fence_lo)
+               END AS value_winsorized,
+               CASE WHEN e.value IS NULL THEN false
+                    ELSE e.value < f.fence_lo OR e.value > f.fence_hi
+               END AS was_clipped
+        FROM events e LEFT JOIN f USING (event_type)
         """,
     ),
     QuerySpec(
@@ -605,7 +608,7 @@ SPECS = [
         w AS (
             SELECT key, window_start, cnt,
                    CAST(epoch(window_start) AS BIGINT) AS epoch_s,
-                   CAST(hour(window_start) % 24 AS INTEGER) AS phase
+                   CAST((CAST(epoch(window_start) AS BIGINT) // 3600) % 24 AS INTEGER) AS phase
             FROM hourly
         ),
         tr AS (
