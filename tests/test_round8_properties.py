@@ -1,0 +1,247 @@
+"""Round-8 hardening tests.
+
+1. The driver-red class of round 7 — order-dependent ANSI overflow in
+   iterative convergence signatures — is pinned three ways: a
+   shuffle-partition shake regression for pagerank AND star-contraction
+   CC (the two fixed sites), a unit test proving the new source lint
+   catches the reverted construct, and hypothesis property tests for
+   the remaining iterative operators (CC vs union-find,
+   sketch_residual_quantile vs a full-sort reference incl. NULLs/ties).
+2. The advisor's winsorize NULL-passthrough and STL weekly-phase fixes
+   get behavior tests the NULL-free driver fixture cannot provide.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------------- shake
+
+
+def _collect_pagerank(spark, parts):
+    from demo_flink_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
+        + [(f"n{(i * 7 + 3) % 40}", f"n{i}") for i in range(120)],
+        "src string, dst string",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return sorted(
+            (r["node"], r["rank"])
+            for r in pagerank(edges, n_iter=9, checkpoint_every=3).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def _collect_cc_star(spark, parts):
+    from demo_flink_spark.operators.dedup import connected_components_star
+
+    # two chains + a clique + an isolated pair: mixed shapes
+    edges = (
+        [(i, i + 1) for i in range(0, 12)]
+        + [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return sorted(
+            (r["node"], r["comp"])
+            for r in connected_components_star(df).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_pagerank_stable_across_shuffle_partitions(spark):
+    """The round-7 driver red was a partitioning-dependent crash
+    (sum(xxhash64) partial-sum overflow order). The signature is now
+    bit_xor; pagerank must run AND produce bit-identical ranks under
+    wildly different shuffle layouts."""
+    results = [_collect_pagerank(spark, p) for p in (2, 13, 64)]
+    assert results[0] == results[1] == results[2]
+
+
+def test_cc_star_stable_across_shuffle_partitions(spark):
+    results = [_collect_cc_star(spark, p) for p in (2, 13, 64)]
+    assert results[0] == results[1] == results[2]
+
+
+def test_srclint_catches_sum_over_hash(tmp_path):
+    """The plan_audit source lint must flag the exact construct that
+    crashed the driver (both DataFrame and SQL spellings) and accept
+    the two sanctioned fixes."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import srclint_sum_over_hash
+
+    bad = tmp_path / "pkg"
+    bad.mkdir()
+    (bad / "mod.py").write_text(
+        'a = F.sum(F.xxhash64("node", "rank")).alias("h")\n'
+        'b = spark.sql("select sum(xxhash64(u, v)) from t")\n'
+        'ok1 = F.expr("bit_xor(xxhash64(node, rank))")\n'
+        "ok2 = F.sum(F.xxhash64('a').cast('decimal(38,0)'))\n"
+    )
+    hits = srclint_sum_over_hash(str(bad))
+    assert len(hits) == 2, hits
+    assert "mod.py:1" in hits[0] and "mod.py:2" in hits[1]
+    # and the real tree is clean
+    assert srclint_sum_over_hash("/root/repo/demo_flink_spark") == []
+
+
+# ------------------------------------------------- hypothesis: CC star
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cc_star_matches_union_find(spark, edges):
+    """Star-contraction components == a pure-Python union-find on
+    random multigraphs (self-loops, duplicates, both orientations)."""
+    from demo_flink_spark.operators.dedup import connected_components_star
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    # canonicalize: union-find roots are already component minima here
+    # because we always merge larger root onto smaller
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["comp"] for r in connected_components_star(df).collect()
+    }
+    assert got == want
+
+
+# --------------------------------- hypothesis: sketch-residual quantile
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.one_of(st.none(), st.sampled_from([1.0, 2.0, 2.0, 3.0, 7.5])),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sketch_residual_quantile_matches_full_sort(spark, rows):
+    """sketch+residual selection == the plain full-sort type-1 rank
+    rule, on random groups with NULLs and heavy ties. NULL values are
+    excluded from ranks; keys with zero non-NULL values drop out."""
+    from demo_flink_spark.operators.scale import sketch_residual_quantile
+
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v double, tb long")
+    got = {
+        r["k"]: (r["n"], r["p50"], r["p90"])
+        for r in sketch_residual_quantile(
+            df, "k", "v", "tb", pcts=(50, 90), accuracy=50
+        ).collect()
+    }
+    want = {}
+    for key in {k for k, v, _ in data if v is not None}:
+        vals = sorted(
+            [(v, tb) for k, v, tb in data if k == key and v is not None]
+        )
+        n = len(vals)
+        sel = {p: vals[(n - 1) * p // 100][0] for p in (50, 90)}
+        want[key] = (n, sel[50], sel[90])
+    assert got == want
+
+
+# ------------------------------------------- winsorize NULL passthrough
+
+
+def test_winsorize_null_rows_pass_through(spark):
+    """A winsorizer caps values, it never drops rows: NULL-valued rows
+    must come back (winsorized=NULL, was_clipped=false) and must NOT
+    shift the fence ranks; an all-NULL key still emits its rows."""
+    from demo_flink_spark.operators.timeseries import winsorize
+
+    rows = [("k1", float(i), i) for i in range(1, 101)]  # 1..100
+    rows += [("k1", None, 200), ("k1", None, 201)]
+    rows += [("nul", None, 300), ("nul", None, 301)]
+    df = spark.createDataFrame(rows, "key string, value double, id long")
+    out = winsorize(df, "key", "value", "id", lo_pct=5, hi_pct=95).collect()
+    assert len(out) == len(rows)  # nothing dropped
+    by_id = {r["id"]: r for r in out}
+    # NULL rows: passthrough, never flagged
+    for i in (200, 201, 300, 301):
+        assert by_id[i]["value_winsorized"] is None
+        assert by_id[i]["was_clipped"] is False
+    # fences computed over the 100 non-NULL values only:
+    # rank floor(0.05*99)+1 = 5 -> 5.0, floor(0.95*99)+1 = 95 -> 95.0
+    assert by_id[1]["value_winsorized"] == 5.0 and by_id[1]["was_clipped"]
+    assert by_id[100]["value_winsorized"] == 95.0 and by_id[100]["was_clipped"]
+    assert by_id[50]["value_winsorized"] == 50.0 and not by_id[50]["was_clipped"]
+
+
+# ------------------------------------------------- STL weekly phase
+
+
+def test_stl_weekly_period_uses_epoch_phase(spark):
+    """period_hours=168 must produce 168 distinct phases over a
+    multi-week hourly series — the old hour-of-day derivation
+    collapsed any non-divisor-of-24 period to 24 buckets."""
+    import datetime as dt
+
+    from demo_flink_spark.operators.timeseries import stl_decompose
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0 + dt.timedelta(hours=h)) for h in range(24 * 7 * 3)
+    ]  # 3 weeks hourly, 1 event per hour
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = stl_decompose(df, period_hours=168, half_window_hours=12)
+    # constant series: trend == 1e6 everywhere, so seasonal == 0 and
+    # residual == 0 for every row — true for ANY phase derivation; the
+    # phase cardinality is what the fix changes, so check it directly
+    from pyspark.sql import functions as F
+
+    phases = (
+        df.select(F.unix_timestamp("ts").alias("epoch_s"))
+        .select((F.expr("epoch_s div 3600") % 168).alias("phase"))
+        .distinct()
+        .count()
+    )
+    assert phases == 168
+    got = out.collect()
+    assert len(got) == 24 * 7 * 3
+    assert all(r["seasonal_micros"] == 0 for r in got)
+    assert all(r["residual_micros"] == 0 for r in got)
