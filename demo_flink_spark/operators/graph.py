@@ -514,3 +514,113 @@ def degree_assortativity(
         F.expr("CAST(m AS BIGINT)").alias("n_edge_ends"),
         (num / den).alias("assortativity"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_rounds: int = 4,
+    early_exit: bool = True,
+    checkpoint_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) over a directed edge list; returns (node, community) after
+    exactly `n_rounds` synchronous updates.
+
+    Every node starts labeled with its own id; each round EVERY node
+    simultaneously adopts the plurality label among {its neighbors'
+    labels} ∪ {its own label}, ties broken by the SMALLEST label.
+    The self-vote plus min-tie-break makes the round a pure function
+    of the previous labeling — no random visit order, no async
+    nondeterminism — so a fixed round count is exactly reproducible
+    on any engine/partitioning, and the DuckDB oracle simply unrolls
+    the same `n_rounds` (plans/graph.py), as with pagerank's Q52
+    oracle. (Classic async LPA is order-dependent by construction;
+    the synchronous-with-self-vote variant is the standard
+    determinization. The self-vote also damps the 2-cycle label
+    oscillation synchronous LPA exhibits on bipartite graphs.)
+
+    Iterative-loop discipline (the post-r7 hardened rules):
+    - edge list localCheckpointed ONCE as the loop invariant; label
+      state re-checkpointed every `checkpoint_every` rounds so
+      lineage stays flat without paying a materialization per round
+      (the pagerank tradeoff); the convergence signature is likewise
+      collected only at checkpoint boundaries, where the state is
+      materialized anyway;
+    - the convergence signature is (count, bit_xor(xxhash64(...)))
+      — order-independent AND overflow-free under ANSI; sum() over a
+      full-range int64 hash is banned repo-wide (plan_audit srclint)
+      because partial-sum overflow depends on merge order;
+    - a signature match only gates an EXACT anti-join equality check;
+      at a true fixed point every later round is identical, so early
+      exit cannot diverge from the fixed-round oracle.
+
+    Per round: one equi-join edges⨝labels (the |V|-row label vector
+    rides a conditional broadcast, same as pagerank's rank vector, so
+    the edge list never moves) + one (node,label) count aggregate
+    (map-side combinable) + one per-node argmax as a max(struct(c,
+    -lab)) hash aggregate — a second map-side-combinable agg instead
+    of a rank window's exchange+sort. All shuffles keyed on node ids,
+    no driver-side adjacency, skew bounded by max degree. (-lab
+    encodes the min-label tie-break inside an ascending struct max;
+    labels here are node ids ≥ 0 so the negation cannot overflow.)
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).transform(cut_lineage)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .transform(cut_lineage)
+    )
+    n = labels.count()
+
+    def _sig(l: DataFrame):
+        row = l.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, lab))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    rounds_run = 0
+    prev_sig = _sig(labels) if early_exit else None
+    for _ in range(n_rounds):
+        prev_labels = labels
+        votes = e.join(
+            broadcast_if_small(labels, n), e.dst == labels.node
+        ).select(F.col("src").alias("node"), "lab").unionByName(
+            labels.select("node", "lab")
+        )
+        cnt = votes.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("lab"))
+        )
+        rounds_run += 1
+        at_boundary = rounds_run % checkpoint_every == 0 or rounds_run == n_rounds
+        if at_boundary:
+            labels = labels.transform(cut_lineage)
+            if early_exit:
+                new_sig = _sig(labels)
+                if new_sig == prev_sig:
+                    # 64-bit signatures can collide: prove the fixed
+                    # point exactly before exiting (≤|V|-row anti-join,
+                    # runs at most once per signature match). NOTE:
+                    # prev_sig is the signature of the last BOUNDARY
+                    # state, so a match here means f^checkpoint_every
+                    # is fixed — the anti-join against the immediately
+                    # preceding round confirms the true per-round
+                    # fixed point.
+                    if labels.join(
+                        prev_labels, ["node", "lab"], "left_anti"
+                    ).isEmpty():
+                        break
+                prev_sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds_run
+    return labels.select("node", F.col("lab").alias("community"))

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_flink_spark.operators.graph import adamic_adar_topk, bfs_hops, pagerank
+from demo_flink_spark.operators.graph import (
+    adamic_adar_topk,
+    bfs_hops,
+    label_propagation,
+    pagerank,
+)
 from demo_flink_spark.operators.relational import softln_ratio_sql
 from demo_flink_spark.plans.spec import QuerySpec
 from demo_flink_spark.sources import load_table
@@ -155,6 +160,94 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("key"),
         "hops",
     )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the customer↔part co-purchase graph by
+    deterministic synchronous label propagation (3 rounds) —
+    operators/graph.py::label_propagation. Same encoded bipartite
+    edge list as pagerank; communities are "shopping neighborhoods"
+    (customers plus the parts that tie them together)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_partkey") * 2 + 1).alias("part"),
+        )
+        .distinct()
+    )
+    edges = cp.select(F.col("cust").alias("src"), F.col("part").alias("dst")).union(
+        cp.select(F.col("part").alias("src"), F.col("cust").alias("dst"))
+    )
+    labs = label_propagation(edges, n_rounds=3)
+    return labs.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def _lpa_oracle(n_rounds: int) -> str:
+    """Unroll `n_rounds` synchronous LPA rounds in DuckDB SQL — the
+    same determinization (self-vote, plurality, min-label tie-break)
+    as the engine, so per-node labels hash-match exactly. The
+    recursive/unrolled form is oracle-scale-only, like pagerank's."""
+    parts = [
+        """
+        WITH cp AS (
+            SELECT DISTINCT o_custkey * 2 AS cust, l_partkey * 2 + 1 AS part
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT cust AS src, part AS dst FROM cp
+            UNION ALL
+            SELECT part AS src, cust AS dst FROM cp
+        ),
+        l0 AS (
+            SELECT node, node AS lab FROM (
+                SELECT DISTINCT src AS node FROM e
+                UNION
+                SELECT DISTINCT dst AS node FROM e
+            )
+        )"""
+    ]
+    prev = "l0"
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+        v{r} AS (
+            SELECT e.src AS node, l.lab
+            FROM e JOIN {prev} l ON e.dst = l.node
+            UNION ALL
+            SELECT node, lab FROM {prev}
+        ),
+        c{r} AS (
+            SELECT node, lab, count(*) AS c FROM v{r} GROUP BY node, lab
+        ),
+        l{r} AS (
+            SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, lab ASC
+                       ) AS rn
+                FROM c{r}
+            ) WHERE rn = 1
+        )"""
+        )
+        prev = f"l{r}"
+    parts.append(
+        f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END
+                   AS node_type,
+               node // 2 AS key,
+               CAST(lab AS BIGINT) AS community
+        FROM {prev}"""
+    )
+    return "".join(parts)
 
 
 SPECS = [
@@ -442,5 +535,10 @@ SPECS = [
                    AS assortativity
         FROM agg
         """,
+    ),
+    QuerySpec(
+        "graph_label_propagation",
+        q_label_propagation,
+        oracle=_lpa_oracle(3),
     ),
 ]

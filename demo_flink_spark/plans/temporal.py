@@ -250,6 +250,42 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day MAU per day + DAU/MAU stickiness — closes the
+    engagement family (DAU/WAU/MAU). Same scale shape as
+    `dau_wau_engagement`: each deduped (user, active-day) pair is
+    EXPLODED onto the 28 target days it supports, so MAU is a plain
+    count-distinct per target day — a bounded ×28 linear expansion,
+    never a 28-way self-join and never distinct-over-window (not
+    expressible). Days outside the observed range are trimmed."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 27 days, interval 1 day)")
+        ).alias("day"),
+    )
+    mau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr("(dau * 2000000 + mau) div (2 * mau)").alias(
+                "dau_mau_micros"
+            ),
+        )
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel: per-stage user counts and the
     strictly-ordered conversion count.
@@ -548,6 +584,35 @@ SPECS = [
                (d.dau * 2000000 + w.wau) // (2 * w.wau)
                    AS stickiness_micros
         FROM dau d JOIN wau w USING (day) CROSS JOIN bounds
+        WHERE d.day BETWEEN lo AND hi
+        """,
+    ),
+    QuerySpec(
+        "mau_rolling_28d",
+        q_mau_rolling,
+        # same explode-onto-target-days construction; MAU(d) counts
+        # users active in [d-27, d]
+        oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        dau AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY day
+        ),
+        contrib AS (
+            SELECT user_id, day + (k * INTERVAL '1 day') AS day
+            FROM ud, LATERAL unnest(range(0, 28)) AS u(k)
+        ),
+        mau AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+            FROM contrib GROUP BY day
+        )
+        SELECT d.day, d.dau, m.mau,
+               (d.dau * 2000000 + m.mau) // (2 * m.mau) AS dau_mau_micros
+        FROM dau d JOIN mau m USING (day) CROSS JOIN bounds
         WHERE d.day BETWEEN lo AND hi
         """,
     ),

@@ -245,3 +245,54 @@ def test_stl_weekly_period_uses_epoch_phase(spark):
     assert len(got) == 24 * 7 * 3
     assert all(r["seasonal_micros"] == 0 for r in got)
     assert all(r["residual_micros"] == 0 for r in got)
+
+
+# ------------------------------------- hypothesis: label propagation
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=18,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_label_propagation_matches_python(spark, edges, rounds):
+    """Synchronous LPA with self-vote and min-label tie-break is a
+    pure function of (edge list, round count): the engine must match
+    a direct Python simulation on random directed multigraph inputs,
+    for any round count."""
+    from collections import Counter
+
+    from demo_flink_spark.operators.dedup import connected_components_star  # noqa: F401
+    from demo_flink_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # dedupe like the engine sees them (it does not distinct edges;
+    # multiplicity counts as extra votes — simulate identically)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for v in nodes:
+            votes = Counter([lab[b] for a, b in edges if a == v])
+            votes[lab[v]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            # plurality, tie -> smallest label
+            top = best[1]
+            nxt[v] = min(l for l, c in votes.items() if c == top)
+        lab = nxt
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, n_rounds=rounds).collect()
+    }
+    assert got == lab

@@ -208,6 +208,17 @@ CHECKS = {
         ["BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # label propagation: per-round bodies are behind localCheckpoint
+    # (the returned plan is a scan over the final round's RDD), so
+    # only the no-cartesian invariant is visible here; the iterative
+    # behavior is pinned by the shake gate + hypothesis property test
+    "graph_label_propagation": ([], ["CartesianProduct"]),
+    # rolling MAU: explode-onto-28-days + count-distinct; the only
+    # nested-loop join is the broadcast 1-row bounds trim
+    "mau_rolling_28d": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # bigram LM: count tables ride broadcast back onto the bigram
     # stream — no sort-merge self-join, no cartesian. (The bigram
     # generator itself is behind a localCheckpoint, so it shows as
@@ -548,11 +559,12 @@ CHECKS = {
         ["Window", "HashAggregate"],
         ["CartesianProduct"],
     ),
-    # KL: two word-count aggs joined on word; the corpus total is a
-    # driver literal (one bounded count), NOT a crossJoin
+    # KL: two word-count aggs joined on word; the corpus total rides
+    # a broadcast 1-row crossJoin (BNLJ) so it stays in the lazy plan
+    # — never an eager driver-side count, never a cartesian product
     "kl_unigram_by_source": (
-        ["HashAggregate"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
     ),
     # linkage: two-phase distributed rank (range exchange + Arrow
     # local-rank pass — materialized behind the localCheckpoint, so
