@@ -296,3 +296,22 @@ def test_label_propagation_matches_python(spark, edges, rounds):
         for r in label_propagation(df, n_rounds=rounds).collect()
     }
     assert got == lab
+
+
+def test_label_propagation_early_exit_is_exact(spark):
+    """On a star graph every node converges to label 0 after one
+    round; the signature + anti-join early exit must fire well before
+    n_rounds and return exactly the fixed point."""
+    from demo_flink_spark.operators.graph import label_propagation
+
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats = {}
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            df, n_rounds=10, early_exit=True, checkpoint_every=2, stats=stats
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(6)}
+    assert stats["rounds"] < 10
