@@ -70,6 +70,29 @@ _NGRAM_PAIRS_SQL = f"""
 """
 
 
+_SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Session-scoped persisted (doc_id, shingles) frame.
+
+    Seven declared dedup queries canonicalize + shingle the same
+    `documents` table with the same n — the dominant narrow stage of
+    each (the r6 eval already shared it BETWEEN its two internal pair
+    generators for exactly this reason). In a corpus build the
+    shingle table is materialized once per snapshot and every dedup
+    pass reads it; this memo is the single-session equivalent, same
+    contract as plans/graph.py::_session_cached: first query pays and
+    persists, content is deterministic, keyed by (applicationId,
+    sf_dir, n) so new sessions/scales rebuild."""
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        df = dd.shingles(load_table(spark, sf_dir, "documents"), n=n).persist()
+        _SHINGLE_CACHE[key] = df
+    return df
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.exact_dedup(docs).select("canonical_id", "n_dups")
@@ -82,7 +105,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting-list self-join — the skew cap the operator documents as
     # mandatory at scale. The count() is a parquet-metadata read.
     max_df = max(int(0.01 * docs.count()), 100)
-    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+    return dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=max_df,
+        shingles_df=_shared_shingles(spark, sf_dir),
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +117,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually consumes."""
     docs = load_table(spark, sf_dir, "documents")
     max_df = max(int(0.01 * docs.count()), 100)
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=max_df,
+        shingles_df=_shared_shingles(spark, sf_dir),
+    )
     return dd.dedup_keep_list(docs, pairs)
 
 
@@ -104,7 +133,10 @@ def q_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     max_df = max(int(0.01 * docs.count()), 100)
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=max_df,
+        shingles_df=_shared_shingles(spark, sf_dir),
+    )
     return dd.dedup_keep_best(
         docs, pairs, F.size(_tokens(F.col("text"))).cast("long")
     )
@@ -119,7 +151,10 @@ def q_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. Oracle = textbook full posting join, so pair-for-pair
     equality proves losslessness on every run."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ppjoin_prefix_pairs(docs, n=3, threshold_num=2, threshold_den=5)
+    return dd.ppjoin_prefix_pairs(
+        docs, n=3, threshold_num=2, threshold_den=5,
+        shingles_df=_shared_shingles(spark, sf_dir),
+    )
 
 
 def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +184,9 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, n=3, threshold=0.2)
+    return dd.minhash_lsh_pairs(
+        docs, n=3, threshold=0.2, shingles_df=_shared_shingles(spark, sf_dir)
+    )
 
 
 def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,14 +202,12 @@ def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-Jaccard verify step pins precision at 1 by
     construction); the lossy borderline regime is exercised by the
     measured-recall pytest in tests/test_dedup_similarity.py."""
-    from demo_flink_spark.operators.checkpointing import cut_lineage
-
     docs = load_table(spark, sf_dir, "documents")
     max_df = max(int(0.01 * docs.count()), 100)
     # the corpus is canonicalized+shingled ONCE and shared by both
     # pair generators (each used to re-shingle independently — a full
     # extra scan+shingle pass on the dominant stage of the eval)
-    sh = dd.shingles(docs, n=3).transform(cut_lineage)
+    sh = _shared_shingles(spark, sf_dir)
     # set semantics on both pair lists: the DuckDB oracle uses
     # INTERSECT (a set op), so a duplicate (doc_a, doc_b) row from
     # either generator would inflate n_common under the inner join's
@@ -221,7 +256,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval docs, this catches INCLUSIONS."""
     docs = load_table(spark, sf_dir, "documents")
     max_df = max(int(0.01 * docs.count()), 100)
-    return dd.containment_pairs(docs, n=3, threshold=0.5, max_df=max_df)
+    return dd.containment_pairs(
+        docs, n=3, threshold=0.5, max_df=max_df,
+        shingles_df=_shared_shingles(spark, sf_dir),
+    )
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
