@@ -195,6 +195,13 @@ SHAKE_QUERIES = [
     "dedup_cluster_keep_longest",
     "dedup_cluster_size_histogram",
     "quantile_sketch_residual",
+    # two-phase distributed global rank: per-partition Arrow local
+    # ranks + an offset table — the construct is CORRECT only if the
+    # result is invariant to the partition layout, which is exactly
+    # what shake proves
+    "linkage_sorted_neighborhood",
+    # systematic every-k-th along a total order: same invariance claim
+    "sample_systematic_orders",
 ]
 SHAKE_PARTITIONS = (3, 17, 64)
 
