@@ -315,3 +315,24 @@ def test_label_propagation_early_exit_is_exact(spark):
     }
     assert out == {i: 0 for i in range(6)}
     assert stats["rounds"] < 10
+
+
+def test_session_memos_reuse_and_rescope(spark):
+    """The graph/shingle session memos must return the SAME persisted
+    frame for repeat calls (one build per session+sf_dir) and a
+    different one for a different sf_dir."""
+    from demo_flink_spark.plans.dedup import _shared_shingles
+    from demo_flink_spark.plans.graph import _bipartite_edges, _copurchase_edges
+
+    a1 = _bipartite_edges(spark, "/root/testdata/sf0.001")
+    a2 = _bipartite_edges(spark, "/root/testdata/sf0.001")
+    assert a1 is a2
+    b = _bipartite_edges(spark, "/root/testdata/sf0.01")
+    assert b is not a1
+    s1 = _shared_shingles(spark, "/root/testdata/sf0.001")
+    assert s1 is _shared_shingles(spark, "/root/testdata/sf0.001")
+    c1 = _copurchase_edges(spark, "/root/testdata/sf0.001")
+    assert c1 is _copurchase_edges(spark, "/root/testdata/sf0.001")
+    # persisted, and usable
+    assert a1.storageLevel.useMemory
+    assert a1.count() > 0 and s1.count() > 0

@@ -47,6 +47,8 @@ PROBES = {
     "similarity_topk_bruteforce": "embeddings",
     "hybrid_search_rrf": "documents",
     "graph_pagerank_copurchase": "orders",
+    "graph_label_propagation": "orders",
+    "mau_rolling_28d": "events",
     "sequence_packing": "documents",
     "token_budget_mixture": "documents",
     "pipeline_attrition_funnel": "documents",
@@ -70,6 +72,8 @@ THIRD_DECADE = {
     "window_topn_users_hourly",
     "asof_join_last_purchase",
     "graph_pagerank_copurchase",
+    "graph_label_propagation",
+    "mau_rolling_28d",
     "heavy_hitter_words",
     "dedup_exact",
     "dedup_minhash_lsh",
