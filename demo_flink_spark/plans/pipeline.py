@@ -242,7 +242,70 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.snapshot_diff(old, new)
 
 
+def q_zorder_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for `part` over
+    (p_size, retail-price-cents) — the multi-dimensional layout key
+    that makes file-level min/max stats prune on BOTH columns
+    (operators/layout.py::zorder_key). Exact BIGINT quantization +
+    unrolled bit interleave, whole-stage codegen, value-hash oracle;
+    the layout writer is repartitionByRange(zkey) + sortWithin."""
+    from demo_flink_spark.operators.layout import zorder_key
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return zorder_key(part, "p_size", "cents", bits=16).select(
+        "p_partkey",
+        F.col("qx").alias("q_size"),
+        F.col("qy").alias("q_cents"),
+        "zkey",
+    )
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    """DuckDB twin: same integer quantization + the same unrolled
+    interleave expression."""
+    top = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((qx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((qy >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+        WITH base AS (
+            SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS y
+            FROM part
+        ),
+        s AS (
+            SELECT min(x) AS minx, max(x) AS maxx,
+                   min(y) AS miny, max(y) AS maxy
+            FROM base
+        ),
+        q AS (
+            SELECT p_partkey,
+                   CASE WHEN maxx = minx THEN 0
+                        ELSE ((x - minx) * {top}) // (maxx - minx)
+                   END AS qx,
+                   CASE WHEN maxy = miny THEN 0
+                        ELSE ((y - miny) * {top}) // (maxy - miny)
+                   END AS qy
+            FROM base CROSS JOIN s
+        )
+        SELECT p_partkey, qx AS q_size, qy AS q_cents,
+               CAST({z} AS BIGINT) AS zkey
+        FROM q
+    """
+
+
 SPECS = [
+    QuerySpec(
+        "layout_zorder_part",
+        q_zorder_part,
+        oracle=_zorder_oracle(16),
+    ),
     QuerySpec(
         "corpus_snapshot_diff",
         q_snapshot_diff,

@@ -336,3 +336,72 @@ def test_session_memos_reuse_and_rescope(spark):
     # persisted, and usable
     assert a1.storageLevel.useMemory
     assert a1.count() > 0 and s1.count() > 0
+
+
+# ------------------------------------------------------- z-order layout
+
+
+def _py_interleave(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(-(10**6), 10**6)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_key_matches_python(spark, rows):
+    """Quantization + interleave == the direct Python computation on
+    random (incl. negative) inputs; min maps to 0, max to 2^bits-1,
+    and a constant column quantizes to all-zero."""
+    from demo_flink_spark.operators.layout import zorder_key
+
+    data = [(i, x, y) for i, (x, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, x long, y long")
+    got = {
+        r["id"]: (r["qx"], r["qy"], r["zkey"])
+        for r in zorder_key(df, "x", "y", bits=16).collect()
+    }
+    xs = [x for _, x, _ in data]
+    ys = [y for _, _, y in data]
+    top = (1 << 16) - 1
+
+    def q(v, lo, hi):
+        return 0 if hi == lo else (v - lo) * top // (hi - lo)
+
+    for i, x, y in data:
+        qx = q(x, min(xs), max(xs))
+        qy = q(y, min(ys), max(ys))
+        assert got[i] == (qx, qy, _py_interleave(qx, qy)), (i, x, y)
+
+
+def test_zorder_locality_beats_lexicographic(spark):
+    """On a uniform 2-D grid, a 64-file Z-order layout must give the
+    second column a far narrower average per-file min/max width than
+    the lexicographic layout (whose second column spans ~the full
+    range in every file) — the property that makes footer-stats
+    pruning work on both columns."""
+    from demo_flink_spark.operators.layout import zorder_locality_report
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    rep = {
+        r["layout"]: (r["avg_width_x_micros"], r["avg_width_y_micros"])
+        for r in zorder_locality_report(df, "x", "y", bits=6, n_files=64).collect()
+    }
+    lex_x, lex_y = rep["lexicographic"]
+    z_x, z_y = rep["zorder"]
+    assert lex_y > 900_000  # second column ~full range per file
+    assert z_y < lex_y / 4  # z-order splits the budget
+    assert z_x < 500_000  # and still bounds the first column

@@ -219,6 +219,18 @@ CHECKS = {
         ["HashAggregate", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # z-order key: one 1-row min/max aggregate broadcast back, then a
+    # pure codegen bitwise map — no shuffle join, no window, no UDF
+    "layout_zorder_part": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        [
+            "CartesianProduct",
+            "SortMergeJoin",
+            "Window",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+        ],
+    ),
     # bigram LM: count tables ride broadcast back onto the bigram
     # stream — no sort-merge self-join, no cartesian. (The bigram
     # generator itself is behind a localCheckpoint, so it shows as
