@@ -405,3 +405,41 @@ def test_zorder_locality_beats_lexicographic(spark):
     assert lex_y > 900_000  # second column ~full range per file
     assert z_y < lex_y / 4  # z-order splits the budget
     assert z_x < 500_000  # and still bounds the first column
+
+
+# --------------------------------- hypothesis: two-phase global rank
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(
+        st.sampled_from(["a", "b", "b", "c", "dd", ""]),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.sampled_from([1, 3, 8]),
+)
+def test_global_sorted_rank_property(spark, vals, parts):
+    """Two-phase distributed rank == Python sorted() position on
+    random multisets (heavy ties broken by the unique key), for any
+    partition count — the partition-layout-invariance claim the shake
+    gate checks on the real query, pinned here on adversarial data."""
+    from demo_flink_spark.operators.dedup import global_sorted_rank
+
+    data = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "v string, k long")
+    got = {
+        r["k"]: r["rn"]
+        for r in global_sorted_rank(
+            df, ["v", "k"], num_partitions=parts
+        ).collect()
+    }
+    want = {
+        k: i + 1
+        for i, (v, k) in enumerate(sorted(data, key=lambda t: (t[0], t[1])))
+    }
+    assert got == want

@@ -49,6 +49,7 @@ PROBES = {
     "graph_pagerank_copurchase": "orders",
     "graph_label_propagation": "orders",
     "mau_rolling_28d": "events",
+    "layout_zorder_part": "part",
     "sequence_packing": "documents",
     "token_budget_mixture": "documents",
     "pipeline_attrition_funnel": "documents",
