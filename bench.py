@@ -47,7 +47,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
-    for tbl in ("lineitem", "documents", "embeddings", "events"):
+    for tbl in ("lineitem", "orders", "part", "customer", "documents", "embeddings", "events"):
         # hash every column: a bare count() reads only footer metadata,
         # leaving page decompression + codec init to be charged to the
         # first query that actually touches each table's data
