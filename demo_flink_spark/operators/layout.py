@@ -63,6 +63,12 @@ def zorder_key(
     partitioning the table by `zkey` before writing gives min/max
     file stats that prune on BOTH columns. 2·bits must stay < 63
     so the key fits a signed BIGINT.
+
+    Range caveat: the quantizer computes (x - min) * (2^bits - 1) in
+    BIGINT, so a column whose span exceeds 2^63 / 2^bits (~1.4e14 at
+    bits=16 — e.g. an epoch-MICROSECONDS axis spanning years) raises
+    a loud ANSI overflow rather than silently wrapping; pre-scale
+    such columns (epoch seconds/hours) or lower `bits`.
     """
     if 2 * bits >= 63:
         raise ValueError(f"2*bits must be < 63, got bits={bits}")

@@ -713,7 +713,9 @@ def stl_decompose(
         F.count(F.lit(1)).over(win).alias("w_n"),
         # phase off the epoch axis, NOT hour-of-day: hour() % p only
         # matches when p divides 24 — a weekly period (168) would
-        # silently collapse to daily seasonality
+        # silently collapse to daily seasonality. Contract: ts >=
+        # 1970 (Spark's `div` truncates toward zero, DuckDB's `//`
+        # floors — they agree only for non-negative epochs)
         (F.expr("epoch_s div 3600") % period_hours).alias("phase"),
     ).withColumn(
         # round-half-away mean in micros: w_sum, w_n > 0 always
