@@ -7,9 +7,17 @@ the reader skip most files. A plain lexicographic sort only prunes on
 the leading column; a Z-ORDER (Morton) key interleaves the bits of
 several columns so files cluster in ALL of them at once — the layout
 step behind `OPTIMIZE ... ZORDER BY` in lakehouse engines and
-`CLUSTER BY` in cloud warehouses. This module computes the key; the
-write side is just `df.repartitionByRange(F.col("zkey")).sortWithinPartitions("zkey")`
-feeding any partitioned sink (`sources/tables.py::write_partitioned`).
+`CLUSTER BY` in cloud warehouses.
+
+Division of labor with `operators/scale.py`: `scale.zorder_write` is
+the end-to-end PHYSICAL writer (N columns, float equal-width buckets
+— fine for a layout pass, where a last-ulp bucket-edge difference
+moves a row one file over) and owns the file-stat pruning test; THIS
+module is the exact-arithmetic key computation — pure BIGINT
+quantization, lazy in-plan min/max, bit-identical on any engine — so
+the key itself is a declared, value-hash-oracle-checked query
+(`layout_zorder_part`). Both share one interleaver
+(`scale.zorder_value`).
 
 Everything is exact integer arithmetic so the key is bit-identical on
 any engine/partitioning and the whole operator carries a value-hash
@@ -37,16 +45,15 @@ from pyspark.sql import functions as F
 
 def _interleave2(qx: Column, qy: Column, bits: int) -> Column:
     """Morton-interleave two `bits`-bit non-negative ints: x takes the
-    even bit positions, y the odd ones. Unrolled bitwise expression —
-    codegen-friendly, engine-portable (shifts/AND/OR on BIGINT)."""
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return z
+    even bit positions, y the odd ones. Delegates to the write-path's
+    `scale.zorder_value` (same unrolled shift/AND/OR expression; its
+    column order puts cols[0] on the HIGH bit of each pair, so
+    [qy, qx] yields qx-even / qy-odd) — one interleaver, two callers:
+    the float-bucketed physical writer (`scale.zorder_write`) and
+    this exact-integer, oracle-checked key."""
+    from demo_flink_spark.operators.scale import zorder_value
+
+    return zorder_value([qy, qx], bits=bits)
 
 
 def zorder_key(

@@ -1376,3 +1376,70 @@ def word_burstiness(
         .cast("long")
         .alias("fano_micros"),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    n_iter: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — the classic unsupervised
+    keyword/keyphrase ranker, and the composition proof that the
+    hardened iterative pagerank runs unchanged on a TEXT-derived
+    graph with string node ids.
+
+    Graph contract (deterministic, oracle-mirrorable):
+    - tokens: `regexp_extract_all(lower(text), '[a-z]+')` — the
+      kl_unigram tokenizer;
+    - edges: the SET of adjacent ordered pairs (w_i, w_{i+1}),
+      w_i ≠ w_{i+1}, symmetrized (window-2 co-occurrence, unweighted
+      — the original paper's default for keyword extraction);
+    - the reference's 11 stopwords (AdvancedWordCount.java:26-28)
+      are removed as nodes: any edge touching one is dropped;
+    - rank: `operators.graph.pagerank`, Q52 fixed point, `n_iter`
+      rounds — bit-identical on any engine/partitioning, so the
+      top-`k` (rank DESC, word ASC) carries a full value-hash oracle
+      via plans/graph.py::pagerank_oracle_sql.
+
+    Scale: |V| = vocabulary, |E| ≤ total tokens (narrow explode +
+    distinct) — both tiny next to the corpus; the expensive stage is
+    the tokenize scan, shared shape with every textstats operator.
+    """
+    from demo_flink_spark.operators.graph import pagerank
+    from demo_flink_spark.operators.wordcount import STOPWORDS
+
+    toks = docs.select(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias(
+            "ts"
+        )
+    )
+    adj = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "filter(transform(ts, (w, i) ->"
+                    " IF(i < size(ts) - 1 AND w <> ts[i + 1],"
+                    " struct(w AS a, ts[i + 1] AS b), NULL)),"
+                    " p -> p IS NOT NULL)"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    sw = list(STOPWORDS)
+    adj = adj.filter(~F.col("a").isin(sw) & ~F.col("b").isin(sw))
+    edges = (
+        adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    r = pagerank(edges, damping=damping, n_iter=n_iter)
+    return (
+        r.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(k)
+        .select(F.col("node").alias("word"), "rank")
+    )

@@ -61,6 +61,76 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
+def pagerank_oracle_sql(
+    edge_cte: str,
+    final_select: str,
+    n_iter: int = 6,
+    damping: float = 0.85,
+) -> str:
+    """Generate the unrolled Q52 fixed-point PageRank oracle.
+
+    `edge_cte` must be a `WITH ...` chain whose last CTE is named `e`
+    with columns (src, dst); `final_select` reads the converged vector
+    from `r{n_iter}` (node, rank). Each unrolled round mirrors
+    operators/graph.py::pagerank bit-for-bit: per-edge contributions
+    floor(rank·inv_deg·2^52) summed as BIGINTs, divided back — so the
+    doubles are identical across engines and any consumer query
+    (copurchase centrality, TextRank keywords) carries a value-hash
+    oracle. Extracted from the hand-written r1 copurchase oracle,
+    which now calls this generator (the driver's hash match is the
+    proof the generator reproduces it)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    rounds = []
+    for r in range(1, n_iter + 1):
+        rounds.append(
+            f""",
+        r{r} AS (
+            SELECT v.node,
+                   (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+                   + {d} * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+            FROM nodes v LEFT JOIN (
+                SELECT wd.dst,
+                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
+                                * 4503599627370496.0) AS BIGINT))
+                            AS DOUBLE) / 4503599627370496.0 AS contrib
+                FROM wd JOIN r{r - 1} r ON wd.src = r.node
+                GROUP BY wd.dst
+            ) c ON v.node = c.dst
+        )"""
+        )
+    return (
+        edge_cte
+        + """,
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        wd AS (
+            SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS inv_deg
+            FROM e JOIN deg ON e.src = deg.src
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+            )
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+        + "".join(rounds)
+        + "\n"
+        + final_select
+    )
+
+
+_COPURCHASE_EDGE_CTE = """
+        WITH cp AS (
+            SELECT DISTINCT o_custkey * 2 AS cust, l_partkey * 2 + 1 AS part
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT cust AS src, part AS dst FROM cp
+            UNION ALL
+            SELECT part AS src, cust AS dst FROM cp
+        )"""
+
+
 _GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -273,114 +343,20 @@ SPECS = [
     QuerySpec(
         "graph_pagerank_copurchase",
         q_pagerank_copurchase,
-        # 6 power iterations unrolled; Q52 fixed-point contribution
-        # sums (floor(c*2^52) summed as longs) make the doubles
-        # bit-identical across engines
-        oracle="""
-        WITH cp AS (
-            SELECT DISTINCT o_custkey * 2 AS cust, l_partkey * 2 + 1 AS part
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ),
-        e AS (
-            SELECT cust AS src, part AS dst FROM cp
-            UNION ALL
-            SELECT part AS src, cust AS dst FROM cp
-        ),
-        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-        wd AS (
-            SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS inv_deg
-            FROM e JOIN deg ON e.src = deg.src
-        ),
-        nodes AS (
-            SELECT DISTINCT node FROM (
-                SELECT src AS node FROM e UNION ALL SELECT dst FROM e
-            )
-        ),
-        nn AS (SELECT count(*) AS n FROM nodes),
-        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
-        r1 AS (
-            SELECT v.node,
-                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
-            FROM nodes v LEFT JOIN (
-                SELECT wd.dst,
-                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
-                                * 4503599627370496.0) AS BIGINT))
-                            AS DOUBLE) / 4503599627370496.0 AS contrib
-                FROM wd JOIN r0 r ON wd.src = r.node
-                GROUP BY wd.dst
-            ) c ON v.node = c.dst
-        ),
-        r2 AS (
-            SELECT v.node,
-                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
-            FROM nodes v LEFT JOIN (
-                SELECT wd.dst,
-                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
-                                * 4503599627370496.0) AS BIGINT))
-                            AS DOUBLE) / 4503599627370496.0 AS contrib
-                FROM wd JOIN r1 r ON wd.src = r.node
-                GROUP BY wd.dst
-            ) c ON v.node = c.dst
-        ),
-        r3 AS (
-            SELECT v.node,
-                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
-            FROM nodes v LEFT JOIN (
-                SELECT wd.dst,
-                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
-                                * 4503599627370496.0) AS BIGINT))
-                            AS DOUBLE) / 4503599627370496.0 AS contrib
-                FROM wd JOIN r2 r ON wd.src = r.node
-                GROUP BY wd.dst
-            ) c ON v.node = c.dst
-        ),
-        r4 AS (
-            SELECT v.node,
-                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
-            FROM nodes v LEFT JOIN (
-                SELECT wd.dst,
-                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
-                                * 4503599627370496.0) AS BIGINT))
-                            AS DOUBLE) / 4503599627370496.0 AS contrib
-                FROM wd JOIN r3 r ON wd.src = r.node
-                GROUP BY wd.dst
-            ) c ON v.node = c.dst
-        ),
-        r5 AS (
-            SELECT v.node,
-                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
-            FROM nodes v LEFT JOIN (
-                SELECT wd.dst,
-                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
-                                * 4503599627370496.0) AS BIGINT))
-                            AS DOUBLE) / 4503599627370496.0 AS contrib
-                FROM wd JOIN r4 r ON wd.src = r.node
-                GROUP BY wd.dst
-            ) c ON v.node = c.dst
-        ),
-        r6 AS (
-            SELECT v.node,
-                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-                   + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
-            FROM nodes v LEFT JOIN (
-                SELECT wd.dst,
-                       CAST(SUM(CAST(floor(r.rank * wd.inv_deg
-                                * 4503599627370496.0) AS BIGINT))
-                            AS DOUBLE) / 4503599627370496.0 AS contrib
-                FROM wd JOIN r5 r ON wd.src = r.node
-                GROUP BY wd.dst
-            ) c ON v.node = c.dst
-        )
+        # 6 power iterations unrolled via pagerank_oracle_sql; Q52
+        # fixed-point contribution sums (floor(c*2^52) summed as
+        # longs) make the doubles bit-identical across engines
+        oracle=pagerank_oracle_sql(
+            _COPURCHASE_EDGE_CTE,
+            """
         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END
                    AS node_type,
                node // 2 AS key, rank
         FROM r6
-        """,
+            """,
+            n_iter=6,
+            damping=0.85,
+        ),
     ),
     QuerySpec(
         "graph_triangle_count",

@@ -920,6 +920,46 @@ def _perceptron_oracle(n_iters: int = _PERCEPTRON_ITERS) -> str:
     """
 
 
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by TextRank (Mihalcea & Tarau 2004) —
+    operators/textstats.py::textrank_keywords: PageRank over the
+    window-2 word co-occurrence graph, reference stopwords removed,
+    Q52 bit-exact ranks, deterministic (rank DESC, word ASC) top-k."""
+    return textstats.textrank_keywords(
+        load_table(spark, sf_dir, "documents"), k=20, n_iter=6
+    )
+
+
+def _textrank_oracle() -> str:
+    from demo_flink_spark.operators.wordcount import STOPWORDS
+    from demo_flink_spark.plans.graph import pagerank_oracle_sql
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    edge_cte = f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+            FROM documents
+        ),
+        adj AS (
+            SELECT DISTINCT ts[i] AS a, ts[i + 1] AS b
+            FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+            WHERE ts[i] <> ts[i + 1]
+              AND ts[i] NOT IN ({sw}) AND ts[i + 1] NOT IN ({sw})
+        ),
+        e AS (
+            SELECT a AS src, b AS dst FROM adj
+            UNION
+            SELECT b AS src, a AS dst FROM adj
+        )"""
+    final = """
+        SELECT node AS word, rank FROM r6
+        ORDER BY rank DESC, node ASC
+        LIMIT 20
+    """
+    return pagerank_oracle_sql(edge_cte, final, n_iter=6, damping=0.85)
+
+
 SPECS = [
     QuerySpec(
         "word_count",
@@ -1933,5 +1973,10 @@ SPECS = [
                        // (2 * n)) AS BIGINT) AS kl_micros
         FROM agg
         """,
+    ),
+    QuerySpec(
+        "textrank_keywords",
+        q_textrank_keywords,
+        oracle=_textrank_oracle(),
     ),
 ]

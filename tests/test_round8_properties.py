@@ -443,3 +443,29 @@ def test_global_sorted_rank_property(spark, vals, parts):
         for i, (v, k) in enumerate(sorted(data, key=lambda t: (t[0], t[1])))
     }
     assert got == want
+
+
+# ------------------------------------------------------------ textrank
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """A word adjacent to every other word is the graph hub and must
+    take the top TextRank slot; stopwords must never appear even when
+    they dominate the raw text."""
+    from demo_flink_spark.operators.textstats import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark the engine. spark the cluster. spark the planner."),
+            (2, "engine and cluster and planner and shuffle."),
+            (3, "spark shuffle! spark planner? spark engine."),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, k=5).collect()
+    words = [r["word"] for r in out]
+    assert words[0] == "spark"
+    assert "the" not in words and "and" not in words
+    # ranks are a proper descending order with the word tie-break
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)

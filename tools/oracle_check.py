@@ -202,6 +202,8 @@ SHAKE_QUERIES = [
     "linkage_sorted_neighborhood",
     # systematic every-k-th along a total order: same invariance claim
     "sample_systematic_orders",
+    # pagerank over the word co-occurrence graph (string node ids)
+    "textrank_keywords",
 ]
 SHAKE_PARTITIONS = (3, 17, 64)
 

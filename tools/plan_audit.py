@@ -219,6 +219,13 @@ CHECKS = {
         ["HashAggregate", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # textrank: word-graph pagerank — same invariants as copurchase
+    # pagerank (broadcast rank vector, no cartesian/sort-merge); the
+    # top-k is a TakeOrderedAndProject, never a global sort
+    "textrank_keywords": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # z-order key: one 1-row min/max aggregate broadcast back, then a
     # pure codegen bitwise map — no shuffle join, no window, no UDF
     "layout_zorder_part": (
