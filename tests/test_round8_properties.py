@@ -469,3 +469,25 @@ def test_textrank_hub_word_ranks_first(spark):
     # ranks are a proper descending order with the word tie-break
     ranks = [r["rank"] for r in out]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_srclint_catches_indirect_sum_over_hash(tmp_path):
+    """The lint must also flag the indirect form: a full-range hash
+    bound to a column name, summed later in the file."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import srclint_sum_over_hash
+
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "m.py").write_text(
+        'df = df.withColumn("h", F.xxhash64("a", "b"))\n'
+        'out = df.groupBy("k").agg(F.sum("h").alias("sig"))\n'
+        's2 = x.select(F.xxhash64("t").alias("fp"))\n'
+        "ok = s2.agg(F.sum(F.col('fp').cast('decimal(38,0)')))\n"
+        'bad2 = s2.agg(F.sum(F.col("fp")))\n'
+        'fine = df.agg(F.sum("value"))\n'
+    )
+    hits = srclint_sum_over_hash(str(pkg))
+    assert len(hits) == 2 and "m.py:2" in hits[0] and "m.py:5" in hits[1], hits

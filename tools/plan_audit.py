@@ -688,9 +688,26 @@ _SUM_OVER_HASH = re.compile(
 )
 
 
+# Indirect variant: a full-range hash aliased/bound to a column name
+# on one line, F.sum over that NAME later in the same file. File
+# scope keeps false positives possible in principle (name reuse), so
+# the binding patterns are narrow: .alias("x")/withColumn("x", ...)
+# ON a line that calls xxhash64/F.hash.
+_HASH_BINDING = re.compile(
+    r"""(?:\.alias\(\s*["'](\w+)["']\s*\)      # F.xxhash64(...).alias("x")
+        |withColumn\(\s*["'](\w+)["']          # .withColumn("x", F.xxhash64(
+        |["'](\w+)["']\s*:\s*F\.(?:xxhash64|hash)\(  # {"x": F.xxhash64(
+        )""",
+    re.VERBOSE,
+)
+_IS_HASH_LINE = re.compile(r"(?:F\.)?(?:xxhash64|hash)\s*\(")
+
+
 def srclint_sum_over_hash(root: str = "demo_flink_spark") -> list[str]:
     """Return 'file:lineno: line' for every sum-over-int64-hash site
-    that lacks a decimal cast on the same line."""
+    that lacks a decimal cast on the same line — both the inline form
+    (sum(xxhash64(...))) and the indirect form (hash bound to a column
+    name, F.sum over that name later in the same file)."""
     hits = []
     for dirpath, _dirs, files in os.walk(root):
         if "__pycache__" in dirpath:
@@ -700,9 +717,28 @@ def srclint_sum_over_hash(root: str = "demo_flink_spark") -> list[str]:
                 continue
             path = os.path.join(dirpath, fn)
             with open(path, encoding="utf-8") as fh:
-                for i, line in enumerate(fh, 1):
-                    if _SUM_OVER_HASH.search(line) and "decimal" not in line.lower():
-                        hits.append(f"{path}:{i}: {line.strip()}")
+                lines = fh.readlines()
+            hash_cols: set[str] = set()
+            for line in lines:
+                if _IS_HASH_LINE.search(line):
+                    for m in _HASH_BINDING.finditer(line):
+                        name = next(g for g in m.groups() if g)
+                        hash_cols.add(name)
+            for i, line in enumerate(lines, 1):
+                if "decimal" in line.lower():
+                    continue
+                if _SUM_OVER_HASH.search(line):
+                    hits.append(f"{path}:{i}: {line.strip()}")
+                    continue
+                for name in hash_cols:
+                    if re.search(
+                        rf"""F\.sum\(\s*(?:F\.col\(\s*)?["']{name}["']""", line
+                    ):
+                        hits.append(
+                            f"{path}:{i}: {line.strip()}  "
+                            f"[{name!r} bound to a full-range hash above]"
+                        )
+                        break
     return hits
 
 
