@@ -958,9 +958,16 @@ def connected_components_star(
 
     sig = _sig(e)
     for _ in range(max_iter):
+        prev = e
         e = _stars(e)
         new_sig = _sig(e)
-        if new_sig == sig:
+        # a 64-bit signature match only GATES the exact check (the
+        # hardened iterative-loop rule, same as pagerank / label
+        # propagation): both sides are distinct edge sets, so equal
+        # counts (in the signature) + an empty one-direction anti-join
+        # prove set equality — a colliding signature can no longer
+        # fake convergence
+        if new_sig == sig and e.join(prev, ["u", "v"], "left_anti").isEmpty():
             break
         sig = new_sig
     # after convergence every node is adjacent to its component

@@ -605,7 +605,10 @@ def label_propagation(
         at_boundary = rounds_run % checkpoint_every == 0 or rounds_run == n_rounds
         if at_boundary:
             labels = labels.transform(cut_lineage)
-            if early_exit:
+            # no signature work on the FINAL round: break would be a
+            # no-op there, so the collect jobs would be pure waste
+            # (pagerank guards the same way with i < n_iter)
+            if early_exit and rounds_run < n_rounds:
                 new_sig = _sig(labels)
                 if new_sig == prev_sig:
                     # 64-bit signatures can collide: prove the fixed

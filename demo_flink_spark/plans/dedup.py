@@ -88,6 +88,14 @@ def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, n)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
+        # bounded like the graph memo: evict+unpersist the oldest
+        # entry past 8 keys so long sessions cannot pin storage
+        if len(_SHINGLE_CACHE) >= 8:
+            old = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — dead session's frame
+                pass
         df = dd.shingles(load_table(spark, sf_dir, "documents"), n=n).persist()
         _SHINGLE_CACHE[key] = df
     return df

@@ -152,6 +152,15 @@ def _session_cached(spark: SparkSession, sf_dir: str, kind: str, build):
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _GRAPH_CACHE.get(key)
     if df is None:
+        # bounded: evict (and unpersist) the oldest entry past 8 keys
+        # so a long-lived session sweeping many sf_dirs cannot pin
+        # executor storage memory forever
+        if len(_GRAPH_CACHE) >= 8:
+            old = _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — dead session's frame
+                pass
         df = build().persist()
         _GRAPH_CACHE[key] = df
     return df

@@ -204,86 +204,89 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU / trailing-7-day WAU / stickiness per day — the engagement
-    headline. Exact distinct users with NO distinct-over-window (not
-    expressible) and NO 7-way self-join: each (user, active-day) pair
-    is deduped once, then EXPLODED onto the 7 target days it supports
-    (day .. day+6), and WAU is a plain count-distinct per target day —
-    a bounded ×7 row expansion that scales linearly. Stickiness =
-    round-half-away DAU·1e6/WAU. Days beyond the observed range are
-    trimmed so every reported day has a full interpretation."""
-    ev = load_table(spark, sf_dir, "events")
-    ud = (
-        ev.select(
-            F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
-        )
-        .distinct()
-    )
-    bounds = ud.agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
-    )
-    dau = ud.groupBy("day").agg(
-        F.countDistinct("user_id").alias("dau")
-    )
-    contrib = ud.select(
-        "user_id",
-        F.explode(
-            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
-        ).alias("day"),
-    )
-    wau = contrib.groupBy("day").agg(
-        F.countDistinct("user_id").alias("wau")
-    )
-    return (
-        dau.join(wau, "day")
-        .crossJoin(F.broadcast(bounds))
-        .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
-        .select(
-            "day",
-            F.col("dau").cast("long").alias("dau"),
-            F.col("wau").cast("long").alias("wau"),
-            F.expr("(dau * 2000000 + wau) div (2 * wau)").alias(
-                "stickiness_micros"
-            ),
-        )
-    )
-
-
-def q_mau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-28-day MAU per day + DAU/MAU stickiness — closes the
-    engagement family (DAU/WAU/MAU). Same scale shape as
-    `dau_wau_engagement`: each deduped (user, active-day) pair is
-    EXPLODED onto the 28 target days it supports, so MAU is a plain
-    count-distinct per target day — a bounded ×28 linear expansion,
-    never a 28-way self-join and never distinct-over-window (not
-    expressible). Days outside the observed range are trimmed."""
+def _rolling_active_users(
+    spark: SparkSession,
+    sf_dir: str,
+    window_days: int,
+    metric: str,
+    ratio_name: str,
+) -> DataFrame:
+    """DAU + trailing-`window_days`-day distinct actives per observed
+    activity day. Exact distinct users with NO distinct-over-window
+    (not expressible) and NO k-way self-join: each deduped
+    (user, active-day) pair is EXPLODED onto the `window_days` target
+    days it supports, and the rolling count is a plain count-distinct
+    per target day — a bounded ×k linear expansion. The dau join
+    already restricts output to observed activity days (every rolling
+    day >= its source day), so no extra trimming is needed; the first
+    `window_days - 1` days of the data necessarily report a TRUNCATED
+    trailing window (counting from data start) — the standard
+    dashboard ramp-up semantics. Ratio = round-half-away
+    DAU·1e6/metric."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
     ).distinct()
-    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     contrib = ud.select(
         "user_id",
         F.explode(
-            F.expr("sequence(day, day + interval 27 days, interval 1 day)")
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days,"
+                " interval 1 day)"
+            )
         ).alias("day"),
     )
-    mau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
-    return (
-        dau.join(mau, "day")
-        .crossJoin(F.broadcast(bounds))
-        .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
-        .select(
-            "day",
-            F.col("dau").cast("long").alias("dau"),
-            F.col("mau").cast("long").alias("mau"),
-            F.expr("(dau * 2000000 + mau) div (2 * mau)").alias(
-                "dau_mau_micros"
-            ),
-        )
+    rolling = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias(metric)
     )
+    return dau.join(rolling, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col(metric).cast("long").alias(metric),
+        F.expr(f"(dau * 2000000 + {metric}) div (2 * {metric})").alias(
+            ratio_name
+        ),
+    )
+
+
+def _rolling_active_oracle(window_days: int, metric: str, ratio_name: str) -> str:
+    """DuckDB twin of `_rolling_active_users` — same explode-onto-
+    target-days construction, parameterized once for WAU and MAU."""
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        dau AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY day
+        ),
+        contrib AS (
+            SELECT user_id, day + (k * INTERVAL '1 day') AS day
+            FROM ud, LATERAL unnest(range(0, {window_days})) AS u(k)
+        ),
+        rolling AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS {metric}
+            FROM contrib GROUP BY day
+        )
+        SELECT d.day, d.dau, r.{metric},
+               (d.dau * 2000000 + r.{metric}) // (2 * r.{metric})
+                   AS {ratio_name}
+        FROM dau d JOIN rolling r USING (day)
+    """
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    headline (`_rolling_active_users`, window 7)."""
+    return _rolling_active_users(spark, sf_dir, 7, "wau", "stickiness_micros")
+
+
+def q_mau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day MAU per day + DAU/MAU stickiness — closes the
+    engagement family (`_rolling_active_users`, window 28)."""
+    return _rolling_active_users(spark, sf_dir, 28, "mau", "dau_mau_micros")
 
 
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,61 +563,12 @@ SPECS = [
     QuerySpec(
         "dau_wau_engagement",
         q_dau_wau,
-        # same explode-onto-target-days construction; WAU(d) counts
-        # users active in [d-6, d]
-        oracle="""
-        WITH ud AS (
-            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
-            FROM events
-        ),
-        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
-        dau AS (
-            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
-            FROM ud GROUP BY day
-        ),
-        contrib AS (
-            SELECT user_id, day + (k * INTERVAL '1 day') AS day
-            FROM ud, LATERAL unnest([0, 1, 2, 3, 4, 5, 6]) AS u(k)
-        ),
-        wau AS (
-            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
-            FROM contrib GROUP BY day
-        )
-        SELECT d.day, d.dau, w.wau,
-               (d.dau * 2000000 + w.wau) // (2 * w.wau)
-                   AS stickiness_micros
-        FROM dau d JOIN wau w USING (day) CROSS JOIN bounds
-        WHERE d.day BETWEEN lo AND hi
-        """,
+        oracle=_rolling_active_oracle(7, "wau", "stickiness_micros"),
     ),
     QuerySpec(
         "mau_rolling_28d",
         q_mau_rolling,
-        # same explode-onto-target-days construction; MAU(d) counts
-        # users active in [d-27, d]
-        oracle="""
-        WITH ud AS (
-            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
-            FROM events
-        ),
-        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
-        dau AS (
-            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
-            FROM ud GROUP BY day
-        ),
-        contrib AS (
-            SELECT user_id, day + (k * INTERVAL '1 day') AS day
-            FROM ud, LATERAL unnest(range(0, 28)) AS u(k)
-        ),
-        mau AS (
-            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
-            FROM contrib GROUP BY day
-        )
-        SELECT d.day, d.dau, m.mau,
-               (d.dau * 2000000 + m.mau) // (2 * m.mau) AS dau_mau_micros
-        FROM dau d JOIN mau m USING (day) CROSS JOIN bounds
-        WHERE d.day BETWEEN lo AND hi
-        """,
+        oracle=_rolling_active_oracle(28, "mau", "dau_mau_micros"),
     ),
     QuerySpec(
         "funnel_latency_quantiles",

@@ -491,3 +491,29 @@ def test_srclint_catches_indirect_sum_over_hash(tmp_path):
     )
     hits = srclint_sum_over_hash(str(pkg))
     assert len(hits) == 2 and "m.py:2" in hits[0] and "m.py:5" in hits[1], hits
+
+
+def test_srclint_rejects_cast_outside_sum_and_anchors_bindings(tmp_path):
+    """Review-pass hardening: a decimal cast OUTSIDE the sum is still
+    the overflow (must flag); 'decimal' in a comment must not exempt;
+    hash-call substrings (canonical_hash) and non-hash aliases on a
+    hash line must not bind."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import srclint_sum_over_hash
+
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "m.py").write_text(
+        'bad = df.agg(F.sum(F.xxhash64("u","v")).cast("decimal(38,0)"))\n'
+        'bad2 = df.agg(F.sum(F.xxhash64("u","v")))  # decimal later\n'
+        'x = canonical_hash(df).alias("cnt")\n'
+        'ok = df.agg(F.sum("cnt"))\n'
+        'y = df.select(F.xxhash64("a").alias("fp"), F.col("n").alias("cnt2"))\n'
+        'ok2 = df.agg(F.sum("cnt2"))\n'
+        'bad3 = df.agg(F.sum("fp"))\n'
+    )
+    hits = srclint_sum_over_hash(str(pkg))
+    assert len(hits) == 3, hits
+    assert "m.py:1" in hits[0] and "m.py:2" in hits[1] and "m.py:7" in hits[2]

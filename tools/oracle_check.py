@@ -220,9 +220,25 @@ def shake(sf_dir: str, only: set[str] | None = None) -> int:
 
     spark = get_spark("oracle_shake")
     qs = e.queries()
-    names = [
-        n for n in SHAKE_QUERIES if n in qs and (not only or n in only)
-    ]
+    # fail LOUDLY on selection mistakes: a typo'd CLI name or a
+    # SHAKE_QUERIES entry that drifted from a renamed QuerySpec must
+    # not silently shrink the gate to "0 ok, 0 failed" green
+    missing = [n for n in SHAKE_QUERIES if n not in qs]
+    if missing:
+        print(f"SHAKE CONFIG ERROR: not in the registry: {missing}")
+        return 2
+    if only:
+        unknown = sorted(only - set(SHAKE_QUERIES))
+        if unknown:
+            print(
+                f"SHAKE CONFIG ERROR: unknown selection {unknown} "
+                f"(choose from {sorted(SHAKE_QUERIES)})"
+            )
+            return 2
+    names = [n for n in SHAKE_QUERIES if not only or n in only]
+    if not names:
+        print("SHAKE CONFIG ERROR: empty query selection")
+        return 2
     n_fail = 0
     for name in names:
         hashes = {}

@@ -213,11 +213,12 @@ CHECKS = {
     # only the no-cartesian invariant is visible here; the iterative
     # behavior is pinned by the shake gate + hypothesis property test
     "graph_label_propagation": ([], ["CartesianProduct"]),
-    # rolling MAU: explode-onto-28-days + count-distinct; the only
-    # nested-loop join is the broadcast 1-row bounds trim
+    # rolling MAU: explode-onto-28-days + count-distinct + one equi
+    # join of two day-keyed aggregates — no nested-loop joins at all
+    # (the review pass removed a dead broadcast bounds trim)
     "mau_rolling_28d": (
-        ["HashAggregate", "BroadcastNestedLoopJoin"],
-        ["CartesianProduct", "SortMergeJoin"],
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # textrank: word-graph pagerank — same invariants as copurchase
     # pagerank (broadcast rank vector, no cartesian/sort-merge); the
@@ -687,20 +688,33 @@ _SUM_OVER_HASH = re.compile(
     re.VERBOSE,
 )
 
+# The ONLY sanctioned decimal exemptions put the cast INSIDE the sum
+# argument (partial sums then accumulate in decimal(38,0), which
+# 64-bit terms cannot overflow). A cast OUTSIDE the sum —
+# F.sum(xxhash64(...)).cast("decimal") — casts the already-overflowed
+# aggregate and stays banned.
+_SAFE_DECIMAL_SUM = re.compile(
+    r"""(?:F\.sum\(\s*F\.(?:xxhash64|hash)\([^)]*\)\s*\.cast\(\s*["']decimal
+        |(?<![\w.])sum\s*\(\s*cast\s*\(\s*(?:xxhash64|hash)\s*\(
+        )""",
+    re.VERBOSE | re.IGNORECASE,
+)
+
 
 # Indirect variant: a full-range hash aliased/bound to a column name
-# on one line, F.sum over that NAME later in the same file. File
-# scope keeps false positives possible in principle (name reuse), so
-# the binding patterns are narrow: .alias("x")/withColumn("x", ...)
-# ON a line that calls xxhash64/F.hash.
+# on one line, F.sum over that NAME later in the same file. The
+# binding patterns are ANCHORED to the hash call itself (an alias
+# elsewhere on the same line must not bind, and `canonical_hash(`-
+# style identifiers must not trigger) — narrow by design; false
+# negatives are acceptable for a defense-in-depth lint, false
+# positives would block CI.
 _HASH_BINDING = re.compile(
-    r"""(?:\.alias\(\s*["'](\w+)["']\s*\)      # F.xxhash64(...).alias("x")
-        |withColumn\(\s*["'](\w+)["']          # .withColumn("x", F.xxhash64(
-        |["'](\w+)["']\s*:\s*F\.(?:xxhash64|hash)\(  # {"x": F.xxhash64(
+    r"""(?:F\.(?:xxhash64|hash)\(.*?\)\s*\.alias\(\s*["'](\w+)["']\s*\)
+        |withColumn\(\s*["'](\w+)["']\s*,\s*F\.(?:xxhash64|hash)\(
         )""",
     re.VERBOSE,
 )
-_IS_HASH_LINE = re.compile(r"(?:F\.)?(?:xxhash64|hash)\s*\(")
+_IS_HASH_LINE = re.compile(r"F\.(?:xxhash64|hash)\s*\(")
 
 
 def srclint_sum_over_hash(root: str = "demo_flink_spark") -> list[str]:
@@ -725,14 +739,19 @@ def srclint_sum_over_hash(root: str = "demo_flink_spark") -> list[str]:
                         name = next(g for g in m.groups() if g)
                         hash_cols.add(name)
             for i, line in enumerate(lines, 1):
-                if "decimal" in line.lower():
-                    continue
-                if _SUM_OVER_HASH.search(line):
+                if _SUM_OVER_HASH.search(line) and not _SAFE_DECIMAL_SUM.search(
+                    line
+                ):
                     hits.append(f"{path}:{i}: {line.strip()}")
                     continue
                 for name in hash_cols:
                     if re.search(
                         rf"""F\.sum\(\s*(?:F\.col\(\s*)?["']{name}["']""", line
+                    ) and not re.search(
+                        rf"""F\.sum\(\s*F\.col\(\s*["']{name}["']\s*\)\s*
+                             \.cast\(\s*["']decimal""",
+                        line,
+                        re.VERBOSE,
                     ):
                         hits.append(
                             f"{path}:{i}: {line.strip()}  "
@@ -742,13 +761,17 @@ def srclint_sum_over_hash(root: str = "demo_flink_spark") -> list[str]:
     return hits
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    sys.path.insert(0, "/root/repo")
-    os.chdir("/root/repo")
+    sys.path.insert(0, _REPO_ROOT)
 
-    hits = srclint_sum_over_hash()
+    # srclint root from __file__, NOT os.chdir: a chdir would silently
+    # re-anchor a caller's relative sf_dir argument
+    hits = srclint_sum_over_hash(os.path.join(_REPO_ROOT, "demo_flink_spark"))
     if hits:
         print("FAIL  srclint sum-over-hash (order-dependent ANSI overflow):")
         for h in hits:
