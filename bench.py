@@ -47,6 +47,24 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
+
+    def calibrate() -> float:
+        """Median of 3 runs of a fixed CPU-bound probe (the warmup
+        aggregation, re-timed post-warmup). Recorded at bench START
+        and END plus loadavg so a contended run self-certifies: a
+        BENCH total that doubled while the calibration probe also
+        doubled is machine noise, not a code regression (the r8
+        478.6 s adjudication, made in-band). Raw evidence only — the
+        headline number is never normalized by it."""
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
+            runs.append(time.time() - t0)
+        return round(sorted(runs)[1], 4)
+
+    calib_start = calibrate()
+    load_start = os.getloadavg()
     for tbl in ("lineitem", "orders", "part", "customer", "documents", "embeddings", "events"):
         # hash every column: a bare count() reads only footer metadata,
         # leaving page decompression + codec init to be charged to the
@@ -119,6 +137,8 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
+    calib_end = calibrate()
+    load_end = os.getloadavg()
     summary = {
         "metric": "total_query_wall_clock",
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
@@ -128,6 +148,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "failed": failed,
         "detail": detail_name,
+        # environment self-certification (see calibrate()): compare
+        # per-query times across runs against the calibration ratio
+        "calib_start_s": calib_start,
+        "calib_end_s": calib_end,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
     }
     if not only:
         with open(detail_path, "w") as f:

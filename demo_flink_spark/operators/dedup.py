@@ -1254,7 +1254,10 @@ def cdc_chunk_stats(
 
 
 def dedup_keep_list(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve near-dup pairs into a keep/drop decision per document:
     (id, canonical_id, is_kept) where canonical = min id per component
@@ -1268,8 +1271,14 @@ def dedup_keep_list(
     corpus); past that it degrades to a shuffle join instead of an
     executor OOM. The count is ~free: `connected_components` returns a
     checkpoint-materialized frame.
+
+    `components`: a pre-computed (node, comp) label frame for `pairs`
+    — callers that run several resolution policies over one pair list
+    (keep-min-id AND keep-longest) compute components once and share
+    (plans/dedup.py::_shared_components); must be exactly
+    `connected_components(pairs)`-shaped.
     """
-    comp = connected_components(pairs)
+    comp = components if components is not None else connected_components(pairs)
     return docs.select(id_col).join(
         broadcast_if_small(comp, comp.count()),
         docs[id_col] == comp.node,
@@ -1351,6 +1360,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     score: Column,
     id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs and keep the BEST-scoring member of each
     cluster — the policy real corpus builds use when near-duplicates
@@ -1363,11 +1373,12 @@ def dedup_keep_best(
     deterministic on any engine. Components broadcast while they fit
     the session's broadcast threshold (shuffle-join fallback past it,
     same rationale as `dedup_keep_list`); the winner is ONE
-    cluster-keyed window.
+    cluster-keyed window. `components`: optional pre-computed label
+    frame, same contract as `dedup_keep_list`.
     """
     from pyspark.sql.window import Window
 
-    comp = connected_components(pairs)
+    comp = components if components is not None else connected_components(pairs)
     scored = (
         docs.select(F.col(id_col), score.alias("score"))
         .join(

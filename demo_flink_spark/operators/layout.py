@@ -152,16 +152,19 @@ def zorder_locality_report(
             (F.max("y") - F.min("y")).alias("gy"),
         )
         # gx/gy are constant (broadcast 1-row): max() makes them
-        # legal inside the ungrouped aggregate
+        # legal inside the ungrouped aggregate. greatest(..., 1)
+        # guards a constant input column (gx or gy == 0): every
+        # per-file width is 0 too, so the report correctly shows 0
+        # instead of an ANSI divide-by-zero crash.
         return per.crossJoin(F.broadcast(g)).agg(
             F.lit(label).alias("layout"),
             F.expr(
-                "CAST((sum(wx) * 1000000 * 2 + count(*) * max(gx))"
-                " div (2 * count(*) * max(gx)) AS BIGINT)"
+                "CAST((sum(wx) * 1000000 * 2 + count(*) * greatest(max(gx), 1))"
+                " div (2 * count(*) * greatest(max(gx), 1)) AS BIGINT)"
             ).alias("avg_width_x_micros"),
             F.expr(
-                "CAST((sum(wy) * 1000000 * 2 + count(*) * max(gy))"
-                " div (2 * count(*) * max(gy)) AS BIGINT)"
+                "CAST((sum(wy) * 1000000 * 2 + count(*) * greatest(max(gy), 1))"
+                " div (2 * count(*) * greatest(max(gy), 1)) AS BIGINT)"
             ).alias("avg_width_y_micros"),
         )
 

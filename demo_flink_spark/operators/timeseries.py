@@ -679,7 +679,12 @@ def stl_decompose(
       a rows frame, so irregular/gappy series window correctly —
       hours with no bucket simply contribute nothing);
     - seasonal: per-(key, phase) mean of the detrended series, phase =
-      hour-of-day (period 24);
+      `(epoch_s div 3600) % period_hours` — the hour index on the
+      epoch axis modulo the period, so non-divisor-of-24 periods
+      (weekly = 168) keep their full cycle instead of collapsing to
+      hour-of-day. Contract: ts >= 1970 (Spark's `div` truncates
+      toward zero, DuckDB's `//` floors; they agree only for
+      non-negative epochs);
     - residual: what's left.
 
     Classic STL iterates loess fits; this single-pass MA/phase-mean

@@ -70,9 +70,6 @@ _NGRAM_PAIRS_SQL = f"""
 """
 
 
-_SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-
-
 def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """Session-scoped persisted (doc_id, shingles) frame.
 
@@ -81,24 +78,65 @@ def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     each (the r6 eval already shared it BETWEEN its two internal pair
     generators for exactly this reason). In a corpus build the
     shingle table is materialized once per snapshot and every dedup
-    pass reads it; this memo is the single-session equivalent, same
-    contract as plans/graph.py::_session_cached: first query pays and
-    persists, content is deterministic, keyed by (applicationId,
+    pass reads it; this memo is the single-session equivalent —
+    bounded-LRU contract in plans/memo.py, keyed by (applicationId,
     sf_dir, n) so new sessions/scales rebuild."""
-    key = (spark.sparkContext.applicationId, sf_dir, n)
-    df = _SHINGLE_CACHE.get(key)
-    if df is None:
-        # bounded like the graph memo: evict+unpersist the oldest
-        # entry past 8 keys so long sessions cannot pin storage
-        if len(_SHINGLE_CACHE) >= 8:
-            old = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — dead session's frame
-                pass
-        df = dd.shingles(load_table(spark, sf_dir, "documents"), n=n).persist()
-        _SHINGLE_CACHE[key] = df
-    return df
+    from demo_flink_spark.plans.memo import session_memo
+
+    return session_memo(
+        "shingles",
+        (spark.sparkContext.applicationId, sf_dir, n),
+        lambda: dd.shingles(load_table(spark, sf_dir, "documents"), n=n),
+    )
+
+
+def _ngram_max_df(docs: DataFrame) -> int:
+    """The df-cut rule every ngram-pair consumer shares: drop shingles
+    present in more than max(1% of docs, 100) documents before the
+    posting-list self-join — the skew cap the operator documents as
+    mandatory at scale. The count() is a parquet-metadata read."""
+    return max(int(0.01 * docs.count()), 100)
+
+
+def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped persisted exact n-gram Jaccard pair list
+    (n=3, threshold=0.2, shared df-cut) — the pair-generation stage
+    FIVE declared queries run identically (`dedup_ngram_jaccard`
+    returns it as-is; the two cluster-resolution queries, the
+    MinHash eval's exact ground truth, and the split-leakage audit
+    consume it). One level up from the shingle memo: in a corpus
+    build the verified pair list is itself a materialized table
+    (pair detection is the expensive stage; every resolution policy
+    reads it). Same memo contract as the shingle/graph memos."""
+    from demo_flink_spark.plans.memo import session_memo
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_df=_ngram_max_df(docs),
+            shingles_df=_shared_shingles(spark, sf_dir),
+        )
+
+    return session_memo(
+        "ngram_pairs", (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped persisted near-dup component labels
+    (node, comp) over the shared ngram pair list — the connected-
+    components stage both cluster-resolution policies (keep-min-id,
+    keep-longest) previously re-ran on identical pairs. Memoizing the
+    LABEL frame (≤ one row per paired doc, tiny) is the r8 verdict's
+    "one level up" item: the iterative CC loop runs once per
+    session+sf_dir, every resolution policy joins against it."""
+    from demo_flink_spark.plans.memo import session_memo
+
+    return session_memo(
+        "ngram_components",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: dd.connected_components(_shared_ngram_pairs(spark, sf_dir)),
+    )
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,46 +145,39 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # df-cut ON in the shipped query (VERDICT r1 item 3): drop shingles
-    # present in more than max(1% of docs, 100) documents before the
-    # posting-list self-join — the skew cap the operator documents as
-    # mandatory at scale. The count() is a parquet-metadata read.
-    max_df = max(int(0.01 * docs.count()), 100)
-    return dd.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.2, max_df=max_df,
-        shingles_df=_shared_shingles(spark, sf_dir),
-    )
+    # df-cut ON in the shipped query (VERDICT r1 item 3) — see
+    # _ngram_max_df; the pair list is the shared session memo
+    return _shared_ngram_pairs(spark, sf_dir)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair detection → duplicate clusters → keep/drop list: the full
     dedup pipeline ending in the `is_kept` filter a corpus build
-    actually consumes."""
+    actually consumes. Pairs AND component labels come from the
+    session memos (pair generation + the iterative CC loop run once,
+    shared with dedup_cluster_keep_longest)."""
     docs = load_table(spark, sf_dir, "documents")
-    max_df = max(int(0.01 * docs.count()), 100)
-    pairs = dd.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.2, max_df=max_df,
-        shingles_df=_shared_shingles(spark, sf_dir),
+    return dd.dedup_keep_list(
+        docs,
+        _shared_ngram_pairs(spark, sf_dir),
+        components=_shared_components(spark, sf_dir),
     )
-    return dd.dedup_keep_list(docs, pairs)
 
 
 def q_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters resolved by the keep-LONGEST policy
     (operators/dedup.py::dedup_keep_best): the argmax-by-(token count,
     id) member of each cluster survives — the completeness-preserving
-    twin of dedup_clusters_ngram's keep-min-id."""
+    twin of dedup_clusters_ngram's keep-min-id. Shares the memoized
+    pair list and component labels with dedup_clusters_ngram."""
     from demo_flink_spark.operators.textstats import _tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    max_df = max(int(0.01 * docs.count()), 100)
-    pairs = dd.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.2, max_df=max_df,
-        shingles_df=_shared_shingles(spark, sf_dir),
-    )
     return dd.dedup_keep_best(
-        docs, pairs, F.size(_tokens(F.col("text"))).cast("long")
+        docs,
+        _shared_ngram_pairs(spark, sf_dir),
+        F.size(_tokens(F.col("text"))).cast("long"),
+        components=_shared_components(spark, sf_dir),
     )
 
 
@@ -211,19 +242,16 @@ def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); the lossy borderline regime is exercised by the
     measured-recall pytest in tests/test_dedup_similarity.py."""
     docs = load_table(spark, sf_dir, "documents")
-    max_df = max(int(0.01 * docs.count()), 100)
     # the corpus is canonicalized+shingled ONCE and shared by both
-    # pair generators (each used to re-shingle independently — a full
-    # extra scan+shingle pass on the dominant stage of the eval)
+    # pair generators; the exact ground truth additionally reuses the
+    # memoized pair list (identical parameters to dedup_ngram_jaccard)
     sh = _shared_shingles(spark, sf_dir)
     # set semantics on both pair lists: the DuckDB oracle uses
     # INTERSECT (a set op), so a duplicate (doc_a, doc_b) row from
     # either generator would inflate n_common under the inner join's
     # bag semantics (precision/recall could exceed 1)
     exact = (
-        dd.ngram_jaccard_pairs(
-            docs, n=3, threshold=0.2, max_df=max_df, shingles_df=sh
-        )
+        _shared_ngram_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -351,8 +379,9 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demo_flink_spark.operators.sampling import dataset_split
 
     docs = load_table(spark, sf_dir, "documents")
-    max_df = max(int(0.01 * docs.count()), 100)
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=max_df)
+    # same parameters as the shared memo (it used to re-shingle and
+    # re-join independently — a full duplicate pair-generation pass)
+    pairs = _shared_ngram_pairs(spark, sf_dir)
     return split_leakage(pairs, dataset_split(docs, "doc_id"))
 
 

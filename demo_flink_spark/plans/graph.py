@@ -131,39 +131,23 @@ _COPURCHASE_EDGE_CTE = """
         )"""
 
 
-_GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-
 def _session_cached(spark: SparkSession, sf_dir: str, kind: str, build):
     """Session-scoped persisted graph builds.
 
     Five declared queries analyze the part co-order graph and three
     more the cust↔part bipartite graph; each graph's construction (a
     lineitem self-join / orders join + distinct) costs more than some
-    of the analytics on top of it. At 100 TB these graphs are
-    materialized tables maintained once — not rebuilt per analytic
-    query — and this memo is the single-session equivalent: the first
-    query pays the build and `persist()`s the edge list (~|E| narrow
-    rows), the rest reuse it. Keyed by (applicationId, sf_dir) so a
-    new session or a different scale factor rebuilds; content is
-    deterministic, so reuse is invisible to correctness (the shake
-    gate re-runs these queries under different partitionings against
-    the same cached content and must still hash-match)."""
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
-    df = _GRAPH_CACHE.get(key)
-    if df is None:
-        # bounded: evict (and unpersist) the oldest entry past 8 keys
-        # so a long-lived session sweeping many sf_dirs cannot pin
-        # executor storage memory forever
-        if len(_GRAPH_CACHE) >= 8:
-            old = _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — dead session's frame
-                pass
-        df = build().persist()
-        _GRAPH_CACHE[key] = df
-    return df
+    of the analytics on top of it. Memoized per (applicationId,
+    sf_dir, kind) via the shared bounded-LRU session memo — see
+    plans/memo.py for the full contract (at 100 TB these graphs are
+    materialized tables maintained once, not rebuilt per query; the
+    shake gate clears the memos between partitionings so reuse never
+    hides a layout-dependent build)."""
+    from demo_flink_spark.plans.memo import session_memo
+
+    return session_memo(
+        "graph", (spark.sparkContext.applicationId, sf_dir, kind), build
+    )
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -239,27 +239,44 @@ def shake(sf_dir: str, only: set[str] | None = None) -> int:
     if not names:
         print("SHAKE CONFIG ERROR: empty query selection")
         return 2
-    n_fail = 0
-    for name in names:
-        hashes = {}
+    from demo_flink_spark.plans.memo import clear_session_memos
+
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes: dict[str, dict[int, str]] = {n: {} for n in names}
+    try:
+        # settings OUTERMOST, memos cleared once per setting: every
+        # memoized BUILD stage (graph/shingle/pair/CC frames) runs
+        # under every partitioning — reusing a frame persisted under
+        # a previous setting would silently shrink the gate's
+        # partitioning-invariance coverage to one layout — while
+        # queries within one setting still share builds (the shipped
+        # single-session behavior)
         for parts in SHAKE_PARTITIONS:
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-            t0 = time.time()
-            try:
-                sdf = qs[name](spark, sf_dir).toPandas()
-            except Exception as exc:  # noqa: BLE001
-                print(f"FAIL  {name} @parts={parts}: {exc}")
-                hashes[parts] = f"ERROR: {exc}"
-                continue
-            hashes[parts] = canonical_hash(sdf)
-            print(
-                f"  ran {name} @parts={parts}: {len(sdf)} rows "
-                f"[{time.time()-t0:.1f}s]"
-            )
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        vals = set(hashes.values())
+            clear_session_memos()
+            for name in names:
+                t0 = time.time()
+                try:
+                    sdf = qs[name](spark, sf_dir).toPandas()
+                except Exception as exc:  # noqa: BLE001
+                    print(f"FAIL  {name} @parts={parts}: {exc}")
+                    hashes[name][parts] = f"ERROR: {exc}"
+                    continue
+                hashes[name][parts] = canonical_hash(sdf)
+                print(
+                    f"  ran {name} @parts={parts}: {len(sdf)} rows "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+    finally:
+        # restore whatever the session default actually was, not a
+        # hard-coded value the gate would silently rewrite
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        clear_session_memos()
+    n_fail = 0
+    for name in names:
+        vals = set(hashes[name].values())
         if len(vals) != 1 or any(str(v).startswith("ERROR") for v in vals):
-            print(f"SHAKE FAIL {name}: {hashes}")
+            print(f"SHAKE FAIL {name}: {hashes[name]}")
             n_fail += 1
         else:
             print(f"SHAKE OK   {name}: identical across {SHAKE_PARTITIONS}")
