@@ -113,6 +113,74 @@ def repetition_signals(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def remove_repeated_ngrams(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Intra-document repetition REMOVAL — the transform half of
+    `repetition_signals`, the way `remove_duplicate_spans` is the
+    transform half of `substring_span_stats`: delete every token
+    covered by a word n-gram window that repeats an EARLIER window of
+    the same document (the Gopher/Rae et al. repetition class —
+    boilerplate loops, scraped nav menus, degenerate generation — cut
+    instead of merely scored), and emit the cleaned canonical text.
+    Returns (doc_id, n_tokens, n_removed, cleaned_text); cleaned_text
+    is the kept tokens of the lowercased whitespace tokenization
+    (same tokenizer as `repetition_signals`), joined by single
+    spaces.
+
+    Entirely per-row array expressions — codegen'd, shuffle-free, a
+    narrow map over the corpus (corpus-WIDE duplication is
+    `remove_duplicate_spans`' job; this operator needs no shuffle
+    because its reference set is the document itself). The
+    first-occurrence scan is array_position per window — O(m²) worst
+    case per doc like `repetition_signals`' top-bigram count; fine
+    for document-sized rows, switch to the posexplode + min-position
+    window form for book-length rows.
+    """
+    toks = _tokens(F.lower(F.col("text")))
+    d = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        "t",
+        # guard short docs: sequence(a, b) counts DOWN when a > b
+        F.expr(
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(0, size(t) - {n}), "
+            f"i -> concat_ws(' ', slice(t, i + 1, {n}))) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("g"),
+    )
+    # window i (0-based) is a repeat iff the n-gram's FIRST occurrence
+    # (array_position, 1-based) is before i+1; covered token
+    # positions = the union of [i, i+n-1] over repeat windows
+    d = d.select(
+        "doc_id",
+        "t",
+        F.expr(
+            "CASE WHEN size(g) > 0 THEN "
+            "filter(sequence(0, size(g) - 1), "
+            "i -> array_position(g, element_at(g, i + 1)) < i + 1) "
+            "ELSE CAST(array() AS array<int>) END"
+        ).alias("rep"),
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(
+            f"array_distinct(flatten(transform(rep, "
+            f"i -> sequence(i, i + {n} - 1))))"
+        ).alias("cov"),
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("cov").cast("long").alias("n_removed"),
+        F.expr(
+            "array_join(transform("
+            "CASE WHEN size(t) > 0 THEN "
+            "filter(sequence(0, size(t) - 1), p -> NOT array_contains(cov, p)) "
+            "ELSE CAST(array() AS array<int>) END, "
+            "p -> element_at(t, p + 1)), ' ')"
+        ).alias("cleaned_text"),
+    )
+
+
 # Alternation-free patterns with identical semantics in Java regex
 # (Spark) and RE2 (DuckDB) — no backrefs, no lookaround, so
 # leftmost-first and leftmost-longest agree.

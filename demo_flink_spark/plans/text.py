@@ -539,6 +539,16 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
+def q_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition CUT (the transform half
+    of repetition_signals): tokens covered by a repeated 5-gram window
+    are deleted, cleaned canonical text emitted — a zero-shuffle
+    narrow map (operators/textstats.py::remove_repeated_ngrams)."""
+    return textstats.remove_repeated_ngrams(
+        load_table(spark, sf_dir, "documents"), n=5
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction demonstrated on deterministically synthesized PII:
     the corpus text carries no emails/phones, so both the Spark query
@@ -1357,6 +1367,51 @@ SPECS = [
                    / CAST(len(ng) AS DOUBLE) ELSE 0.0 END, 6)
                    AS dup_ngram_frac
         FROM g
+        """,
+    ),
+    QuerySpec(
+        "repetition_removal",
+        q_repetition_removal,
+        # same 5-gram windows as repetition_signals' dup_ngram_frac;
+        # 1-based list positions here mirror the engine's 0-based
+        # window/token indices exactly (window i repeats iff its
+        # n-gram's first occurrence is earlier; covered = union of
+        # [i, i+4] over repeat windows)
+        oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               w -> length(w) > 0) AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, t,
+                   list_transform(generate_series(1, len(t) - 4),
+                                  i -> concat_ws(' ', t[i], t[i + 1],
+                                                 t[i + 2], t[i + 3],
+                                                 t[i + 4])) AS gr
+            FROM tok
+        ),
+        r AS (
+            SELECT doc_id, t,
+                   list_filter(generate_series(1, len(gr)),
+                               i -> list_position(gr, gr[i]) < i) AS rep
+            FROM g
+        ),
+        c AS (
+            SELECT doc_id, t,
+                   list_distinct(flatten(list_transform(
+                       rep, i -> generate_series(i, i + 4)))) AS cov
+            FROM r
+        )
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               len(cov) AS n_removed,
+               array_to_string(list_transform(
+                   list_filter(generate_series(1, len(t)),
+                               p -> NOT list_contains(cov, p)),
+                   p -> t[p]), ' ') AS cleaned_text
+        FROM c
         """,
     ),
     QuerySpec(

@@ -123,6 +123,39 @@ def test_shared_components_single_frame_and_parity(spark):
     assert kl_memo == kl_plain
 
 
+def test_remove_repeated_ngrams_hand_cases(spark):
+    """Hand-computed removal semantics, plus the zero-shuffle claim
+    (the plan must contain no Exchange — it's a per-row narrow map)."""
+    from demo_flink_spark.operators.textstats import remove_repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            # g6 == g0 ('a b c d e'): covered 0-based positions 6-10
+            (1, "a b c d e X a b c d e Y"),
+            # degenerate repetition: every window repeats window 0 →
+            # positions 1..9 covered, one token survives
+            (2, "w w w w w w w w w w"),
+            # shorter than n: untouched
+            (3, "no repeats here"),
+            # no repeated 5-gram: untouched
+            (4, "one two three four five six seven"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_repeated_ngrams(docs, n=5).collect()
+    }
+    assert out[1] == (12, 5, "a b c d e x y")
+    assert out[2] == (10, 9, "w")
+    assert out[3] == (3, 0, "no repeats here")
+    assert out[4] == (7, 0, "one two three four five six seven")
+    assert out[5] == (0, 0, "")
+    plan = remove_repeated_ngrams(docs, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_zorder_locality_report_constant_column(spark):
     """A constant input column used to crash the report with an ANSI
     divide-by-zero; it must now report zero width for that axis."""

@@ -93,6 +93,7 @@ CHECKS = {
     "pivot_event_daily": (["HashAggregate"], ["CartesianProduct"]),
     # per-row map stages: narrow, zero exchanges
     "repetition_signals": ([], ["Exchange"]),
+    "repetition_removal": ([], ["Exchange"]),
     "scalar_posexplode": (["Generate"], ["Exchange"]),
     "pii_scrub": ([], ["Exchange"]),
     "url_extract": ([], ["Exchange"]),
