@@ -84,6 +84,14 @@ THIRD_DECADE = {
     "split_leakage_audit",
     "ngram_diversity_by_source",
     "perplexity_bucket_filter",
+    # r9: the remaining "—" cells (part scales in sf1 as of v3, so
+    # layout_zorder_part carries third-decade signal too)
+    "layout_zorder_part",
+    "sequence_packing",
+    "token_budget_mixture",
+    "cdc_chunk_dedup",
+    "bigram_novelty_vs_train",
+    "pipeline_attrition_funnel",
 }
 
 # queries whose pair work is quadratic BY DEFINITION (exact all-pairs
@@ -103,6 +111,18 @@ def ensure_sf1(spark) -> str:
     group count scale, referential integrity holds); events offset
     event_id and user_id the same way so event-keyed windows gain 10×
     groups.
+
+    part (r9, v3): replicated ×10 with a shared p_partkey stride that
+    lineitem's l_partkey also shifts by, so replica r lineitems join
+    replica r parts — part-keyed joins keep their per-replica fan-out
+    while the part scan AND the part-derived graphs scale honestly
+    (the co-order graph becomes 10 disjoint copies of the sf0.1
+    graph; the cust↔part bipartite graph keeps its customers as
+    cross-replica hubs with 10× degree — realistic dim-key skew).
+    Before v3, part was a fixed dim, so the graph probes' sf1 step
+    measured a bigger SCAN over the same graph; v3 slopes are
+    expected to be nearer 1.0 than the v2 numbers and are the honest
+    ones.
 
     documents/embeddings (r7): replicated ×10 with key shifts AND a
     per-replica content perturbation, so the decade scales the
@@ -126,8 +146,9 @@ def ensure_sf1(spark) -> str:
     from demo_flink_spark.sources.tables import TABLES, load_table
 
     # versioned marker: bumping it invalidates sf1 dirs built by
-    # older probe versions (v1 copied documents/embeddings unchanged)
-    ready = os.path.join(SF1_DIR, "_READY_v2")
+    # older probe versions (v1 copied documents/embeddings unchanged;
+    # v2 kept part a fixed dim)
+    ready = os.path.join(SF1_DIR, "_READY_v3")
     if os.path.exists(ready):
         return SF1_DIR
     # Crash-safety: a build interrupted mid-copy leaves SF1_DIR
@@ -156,10 +177,17 @@ def ensure_sf1(spark) -> str:
         load_table(spark, src, "orders").agg(F.max("o_orderkey")).collect()[0][0]
         + 1
     )
+    # ONE partkey stride shared by part and lineitem (v3): replica r
+    # of a lineitem still joins replica r of its part
+    pk_stride = (
+        load_table(spark, src, "part").agg(F.max("p_partkey")).collect()[0][0]
+        + 1
+    )
     ev = load_table(spark, src, "events")
     ev_maxes = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
     shifted("orders", {"o_orderkey": ok_stride})
-    shifted("lineitem", {"l_orderkey": ok_stride})
+    shifted("lineitem", {"l_orderkey": ok_stride, "l_partkey": pk_stride})
+    shifted("part", {"p_partkey": pk_stride})
     shifted(
         "events", {"event_id": ev_maxes[0] + 1, "user_id": ev_maxes[1] + 1}
     )
@@ -211,7 +239,9 @@ def ensure_sf1(spark) -> str:
     v.write.mode("overwrite").parquet(os.path.join(SF1_DIR, "embeddings.parquet"))
 
     for name in TABLES:
-        if name in ("orders", "lineitem", "events", "documents", "embeddings"):
+        if name in (
+            "orders", "lineitem", "part", "events", "documents", "embeddings"
+        ):
             continue
         dst = os.path.join(SF1_DIR, f"{name}.parquet")
         s = os.path.join(src, f"{name}.parquet")
@@ -301,6 +331,12 @@ def main() -> None:
         "within-replica dup/similarity structure is preserved exactly",
         "while replicas stay disjoint (a bare copy would square the",
         "candidate-pair count — a corpus change, not a scale step).",
+        "As of v3 (r9) `part` also replicates ×10 with a p_partkey",
+        "stride that lineitem's l_partkey shares, so part-keyed joins",
+        "keep their per-replica fan-out while part scans and the",
+        "part-derived graphs scale honestly — the graph-family sf1",
+        "numbers are NOT comparable to the pre-r9 (v2) table, where",
+        "part was a fixed dim and the co-order graph did not grow.",
         "See tools/scale_probe.py::ensure_sf1 — built locally, never",
         "part of the driver's data.",
         "",
