@@ -171,3 +171,64 @@ def test_zorder_locality_report_constant_column(spark):
     assert set(rows) == {"lexicographic", "zorder"}
     for wx, _wy in rows.values():
         assert wx == 0  # constant column: zero width, no crash
+
+# --------------------------- hypothesis: repetition removal vs Python
+
+
+def _ref_remove_repeats(tokens, n):
+    """Pure-Python reference for remove_repeated_ngrams: window i is a
+    repeat iff its n-gram's first occurrence is earlier; covered token
+    positions are the union of [i, i+n-1] over repeat windows."""
+    m = len(tokens)
+    grams = (
+        [" ".join(tokens[i : i + n]) for i in range(m - n + 1)]
+        if m >= n
+        else []
+    )
+    first = {}
+    rep = []
+    for i, g in enumerate(grams):
+        if g in first:
+            rep.append(i)
+        else:
+            first[g] = i
+    cov = set()
+    for i in rep:
+        cov.update(range(i, i + n))
+    kept = [t for p, t in enumerate(tokens) if p not in cov]
+    return m, len(cov), " ".join(kept)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=18),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.sampled_from([2, 3, 5]),
+)
+def test_remove_repeated_ngrams_matches_python(spark, docs, n):
+    """Random small-alphabet token sequences (repeats are common at
+    |Σ|=3) across n ∈ {2,3,5}: Spark output must equal the pure-Python
+    reference per document, including the m<n and empty-doc edges."""
+    from demo_flink_spark.operators.textstats import remove_repeated_ngrams
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_repeated_ngrams(df, n=n).collect()
+    }
+    want = {i: _ref_remove_repeats(toks, n) for i, toks in enumerate(docs)}
+    assert got == want
