@@ -145,8 +145,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # df-cut ON in the shipped query (VERDICT r1 item 3) — see
-    # _ngram_max_df; the pair list is the shared session memo
+    """Exact 3-gram Jaccard >= 0.2 near-dup pairs via posting-list
+    self-join with the shared df cut (`_ngram_max_df`; VERDICT r1
+    item 3) — returns the session-memoized pair list every
+    cluster-resolution policy consumes
+    (operators/dedup.py::ngram_jaccard_pairs)."""
     return _shared_ngram_pairs(spark, sf_dir)
 
 
@@ -291,9 +294,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment-shaped; `split_leakage_audit` catches near-identical
     eval docs, this catches INCLUSIONS."""
     docs = load_table(spark, sf_dir, "documents")
-    max_df = max(int(0.01 * docs.count()), 100)
     return dd.containment_pairs(
-        docs, n=3, threshold=0.5, max_df=max_df,
+        docs, n=3, threshold=0.5, max_df=_ngram_max_df(docs),
         shingles_df=_shared_shingles(spark, sf_dir),
     )
 
