@@ -58,6 +58,7 @@ PROBES = {
     "bigram_novelty_vs_train": "documents",
     "ngram_diversity_by_source": "documents",
     "perplexity_bucket_filter": "documents",
+    "repetition_removal": "documents",
 }
 
 # tables that genuinely grow 10x per SF step (documents/embeddings
@@ -92,6 +93,10 @@ THIRD_DECADE = {
     "cdc_chunk_dedup",
     "bigram_novelty_vs_train",
     "pipeline_attrition_funnel",
+    # r9b: the round's registry addition — zero-exchange array
+    # machinery per doc, expected linear (per-replica token suffixes
+    # preserve intra-doc repetition structure exactly)
+    "repetition_removal",
 }
 
 # queries whose pair work is quadratic BY DEFINITION (exact all-pairs
