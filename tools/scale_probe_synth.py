@@ -30,7 +30,11 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
-    from demo_flink_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from demo_flink_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ppjoin_prefix_pairs,
+    )
     from demo_flink_spark.session import get_spark
 
     max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 640_000
@@ -74,20 +78,41 @@ def main() -> None:
         kept = exact_dedup(df).count()
         t_exact = time.time() - t0
         assert kept == n // 2, f"exact dedup regression: {kept} != {n // 2}"
-        rows.append((n, t_lsh, t_exact))
-        print(f"n={n} lsh={t_lsh:.1f}s exact={t_exact:.1f}s", flush=True)
+        # PPJoin is the documented LOSSLESS near-dup scale path
+        # (plans use it where the max_df cut would be an
+        # approximation) — so its asymptote needs the same
+        # asserted-recall receipt as the LSH path. Identical paired
+        # texts give Jaccard 1.0 >= 0.4; cross-pair docs share no
+        # shingles, so the exact answer is again n/2.
+        ppjoin_prefix_pairs(df, n=3, threshold_num=2, threshold_den=5).count()
+        t0 = time.time()
+        pp = ppjoin_prefix_pairs(
+            df, n=3, threshold_num=2, threshold_den=5
+        ).count()
+        t_ppjoin = time.time() - t0
+        assert pp == n // 2, f"PPJoin recall regression: {pp} != {n // 2}"
+        rows.append((n, t_lsh, t_exact, t_ppjoin))
+        print(
+            f"n={n} lsh={t_lsh:.1f}s exact={t_exact:.1f}s"
+            f" ppjoin={t_ppjoin:.1f}s",
+            flush=True,
+        )
 
-    print("\n| docs | minhash_lsh_pairs | slope | exact_dedup | slope |")
-    print("|---|---|---|---|---|")
-    for i, (n, tl, te) in enumerate(rows):
+    print(
+        "\n| docs | minhash_lsh_pairs | slope | exact_dedup | slope |"
+        " ppjoin_prefix_pairs | slope |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for i, (n, tl, te, tp) in enumerate(rows):
         if i == 0:
-            sl = se = "—"
+            sl = se = sp = "—"
         else:
-            pn, pl, pe = rows[i - 1]
+            pn, pl, pe, pp_prev = rows[i - 1]
             ratio = math.log10(n / pn)
             sl = f"{math.log10(tl / pl) / ratio:.2f}"
             se = f"{math.log10(te / pe) / ratio:.2f}"
-        print(f"| {n:,} | {tl:.1f}s | {sl} | {te:.1f}s | {se} |")
+            sp = f"{math.log10(tp / pp_prev) / ratio:.2f}"
+        print(f"| {n:,} | {tl:.1f}s | {sl} | {te:.1f}s | {se} | {tp:.1f}s | {sp} |")
 
 
 if __name__ == "__main__":
