@@ -97,6 +97,14 @@ def main() -> None:
             f" ppjoin={t_ppjoin:.1f}s",
             flush=True,
         )
+        # Session hygiene between sizes: the corpora are
+        # localCheckpointed (block-manager-cached), so without an
+        # unpersist the 640k step runs against a JVM holding every
+        # smaller corpus plus all prior shuffle state — measured 5×
+        # slower (158.8 s vs ~30-50 s clean-session) before this was
+        # added, which read as a fake super-linear slope.
+        df.unpersist(blocking=True)
+        spark.catalog.clearCache()
 
     print(
         "\n| docs | minhash_lsh_pairs | slope | exact_dedup | slope |"
