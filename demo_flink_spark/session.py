@@ -81,7 +81,17 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Sized to the stated harness container (local[32], 128 GiB):
+        # in local mode the ONE driver JVM holds all 32 executor
+        # threads' execution memory, the block-manager storage
+        # (localCheckpoints), AND every broadcast build. At 8g the
+        # synthetic dedup probe's 1.28M-doc verification joins died in
+        # BroadcastExchange ("Not enough memory to build and broadcast")
+        # while the prefix-join stages were still materializing; 24g
+        # clears it with headroom and is still <1/5 of the box. A real
+        # cluster splits these pools per executor, so this knob is
+        # local-harness sizing, not engine semantics.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -43,6 +43,13 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Reliable (disk) checkpoints are the documented scale
+    # configuration (operators/checkpointing.py honors this dir):
+    # without it every cut_lineage localCheckpoints into the same
+    # heap the broadcast builds need, which is what a cluster never
+    # does. Makes the probe measure the shape a real deployment runs.
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir("/tmp/spark_graft_synth_ckpt")
 
     def tok(grp, i: int):
         return F.translate(
@@ -60,7 +67,11 @@ def main() -> None:
             F.concat_ws(" ", *[tok(grp, i) for i in range(25)]).alias("text"),
         )
 
-    sizes = [n for n in (10_000, 40_000, 160_000, 640_000) if n <= max_n]
+    sizes = [
+        n
+        for n in (10_000, 40_000, 160_000, 640_000, 1_280_000)
+        if n <= max_n
+    ]
     rows = []
     for n in sizes:
         df = corpus(n).localCheckpoint()
