@@ -5,13 +5,15 @@
 The parquet fixtures top out at 5k documents (sf0.1), where fixed
 overheads still dominate — `tools/scale_probe.py`'s slopes sit well
 under 1 because the asymptote hasn't kicked in. This probe generates
-corpora large enough (10k → 640k docs) that the asymptotic exponent
-is measurable, with NON-degenerate duplicate structure: docs come in
-pairs sharing all 25 tokens, tokens unique per pair (letters only —
-the dedup canonicalizer strips digits), so the correct answer is
-exactly n/2 pairs and posting lists stay constant-size. A quadratic
-regression in the banding/inverted-index shape would show up as a
-slope ≥ 2 here long before it OOMs a cluster.
+corpora large enough (10k → 640k docs by default; pass 1280000 for
+the fifth decade recorded in SCALING.md) that the asymptotic
+exponent is measurable, with NON-degenerate duplicate structure:
+docs come in pairs sharing all 25 tokens, tokens unique per pair
+(letters only — the dedup canonicalizer strips digits), so the
+correct answer is exactly n/2 pairs and posting lists stay
+constant-size. A quadratic regression in the banding/inverted-index
+shape would show up as a slope ≥ 2 here long before it OOMs a
+cluster.
 
 Results are appended to SCALING.md by hand (the probe prints a
 markdown table); pair counts are asserted so a recall regression
@@ -48,8 +50,21 @@ def main() -> None:
     # without it every cut_lineage localCheckpoints into the same
     # heap the broadcast builds need, which is what a cluster never
     # does. Makes the probe measure the shape a real deployment runs.
+    # Spark never deletes reliable checkpoint files itself
+    # (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
+    # false, and each context writes under a fresh UUID subdir), so
+    # the probe owns the dir's lifecycle: wipe at start (a clean
+    # slate for this run) and again at exit (multi-GB of shingle +
+    # signature checkpoints per run would otherwise accumulate in
+    # /tmp forever).
+    import atexit
+    import shutil
+
+    ckpt_dir = "/tmp/spark_graft_synth_ckpt"
     if spark.sparkContext.getCheckpointDir() is None:
-        spark.sparkContext.setCheckpointDir("/tmp/spark_graft_synth_ckpt")
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+        atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
 
     def tok(grp, i: int):
         return F.translate(
@@ -74,46 +89,66 @@ def main() -> None:
     ]
     rows = []
     for n in sizes:
-        df = corpus(n).localCheckpoint()
-        df.count()  # materialize the checkpoint outside the timings
-        # warm run then measured run: first-touch costs (codegen,
-        # shuffle-file creation) otherwise masquerade as superlinear
-        # growth at exactly one size
-        minhash_lsh_pairs(df, n=3, threshold=0.2).count()
-        t0 = time.time()
-        pairs = minhash_lsh_pairs(df, n=3, threshold=0.2).count()
-        t_lsh = time.time() - t0
-        assert pairs == n // 2, f"LSH recall regression: {pairs} != {n // 2}"
-        exact_dedup(df).count()
-        t0 = time.time()
-        kept = exact_dedup(df).count()
-        t_exact = time.time() - t0
-        assert kept == n // 2, f"exact dedup regression: {kept} != {n // 2}"
+        # persist (NOT localCheckpoint): Dataset.unpersist() only
+        # releases CacheManager entries, so a localCheckpointed
+        # corpus's blocks would survive the per-size cleanup below
+        # until the JVM happens to GC the reference — exactly the
+        # cross-size accumulation the cleanup exists to prevent. The
+        # corpus lineage (range + expressions) is trivial, so persist
+        # gives the same materialize-outside-the-timings effect with
+        # a deterministic release.
+        df = corpus(n).persist()
+        df.count()  # materialize outside the timings
+        # warm run, then MEDIAN of 3 measured reps: single large-size
+        # measurements on this box swing 2-3× rep-to-rep (checkpoint
+        # write I/O and page-cache state dominate — measured 103.7 s
+        # then 36.1 s for consecutive same-session 1.28M LSH reps), so
+        # any one-rep slope at the big sizes is noise. The warm run
+        # additionally absorbs first-touch codegen/shuffle-file costs
+        # that would otherwise masquerade as superlinear growth at
+        # exactly one size.
+        def timed_median(make_df, expected: int, label: str) -> float:
+            make_df().count()  # warm
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                got = make_df().count()
+                ts.append(time.time() - t0)
+                assert got == expected, (
+                    f"{label} recall regression: {got} != {expected}"
+                )
+            return sorted(ts)[1]
+
+        t_lsh = timed_median(
+            lambda: minhash_lsh_pairs(df, n=3, threshold=0.2), n // 2, "LSH"
+        )
+        t_exact = timed_median(lambda: exact_dedup(df), n // 2, "exact dedup")
         # PPJoin is the documented LOSSLESS near-dup scale path
         # (plans use it where the max_df cut would be an
         # approximation) — so its asymptote needs the same
         # asserted-recall receipt as the LSH path. Identical paired
         # texts give Jaccard 1.0 >= 0.4; cross-pair docs share no
         # shingles, so the exact answer is again n/2.
-        ppjoin_prefix_pairs(df, n=3, threshold_num=2, threshold_den=5).count()
-        t0 = time.time()
-        pp = ppjoin_prefix_pairs(
-            df, n=3, threshold_num=2, threshold_den=5
-        ).count()
-        t_ppjoin = time.time() - t0
-        assert pp == n // 2, f"PPJoin recall regression: {pp} != {n // 2}"
+        t_ppjoin = timed_median(
+            lambda: ppjoin_prefix_pairs(
+                df, n=3, threshold_num=2, threshold_den=5
+            ),
+            n // 2,
+            "PPJoin",
+        )
         rows.append((n, t_lsh, t_exact, t_ppjoin))
         print(
             f"n={n} lsh={t_lsh:.1f}s exact={t_exact:.1f}s"
             f" ppjoin={t_ppjoin:.1f}s",
             flush=True,
         )
-        # Session hygiene between sizes: the corpora are
-        # localCheckpointed (block-manager-cached), so without an
-        # unpersist the 640k step runs against a JVM holding every
+        # Session hygiene between sizes: without releasing the
+        # corpus, the 640k step runs against a JVM holding every
         # smaller corpus plus all prior shuffle state — measured 5×
         # slower (158.8 s vs ~30-50 s clean-session) before this was
-        # added, which read as a fake super-linear slope.
+        # added, which read as a fake super-linear slope. Blocking
+        # unpersist works because the corpus is persist()ed (see
+        # above); clearCache sweeps anything the operators cached.
         df.unpersist(blocking=True)
         spark.catalog.clearCache()
 
