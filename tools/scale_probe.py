@@ -276,19 +276,37 @@ def main() -> None:
 
     sf1_dir = ensure_sf1(spark)
 
+    from demo_flink_spark.plans.memo import clear_session_memos
+
+    def timed_median(fn, sf_dir: str) -> float:
+        """Median of 3 reps, session memos cleared before EVERY rep.
+
+        Two disciplines learned from the synthetic probe (r9): single
+        reps on this shared box swing 2-3× (GC, page cache), so one-rep
+        slopes are noise; and memo hits must not leak between reps or
+        between queries — without the clear, a query probed after a
+        memo-mate at the same sf measured the HIT path while the first
+        query measured the BUILD, so cells mixed semantics depending on
+        dict order. Every cell now uniformly includes its shared-build
+        stage (the memoized amortization the bench measures is reported
+        there, not here). Median absorbs the first-rep codegen cost.
+        """
+        ts = []
+        for _ in range(3):
+            clear_session_memos()
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            ts.append(time.time() - t0)
+        return round(sorted(ts)[1], 3)
+
     rows = []
     for name, table in PROBES.items():
         times = {}
         for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
-            t0 = time.time()
-            specs[name].fn(spark, sf_dir).count()
-            times[sf] = round(time.time() - t0, 3)
+            times[sf] = timed_median(specs[name].fn, f"/root/testdata/sf{sf}")
         t_sf1 = None
         if name in THIRD_DECADE:
-            t0 = time.time()
-            specs[name].fn(spark, sf1_dir).count()
-            t_sf1 = round(time.time() - t0, 3)
+            t_sf1 = timed_median(specs[name].fn, sf1_dir)
         # growth exponent per 10x data step: log10(t_hi/t_lo)
         step2 = math.log10(times["0.1"] / times["0.01"]) if times["0.01"] > 0 else None
         step1 = (
@@ -321,7 +339,13 @@ def main() -> None:
     md = [
         "# SCALING.md — measured growth exponents",
         "",
-        "Generated by `tools/scale_probe.py`. Each slope is",
+        "Generated by `tools/scale_probe.py`. Each cell is the MEDIAN",
+        "of 3 reps with session memos cleared before every rep, so",
+        "every cell uniformly includes its shared-build stage and",
+        "single-rep box noise is absorbed (r9 methodology — cells are",
+        "NOT comparable to pre-r9 single-rep tables, where a query",
+        "probed after a memo-mate at the same sf silently measured the",
+        "memo-HIT path). Each slope is",
         "log10(t_hi/t_lo) across one 10× data step: ~1.0 = linear,",
         "~2.0 = quadratic (an all-pairs hazard), << 1 = fixed overheads",
         "still dominate at this size (the asymptote hasn't kicked in).",
