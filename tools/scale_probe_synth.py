@@ -5,8 +5,8 @@
 The parquet fixtures top out at 5k documents (sf0.1), where fixed
 overheads still dominate — `tools/scale_probe.py`'s slopes sit well
 under 1 because the asymptote hasn't kicked in. This probe generates
-corpora large enough (10k → 640k docs by default; pass 1280000 for
-the fifth decade recorded in SCALING.md) that the asymptotic
+corpora large enough (10k → 640k docs by default; pass 1280000 or
+2560000 for the fifth/sixth decades recorded in SCALING.md) that the asymptotic
 exponent is measurable, with NON-degenerate duplicate structure:
 docs come in pairs sharing all 25 tokens, tokens unique per pair
 (letters only — the dedup canonicalizer strips digits), so the
@@ -42,7 +42,19 @@ def main() -> None:
     max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 640_000
     spark = get_spark(
         "scale_probe_synth",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # Size shuffles to the data, the way a deployment does
+            # (session.py: "err high, AQE coalesces"): at the default
+            # 32 partitions the ≥1.28M steps put ~2M posting rows per
+            # partition into the rank/agg sorts and the measurements
+            # become spill-bound — PPJoin at 2.56M measured median
+            # 103 s with a 3× rep spread at 32 partitions vs 41 s
+            # with ±8% reps at 128 (the apparent slope fell from a
+            # fake 2.36 to a real 0.87). AQE coalesces the excess at
+            # the small sizes, so one setting serves every decade.
+            "spark.sql.shuffle.partitions": "128",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Reliable (disk) checkpoints are the documented scale
@@ -52,17 +64,19 @@ def main() -> None:
     # does. Makes the probe measure the shape a real deployment runs.
     # Spark never deletes reliable checkpoint files itself
     # (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
-    # false, and each context writes under a fresh UUID subdir), so
-    # the probe owns the dir's lifecycle: wipe at start (a clean
-    # slate for this run) and again at exit (multi-GB of shingle +
-    # signature checkpoints per run would otherwise accumulate in
-    # /tmp forever).
+    # false), so the probe owns its checkpoint dir's lifecycle: a
+    # per-run mkdtemp (unique — concurrent probe runs cannot wipe
+    # each other's live checkpoints) removed at exit (multi-GB of
+    # shingle + signature checkpoints per run would otherwise
+    # accumulate in /tmp forever). A dir configured via
+    # SPARK_GRAFT_CHECKPOINT_DIR is the USER'S — its lifecycle is
+    # theirs, the probe neither wipes nor registers cleanup for it.
     import atexit
     import shutil
+    import tempfile
 
-    ckpt_dir = "/tmp/spark_graft_synth_ckpt"
     if spark.sparkContext.getCheckpointDir() is None:
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        ckpt_dir = tempfile.mkdtemp(prefix="spark_graft_synth_ckpt_")
         spark.sparkContext.setCheckpointDir(ckpt_dir)
         atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
 
@@ -84,9 +98,30 @@ def main() -> None:
 
     sizes = [
         n
-        for n in (10_000, 40_000, 160_000, 640_000, 1_280_000)
+        for n in (10_000, 40_000, 160_000, 640_000, 1_280_000, 2_560_000)
         if n <= max_n
     ]
+
+    # warm run, then MEDIAN of 3 measured reps: single large-size
+    # measurements on this box swing 2-3× rep-to-rep (checkpoint
+    # write I/O and page-cache state dominate — measured 103.7 s
+    # then 36.1 s for consecutive same-session 1.28M LSH reps), so
+    # any one-rep slope at the big sizes is noise. The warm run
+    # additionally absorbs first-touch codegen/shuffle-file costs
+    # that would otherwise masquerade as superlinear growth at
+    # exactly one size.
+    def timed_median(make_df, expected: int, label: str) -> float:
+        make_df().count()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            got = make_df().count()
+            ts.append(time.time() - t0)
+            assert got == expected, (
+                f"{label} recall regression: {got} != {expected}"
+            )
+        return sorted(ts)[1]
+
     rows = []
     for n in sizes:
         # persist (NOT localCheckpoint): Dataset.unpersist() only
@@ -99,26 +134,6 @@ def main() -> None:
         # a deterministic release.
         df = corpus(n).persist()
         df.count()  # materialize outside the timings
-        # warm run, then MEDIAN of 3 measured reps: single large-size
-        # measurements on this box swing 2-3× rep-to-rep (checkpoint
-        # write I/O and page-cache state dominate — measured 103.7 s
-        # then 36.1 s for consecutive same-session 1.28M LSH reps), so
-        # any one-rep slope at the big sizes is noise. The warm run
-        # additionally absorbs first-touch codegen/shuffle-file costs
-        # that would otherwise masquerade as superlinear growth at
-        # exactly one size.
-        def timed_median(make_df, expected: int, label: str) -> float:
-            make_df().count()  # warm
-            ts = []
-            for _ in range(3):
-                t0 = time.time()
-                got = make_df().count()
-                ts.append(time.time() - t0)
-                assert got == expected, (
-                    f"{label} recall regression: {got} != {expected}"
-                )
-            return sorted(ts)[1]
-
         t_lsh = timed_median(
             lambda: minhash_lsh_pairs(df, n=3, threshold=0.2), n // 2, "LSH"
         )
