@@ -1253,6 +1253,43 @@ def cdc_chunk_stats(
     )
 
 
+def _check_components(comp: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Guard the `components` trust boundary of the keep-policy
+    resolvers: a caller-supplied label frame that does not correspond
+    to `pairs` silently yields a WRONG keep/drop list (a paired doc
+    with no label row is kept as its own canonical). The schema check
+    is free and always on; the count check (every paired node labeled
+    exactly once) runs two jobs, so it is gated behind
+    SPARK_GRAFT_VALIDATE_COMPONENTS for tests/debug — the shipped
+    plans all pass `connected_components(pairs)`-derived frames
+    (plans/dedup.py::_shared_components), which satisfy it by
+    construction.
+    """
+    import os
+
+    if set(comp.columns) != {"node", "comp"}:
+        raise ValueError(
+            "components frame must have exactly (node, comp) columns "
+            f"(the connected_components(pairs) shape); got {comp.columns}"
+        )
+    if os.environ.get("SPARK_GRAFT_VALIDATE_COMPONENTS"):
+        a, b = pairs.columns[0], pairs.columns[1]
+        n_paired = (
+            pairs.select(F.col(a).alias("node"))
+            .union(pairs.select(F.col(b).alias("node")))
+            .distinct()
+            .count()
+        )
+        n_labeled = comp.select("node").distinct().count()
+        if n_labeled != n_paired or comp.count() != n_labeled:
+            raise ValueError(
+                "components frame does not label the paired nodes of "
+                f"`pairs` exactly once: {n_labeled} distinct labeled "
+                f"nodes / {comp.count()} rows vs {n_paired} paired nodes"
+            )
+    return comp
+
+
 def dedup_keep_list(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1276,9 +1313,15 @@ def dedup_keep_list(
     — callers that run several resolution policies over one pair list
     (keep-min-id AND keep-longest) compute components once and share
     (plans/dedup.py::_shared_components); must be exactly
-    `connected_components(pairs)`-shaped.
+    `connected_components(pairs)`-shaped (schema-checked here; full
+    node-coverage check under SPARK_GRAFT_VALIDATE_COMPONENTS —
+    see `_check_components`).
     """
-    comp = components if components is not None else connected_components(pairs)
+    comp = (
+        _check_components(components, pairs)
+        if components is not None
+        else connected_components(pairs)
+    )
     return docs.select(id_col).join(
         broadcast_if_small(comp, comp.count()),
         docs[id_col] == comp.node,
@@ -1374,11 +1417,16 @@ def dedup_keep_best(
     the session's broadcast threshold (shuffle-join fallback past it,
     same rationale as `dedup_keep_list`); the winner is ONE
     cluster-keyed window. `components`: optional pre-computed label
-    frame, same contract as `dedup_keep_list`.
+    frame, same contract (and same `_check_components` guard) as
+    `dedup_keep_list`.
     """
     from pyspark.sql.window import Window
 
-    comp = components if components is not None else connected_components(pairs)
+    comp = (
+        _check_components(components, pairs)
+        if components is not None
+        else connected_components(pairs)
+    )
     scored = (
         docs.select(F.col(id_col), score.alias("score"))
         .join(

@@ -49,10 +49,13 @@ def main() -> None:
             # 32 partitions the ≥1.28M steps put ~2M posting rows per
             # partition into the rank/agg sorts and the measurements
             # become spill-bound — PPJoin at 2.56M measured median
-            # 103 s with a 3× rep spread at 32 partitions vs 41 s
-            # with ±8% reps at 128 (the apparent slope fell from a
-            # fake 2.36 to a real 0.87). AQE coalesces the excess at
-            # the small sizes, so one setting serves every decade.
+            # 103 s with a 3× rep spread at 32 partitions vs 73.2 s
+            # median-of-3 at 128 (the apparent slope fell from a fake
+            # 2.36 to 1.16 on the final step, aggregate 0.55; the
+            # first 128-partition diagnostic measured 41 s, superseded
+            # by the authoritative rerun in SCALING.md). AQE coalesces
+            # the excess at the small sizes, so one setting serves
+            # every decade.
             "spark.sql.shuffle.partitions": "128",
         },
     )
