@@ -87,8 +87,19 @@ def main() -> None:
         ).alias("w")
     ).filter(~F.col("w").isin("a", "the")).groupBy("w").count().collect()
 
+    from demo_flink_spark.plans.memo import drain_memo_events
+
     qs = e.queries()
     timings: dict[str, float] = {}
+    # which queries paid which shared memo builds (VERDICT r9 item 6):
+    # the session memos make per-query timings order-dependent — the
+    # first consumer of a shared pair/CC/graph/shingle build absorbs
+    # its one-time cost. session_memo times each materialized build;
+    # recording {query: {cache: build_secs}} in the detail header
+    # keeps consumer timings comparable without NOTES lore. Raw
+    # evidence only — timings are never normalized by it.
+    memo_builds: dict[str, dict[str, float]] = {}
+    drain_memo_events()  # discard warm-up noise
     # Fixed name order: registry order changes between rounds (driver
     # concerns), and whichever query runs first absorbs one-time
     # codegen/JIT warm-up — sorted order keeps per-query times
@@ -105,6 +116,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# {name} failed: {exc}", file=sys.stderr)
+        builds: dict[str, float] = {}
+        for ev in drain_memo_events():
+            # sum: one cache namespace can build twice in a query
+            # (e.g. "graph" keys by kind — co-order AND bipartite)
+            if ev["event"] == "build":
+                builds[ev["cache"]] = round(
+                    builds.get(ev["cache"], 0.0) + ev["secs"], 3
+                )
+        if builds:
+            memo_builds[name] = builds
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     failed = sorted(n for n, t in timings.items() if t < 0)
@@ -154,10 +175,21 @@ def main() -> None:
         "calib_end_s": calib_end,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
+        # total seconds of one-time shared memo builds embedded in the
+        # per-query timings; the per-query attribution map lives in
+        # the detail file (`memo_builds`) — kept out of the stdout
+        # line to respect the driver's bounded tail capture
+        "memo_build_total_s": round(
+            sum(s for m in memo_builds.values() for s in m.values()), 3
+        ),
     }
     if not only:
         with open(detail_path, "w") as f:
-            json.dump({**summary, "queries": timings}, f, indent=1)
+            json.dump(
+                {**summary, "memo_builds": memo_builds, "queries": timings},
+                f,
+                indent=1,
+            )
     else:
         # subset runs report exactly what was asked
         summary["queries"] = timings

@@ -1,16 +1,76 @@
 """Round-10 additions.
 
-The `components` trust-boundary guard on the keep-policy resolvers
-(ADVICE r9): a caller-supplied label frame that does not correspond
-to `pairs` used to silently produce a wrong keep/drop list; now the
-shape is always checked and full node coverage is checked under
-SPARK_GRAFT_VALIDATE_COMPONENTS.
+1. The `components` trust-boundary guard on the keep-policy resolvers
+   (ADVICE r9): a caller-supplied label frame that does not correspond
+   to `pairs` used to silently produce a wrong keep/drop list; now the
+   shape is always checked and full node coverage is checked under
+   SPARK_GRAFT_VALIDATE_COMPONENTS.
+2. Memo build/hit event log (VERDICT r9 item 6): session_memo times
+   each materialized build and bench.py attributes the events to the
+   query that triggered them (BENCH_DETAIL `memo_builds`).
 """
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+
+
+def test_memo_events_build_then_hit(spark):
+    from demo_flink_spark.plans import memo
+
+    memo.clear_session_memos()
+    memo.drain_memo_events()  # discard other tests' events
+    df = memo.session_memo("t10ev", ("k",), lambda: spark.range(5))
+    assert df.count() == 5
+    memo.session_memo("t10ev", ("k",), lambda: spark.range(5))
+    evs = memo.drain_memo_events()
+    assert [(e["cache"], e["event"]) for e in evs] == [
+        ("t10ev", "build"),
+        ("t10ev", "hit"),
+    ]
+    # the build event owns a real (materialized) duration
+    assert evs[0]["secs"] > 0
+    assert "secs" not in evs[1]
+    # drained means drained
+    assert memo.drain_memo_events() == []
+    # a cleared memo rebuilds — and the rebuild is a new build event
+    memo.clear_session_memos()
+    memo.session_memo("t10ev", ("k",), lambda: spark.range(5))
+    assert [e["event"] for e in memo.drain_memo_events()] == ["build"]
+
+
+def test_memo_nested_build_times_are_exclusive(spark):
+    """A build that triggers a child build (ngram_pairs → shingles)
+    must not double-count the child's seconds: the recorded durations
+    are exclusive and sum to the true wall cost."""
+    import time as _t
+
+    from demo_flink_spark.plans import memo
+
+    memo.clear_session_memos()
+    memo.drain_memo_events()
+
+    def child():
+        _t.sleep(0.2)
+        return spark.range(2)
+
+    def parent():
+        memo.session_memo("t10nest_child", ("c",), child)
+        _t.sleep(0.1)
+        return spark.range(3)
+
+    t0 = _t.time()
+    memo.session_memo("t10nest_parent", ("p",), parent)
+    wall = _t.time() - t0
+    evs = {e["cache"]: e for e in memo.drain_memo_events()}
+    assert set(evs) == {"t10nest_child", "t10nest_parent"}
+    # child owns its 0.2 s; parent's exclusive time excludes it
+    assert evs["t10nest_child"]["secs"] >= 0.2
+    assert evs["t10nest_parent"]["secs"] < wall - 0.15
+    total = evs["t10nest_child"]["secs"] + evs["t10nest_parent"]["secs"]
+    assert total <= wall + 0.05
+    memo.clear_session_memos()
 
 
 def test_components_guard_schema_and_coverage(spark, monkeypatch):
