@@ -59,6 +59,15 @@ PROBES = {
     "ngram_diversity_by_source": "documents",
     "perplexity_bucket_filter": "documents",
     "repetition_removal": "documents",
+    # r10 (VERDICT r9 item 2): the bench-cost ceiling — the slowest
+    # registry queries previously unprobed
+    "graph_bfs_hops": "orders",
+    "graph_adamic_adar": "lineitem",
+    "dedup_cluster_keep_longest": "documents",
+    "dedup_ppjoin_prefix": "documents",
+    "textrank_keywords": "documents",
+    "sql_recursive_date_spine": "orders",
+    "profile_lineitem": "lineitem",
 }
 
 # tables that genuinely grow 10x per SF step (documents/embeddings
@@ -97,6 +106,21 @@ THIRD_DECADE = {
     # machinery per doc, expected linear (per-replica token suffixes
     # preserve intra-doc repetition structure exactly)
     "repetition_removal",
+    # r10: the cost-ceiling additions. All have honest sf1 growth:
+    # the co-order/bipartite graphs gain 10 disjoint replicas (v3
+    # part scaling), documents gain 10 shingle-disjoint replicas,
+    # lineitem/orders replicate with key shifts. The date spine's
+    # SPAN is fixed (replicas keep order dates) — its sf1 step
+    # measures the daily-count aggregation over 10× orders joined to
+    # the same ~2.4k-day spine, which is the honest scale shape of a
+    # calendar report.
+    "graph_bfs_hops",
+    "graph_adamic_adar",
+    "dedup_cluster_keep_longest",
+    "dedup_ppjoin_prefix",
+    "textrank_keywords",
+    "sql_recursive_date_spine",
+    "profile_lineitem",
 }
 
 # queries whose pair work is quadratic BY DEFINITION (exact all-pairs

@@ -1,0 +1,243 @@
+"""Planted-structure synthetic scaling probe for the iterative graph
+family (pagerank / label propagation / multi-source BFS).
+
+    python tools/scale_probe_graph.py [max_nodes]
+
+The registry probe's graph evidence stops at the sf1 synthetic
+(~10M directed edge rows for the co-purchase bipartite graph); these
+queries are the bench's cost ceiling, so their asymptote deserves the
+same synthetic-decade treatment the dedup family got in r9
+(tools/scale_probe_synth.py). This probe generates graphs with
+PLANTED, closed-form truth — every cell asserts exact correctness
+before its timing counts, so a convergence/recall regression fails
+the probe rather than flattering it:
+
+- pagerank: C disjoint SYMMETRIZED STARS of 17 nodes (hub = min id).
+  Symmetry ⇒ every hub rank identical, every leaf rank identical —
+  assert exactly 2 distinct Q52 rank values, hub > leaf, node count,
+  and Σrank = 1 (no dangling nodes ⇒ mass conserved; Q52 quantization
+  bounds the drift far under the 1e-6 assert). Uniform start is NOT
+  the fixed point (hub ≠ leaf), so all n_iter=10 rounds run — same
+  shape as the declared query.
+- label propagation: C disjoint undirected CHAINS of 5 nodes with the
+  min id at the head. Synchronous-with-self-vote LPA with min tie-
+  break converges in exactly k-1 = 4 rounds (label_i after round r is
+  min over the [i-r, i+r] window), i.e. exactly the declared query's
+  default n_rounds=4 — assert EVERY node's community equals its chain
+  head (node div 5 * 5): a full per-node equality check, not a count
+  heuristic.
+- BFS: the same chains, directed head→tail, seeds = the C heads —
+  assert the hop histogram is exactly {h: C for h in 0..4}.
+
+Methodology carried from the r9 synth probe: warm run + MEDIAN of 3
+measured reps per cell; edges persist()ed and released between sizes;
+reliable disk checkpoint dir under a per-run mkdtemp (removed at
+exit); shuffle partitions sized to the data (128 — the documented
+"err high, AQE coalesces" deployment rule; the iterative state joins
+at the top sizes would spill at the 32 default exactly like the r9
+PPJoin cells). Node counts default 100k → 6.4M (pass 25600000 for
+the top decade recorded in SCALING.md); edge-row counts per cell are
+printed so the table reads in edges. Results are appended to
+SCALING.md by hand (the probe prints a markdown table).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.graph import (
+        bfs_hops,
+        label_propagation,
+        pagerank,
+    )
+    from demo_flink_spark.session import get_spark
+
+    max_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 6_400_000
+    spark = get_spark(
+        "scale_probe_graph",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.shuffle.partitions": "128",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import atexit
+    import shutil
+    import tempfile
+
+    if spark.sparkContext.getCheckpointDir() is None:
+        ckpt_dir = tempfile.mkdtemp(prefix="spark_graft_graph_ckpt_")
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+        atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
+
+    K_STAR = 17  # star component size (hub + 16 leaves)
+    K_CHAIN = 5  # chain component size
+
+    def star_edges(n: int):
+        """Symmetrized star edges over n nodes (n divisible by 17):
+        hub(c) = 17c; every leaf id (id % 17 != 0) yields both
+        directions. Generated as a narrow map over range(n)."""
+        hub = (F.col("id") - F.col("id") % K_STAR).alias("hub")
+        return (
+            spark.range(n)
+            .filter(F.col("id") % K_STAR != 0)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("id").alias("src"), hub.alias("dst")
+                        ),
+                        F.struct(
+                            hub.alias("src"), F.col("id").alias("dst")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+        )
+
+    def chain_edges(n: int, symmetric: bool):
+        """Chain edges over n nodes (n divisible by 5): i → i+1 within
+        each block of 5; both directions when symmetric (LPA)."""
+        nxt = (F.col("id") + 1).alias("nxt")
+        base = spark.range(n).filter(F.col("id") % K_CHAIN != K_CHAIN - 1)
+        if not symmetric:
+            return base.select(F.col("id").alias("src"), nxt.alias("dst"))
+        return base.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id").alias("src"), nxt.alias("dst")),
+                    F.struct(nxt.alias("src"), F.col("id").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+
+    def timed_median(run_and_assert, label: str) -> float:
+        run_and_assert()  # warm (codegen, shuffle files)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            run_and_assert()
+            ts.append(time.time() - t0)
+        return sorted(ts)[1]
+
+    def probe_pagerank(n: int) -> tuple[float, int]:
+        edges = star_edges(n).persist()
+        m = edges.count()
+
+        def run():
+            r = pagerank(edges)  # query defaults: n_iter=10, d=0.85
+            agg = r.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("rank").alias("ndv"),
+                F.sum("rank").alias("s"),
+                F.max(F.when(F.col("node") % K_STAR == 0, F.col("rank"))).alias("hub"),
+                F.max(F.when(F.col("node") % K_STAR != 0, F.col("rank"))).alias("leaf"),
+            ).collect()[0]
+            assert agg["n"] == n, f"pagerank node count {agg['n']} != {n}"
+            assert agg["ndv"] == 2, (
+                f"pagerank symmetry broken: {agg['ndv']} distinct ranks != 2"
+            )
+            assert abs(agg["s"] - 1.0) < 1e-6, (
+                f"pagerank mass not conserved: sum={agg['s']}"
+            )
+            assert agg["hub"] > agg["leaf"], "hub rank must exceed leaf rank"
+
+        t = timed_median(run, f"pagerank n={n}")
+        edges.unpersist(blocking=True)
+        spark.catalog.clearCache()
+        return t, m
+
+    def probe_lpa(n: int) -> tuple[float, int]:
+        edges = chain_edges(n, symmetric=True).persist()
+        m = edges.count()
+
+        def run():
+            lab = label_propagation(edges)  # query default n_rounds=4
+            bad = lab.filter(
+                F.col("community")
+                != F.col("node") - F.col("node") % K_CHAIN
+            ).count()
+            assert bad == 0, f"LPA planted-community mismatch on {bad} nodes"
+            total = lab.count()
+            assert total == n, f"LPA node count {total} != {n}"
+
+        t = timed_median(run, f"lpa n={n}")
+        edges.unpersist(blocking=True)
+        spark.catalog.clearCache()
+        return t, m
+
+    def probe_bfs(n: int) -> tuple[float, int]:
+        edges = chain_edges(n, symmetric=False).persist()
+        m = edges.count()
+        c = n // K_CHAIN
+        seeds = spark.range(c).select(
+            (F.col("id") * K_CHAIN).alias("node")
+        )
+
+        def run():
+            hops = bfs_hops(edges, seeds, max_hops=K_CHAIN - 1)
+            hist = {
+                r["hops"]: r["cnt"]
+                for r in hops.groupBy("hops")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            want = {h: c for h in range(K_CHAIN)}
+            assert hist == want, f"BFS hop histogram {hist} != planted {want}"
+
+        t = timed_median(run, f"bfs n={n}")
+        edges.unpersist(blocking=True)
+        spark.catalog.clearCache()
+        return t, m
+
+    # node counts divisible by both 17 and 5 (lcm 85): 85 × 10^k-ish
+    # decades, 4× steps
+    sizes = [
+        n
+        for n in (102_000, 408_000, 1_632_000, 6_426_000, 25_704_000)
+        if n <= max_nodes
+    ]
+
+    rows = []
+    for n in sizes:
+        t_pr, m_pr = probe_pagerank(n)
+        t_lpa, m_lpa = probe_lpa(n)
+        t_bfs, m_bfs = probe_bfs(n)
+        rows.append((n, m_pr, t_pr, m_lpa, t_lpa, m_bfs, t_bfs))
+        print(
+            f"n={n:,} pagerank={t_pr:.1f}s ({m_pr:,} edges)"
+            f" lpa={t_lpa:.1f}s ({m_lpa:,}) bfs={t_bfs:.1f}s ({m_bfs:,})",
+            flush=True,
+        )
+
+    print(
+        "\n| nodes | pagerank edges | pagerank | slope | lpa edges | lpa |"
+        " slope | bfs edges | bfs | slope |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for i, (n, mp, tp, ml, tl, mb, tb) in enumerate(rows):
+        if i == 0:
+            sp = sl = sb = "—"
+        else:
+            ratio = math.log10(n / rows[i - 1][0])
+            sp = f"{math.log10(tp / rows[i - 1][2]) / ratio:.2f}"
+            sl = f"{math.log10(tl / rows[i - 1][4]) / ratio:.2f}"
+            sb = f"{math.log10(tb / rows[i - 1][6]) / ratio:.2f}"
+        print(
+            f"| {n:,} | {mp:,} | {tp:.1f}s | {sp} | {ml:,} | {tl:.1f}s"
+            f" | {sl} | {mb:,} | {tb:.1f}s | {sb} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
