@@ -60,7 +60,10 @@ def main() -> None:
     )
     from demo_flink_spark.session import get_spark
 
-    max_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 6_400_000
+    # default covers the first four sizes; pass 25704000 for the top
+    # decade recorded in SCALING.md (sizes are multiples of
+    # lcm(17, 5) = 85 so both component shapes tile exactly)
+    max_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 6_426_000
     spark = get_spark(
         "scale_probe_graph",
         extra_conf={
