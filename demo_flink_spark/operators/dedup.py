@@ -1273,19 +1273,27 @@ def _check_components(comp: DataFrame, pairs: DataFrame) -> DataFrame:
             f"(the connected_components(pairs) shape); got {comp.columns}"
         )
     if os.environ.get("SPARK_GRAFT_VALIDATE_COMPONENTS"):
+        # SET equality, not cardinality: a same-sized label frame over
+        # DIFFERENT nodes (e.g. a memoized frame from another sf_dir
+        # with an equal paired-node count) must fail here, and an
+        # extra label row for an unpaired node would wrongly mark that
+        # doc as dropped — so both directions are anti-joined.
         a, b = pairs.columns[0], pairs.columns[1]
-        n_paired = (
+        paired = (
             pairs.select(F.col(a).alias("node"))
             .union(pairs.select(F.col(b).alias("node")))
             .distinct()
-            .count()
         )
-        n_labeled = comp.select("node").distinct().count()
-        if n_labeled != n_paired or comp.count() != n_labeled:
+        labeled = comp.select("node")
+        missing = paired.join(labeled, "node", "left_anti").count()
+        extra = labeled.join(paired, "node", "left_anti").count()
+        dups = comp.count() - labeled.distinct().count()
+        if missing or extra or dups:
             raise ValueError(
                 "components frame does not label the paired nodes of "
-                f"`pairs` exactly once: {n_labeled} distinct labeled "
-                f"nodes / {comp.count()} rows vs {n_paired} paired nodes"
+                f"`pairs` exactly once: {missing} paired nodes "
+                f"unlabeled, {extra} labels for unpaired nodes, "
+                f"{dups} duplicate label rows"
             )
     return comp
 

@@ -87,7 +87,17 @@ def session_memo(
     t0 = time.time()
     try:
         df = build().persist()
-        df.count()  # materialize: the build event owns its true cost
+        try:
+            df.count()  # materialize: the build event owns its cost
+        except BaseException:
+            # a frame whose materialization failed is never placed in
+            # entries, so no cleanup path could reach it — unpersist
+            # here or the failed build pins storage for the session
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — dead session
+                pass
+            raise
     finally:
         # pop even on failure so a raising build cannot corrupt an
         # enclosing build's accounting

@@ -24,8 +24,6 @@ bounded by codegen'd CPU per document, identical to the batch plan.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -42,7 +40,18 @@ def repetition_removal_stream(
     """Start the streaming repetition cut over `incoming` (a streaming
     DataFrame with doc_id + text). Cleaned rows — (doc_id, n_tokens,
     n_removed, cleaned_text), the batch operator's exact schema —
-    append to `out_dir` as parquet."""
+    append to `out_dir` as parquet.
+
+    The default checkpoint lives at `<out_dir>/_checkpoint`: STABLE
+    across restarts, so a stopped/crashed stream resumes from its
+    offset log instead of reprocessing the source and appending
+    duplicates (a fresh random dir per call would silently forfeit
+    the sink's exactly-once contract). Underscore-prefixed paths are
+    invisible to Spark's file readers, so the sink directory stays
+    directly readable. Pass `checkpoint_dir` to place it elsewhere
+    (e.g. a different filesystem than the sink at scale)."""
+    import os
+
     cleaned = remove_repeated_ngrams(incoming, n=n)
     return (
         cleaned.writeStream.format("parquet")
@@ -50,7 +59,7 @@ def repetition_removal_stream(
         .option("path", out_dir)
         .option(
             "checkpointLocation",
-            checkpoint_dir or tempfile.mkdtemp(prefix="repetition_ckpt_"),
+            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
         )
         .start()
     )

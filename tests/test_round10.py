@@ -73,6 +73,115 @@ def test_memo_nested_build_times_are_exclusive(spark):
     memo.clear_session_memos()
 
 
+def test_components_guard_set_membership_not_cardinality(spark, monkeypatch):
+    """The review-pass case: a label frame with the SAME cardinality
+    over DIFFERENT nodes must fail the gated check (a count compare
+    would pass it), as must extra labels for unpaired nodes and
+    duplicate label rows."""
+    from demo_flink_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+    monkeypatch.setenv("SPARK_GRAFT_VALIDATE_COMPONENTS", "1")
+
+    # same row count, disjoint node set: 4 labeled vs 4 paired
+    wrong_nodes = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 12), (13, 12)], "node long, comp long"
+    )
+    with pytest.raises(ValueError, match="4 paired nodes unlabeled"):
+        dd.dedup_keep_list(docs, pairs, components=wrong_nodes)
+
+    # a label for an UNPAIRED node (would wrongly drop doc 7)
+    extra = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (7, 0)], "node long, comp long"
+    )
+    with pytest.raises(ValueError, match="1 labels for unpaired"):
+        dd.dedup_keep_list(docs, pairs, components=extra)
+
+    # duplicate label rows for one node
+    dup = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (3, 0)], "node long, comp long"
+    )
+    with pytest.raises(ValueError, match="1 duplicate label rows"):
+        dd.dedup_keep_list(docs, pairs, components=dup)
+
+
+def test_memo_failed_build_unpersists_and_is_retryable(spark):
+    """A build whose materialization fails must not leak a persisted
+    frame (nothing could ever unpersist it — it never enters the
+    cache) and must leave the key retryable."""
+    from demo_flink_spark.plans import memo
+
+    memo.clear_session_memos()
+    memo.drain_memo_events()
+    captured = {}
+
+    def bad_build():
+        df = spark.range(3).select(
+            F.assert_true(F.col("id") < 0).alias("x")
+        )
+        captured["df"] = df
+        return df
+
+    with pytest.raises(Exception):
+        memo.session_memo("t10fail", ("k",), bad_build)
+    # the persisted-then-failed frame was unpersisted, not leaked
+    assert captured["df"].storageLevel.useMemory is False
+    # no cache entry, no build event recorded for the failure
+    assert ("k",) not in memo._CACHES.get("t10fail", {})
+    assert memo.drain_memo_events() == []
+    # the key retries: a good build for the same key succeeds
+    got = memo.session_memo("t10fail", ("k",), lambda: spark.range(4))
+    assert got.count() == 4
+    assert [e["event"] for e in memo.drain_memo_events()] == ["build"]
+    memo.clear_session_memos()
+
+
+def test_repetition_stream_default_checkpoint_resumes(spark, tmp_path):
+    """The default checkpoint (<out_dir>/_checkpoint) is stable across
+    restarts: a second run over the same source must resume from the
+    offset log, not reprocess and duplicate — and the underscore dir
+    must stay invisible to the parquet reader."""
+    import os
+    import time as _t
+
+    from demo_flink_spark.streaming.repetition_stream import (
+        repetition_removal_stream,
+    )
+
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    out_dir = str(tmp_path / "out")
+
+    def drop(rows, mtime):
+        before = set(os.listdir(stage))
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+        for f in set(os.listdir(stage)) - before:
+            os.utime(os.path.join(stage, f), (mtime, mtime))
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            stage
+        )
+        q = repetition_removal_stream(stream, out_dir)  # default ckpt
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    base = _t.time() - 10
+    drop([(1, "a b c d e X a b c d e Y"), (2, "clean text")], base)
+    run_once()
+    drop([(3, "w w w w w w w w w w")], base + 1)
+    run_once()  # restart: must pick up ONLY doc 3
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]  # no duplicates
+    assert os.path.isdir(os.path.join(out_dir, "_checkpoint"))
+
+
 def test_components_guard_schema_and_coverage(spark, monkeypatch):
     from demo_flink_spark.operators import dedup as dd
 

@@ -35,9 +35,10 @@ reliable disk checkpoint dir under a per-run mkdtemp (removed at
 exit); shuffle partitions sized to the data (128 — the documented
 "err high, AQE coalesces" deployment rule; the iterative state joins
 at the top sizes would spill at the 32 default exactly like the r9
-PPJoin cells). Node counts default 100k → 6.4M (pass 25600000 for
-the top decade recorded in SCALING.md); edge-row counts per cell are
-printed so the table reads in edges. Results are appended to
+PPJoin cells). Node counts default 102k → 6.426M (pass 25704000 —
+sizes are multiples of lcm(17, 5) = 85 — for the top decade recorded
+in SCALING.md); edge-row counts per cell are printed so the table
+reads in edges. Results are appended to
 SCALING.md by hand (the probe prints a markdown table).
 """
 
@@ -131,6 +132,9 @@ def main() -> None:
             t0 = time.time()
             run_and_assert()
             ts.append(time.time() - t0)
+        # per-cell progress line: the top cells run minutes each, so
+        # a long run should be monitorable before its size completes
+        print(f"  {label}: reps {[round(t, 1) for t in ts]}", flush=True)
         return sorted(ts)[1]
 
     def probe_pagerank(n: int) -> tuple[float, int]:
