@@ -28,6 +28,14 @@ the probe rather than flattering it:
   heuristic.
 - BFS: the same chains, directed head→tail, seeds = the C heads —
   assert the hop histogram is exactly {h: C for h in 0..4}.
+- `cc` mode (`python tools/scale_probe_graph.py cc [max_nodes]`):
+  connected_components_star over LONG chains (length 1000 — diameter
+  999, the adversarial shape the large-star/small-star variant exists
+  for; the min-label walker would need 999 rounds and raises at its
+  20-round cap by design). Asserts EVERY node's component equals its
+  chain head. The differentiating receipt: round count stays ~log²
+  (the convergence loop's iteration cap is 30 and is never hit)
+  while the work per round is linear in edges.
 
 Methodology carried from the r9 synth probe: warm run + MEDIAN of 3
 measured reps per cell; edges persist()ed and released between sizes;
@@ -61,10 +69,12 @@ def main() -> None:
     )
     from demo_flink_spark.session import get_spark
 
+    cc_mode = len(sys.argv) > 1 and sys.argv[1] == "cc"
+    size_arg = sys.argv[2] if cc_mode else (sys.argv[1] if len(sys.argv) > 1 else None)
     # default covers the first four sizes; pass 25704000 for the top
     # decade recorded in SCALING.md (sizes are multiples of
     # lcm(17, 5) = 85 so both component shapes tile exactly)
-    max_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 6_426_000
+    max_nodes = int(size_arg) if size_arg else 6_426_000
     spark = get_spark(
         "scale_probe_graph",
         extra_conf={
@@ -206,6 +216,57 @@ def main() -> None:
         edges.unpersist(blocking=True)
         spark.catalog.clearCache()
         return t, m
+
+    if cc_mode:
+        from demo_flink_spark.operators.dedup import connected_components_star
+
+        K_LONG = 1000  # chain length: diameter 999
+
+        def long_chain_edges(n: int):
+            nxt = (F.col("id") + 1).alias("nxt")
+            return (
+                spark.range(n)
+                .filter(F.col("id") % K_LONG != K_LONG - 1)
+                .select(F.col("id").alias("doc_a"), nxt.alias("doc_b"))
+            )
+
+        def probe_cc(n: int) -> tuple[float, int]:
+            edges = long_chain_edges(n).persist()
+            m = edges.count()
+
+            def run():
+                comp = connected_components_star(edges)
+                bad = comp.filter(
+                    F.col("comp") != F.col("node") - F.col("node") % K_LONG
+                ).count()
+                assert bad == 0, f"CC planted-head mismatch on {bad} nodes"
+                total = comp.count()
+                assert total == n, f"CC node count {total} != {n}"
+
+            t = timed_median(run, f"cc_star n={n}")
+            edges.unpersist(blocking=True)
+            spark.catalog.clearCache()
+            return t, m
+
+        cc_sizes = [
+            n for n in (100_000, 400_000, 1_600_000, 6_400_000)
+            if n <= max_nodes
+        ]
+        cc_rows = []
+        for n in cc_sizes:
+            t, m = probe_cc(n)
+            cc_rows.append((n, m, t))
+            print(f"n={n:,} cc_star={t:.1f}s ({m:,} edges)", flush=True)
+        print("\n| nodes | edges | cc_star (chains of 1000) | slope |")
+        print("|---|---|---|---|")
+        for i, (n, m, t) in enumerate(cc_rows):
+            s = (
+                "—"
+                if i == 0
+                else f"{math.log10(t / cc_rows[i - 1][2]) / math.log10(n / cc_rows[i - 1][0]):.2f}"
+            )
+            print(f"| {n:,} | {m:,} | {t:.1f}s | {s} |")
+        return
 
     # node counts divisible by both 17 and 5 (lcm 85): 85 × 10^k-ish
     # decades, 4× steps
