@@ -970,6 +970,16 @@ def connected_components_star(
         if new_sig == sig and e.join(prev, ["u", "v"], "left_anti").isEmpty():
             break
         sig = new_sig
+    else:
+        # falling through the cap would silently return labels that
+        # are not component minima — the same loud-failure contract
+        # as connected_components' raise at ITS cap. O(log² n) rounds
+        # means 30 covers any physically storable graph; hitting this
+        # is a regression, not a tuning knob.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds: the oriented edge multiset is still changing"
+        )
     # after convergence every node is adjacent to its component
     # minimum: comp(u) = min(neighbors ∪ {u})
     return e.groupBy(F.col("u").alias("node")).agg(
@@ -1258,8 +1268,10 @@ def _check_components(comp: DataFrame, pairs: DataFrame) -> DataFrame:
     resolvers: a caller-supplied label frame that does not correspond
     to `pairs` silently yields a WRONG keep/drop list (a paired doc
     with no label row is kept as its own canonical). The schema check
-    is free and always on; the count check (every paired node labeled
-    exactly once) runs two jobs, so it is gated behind
+    is free and always on; the coverage check (SET equality — every
+    paired node labeled exactly once, no labels for unpaired nodes,
+    no duplicate label rows) runs one full-outer join + one aggregate
+    (a single collect job), so it is gated behind
     SPARK_GRAFT_VALIDATE_COMPONENTS for tests/debug — the shipped
     plans all pass `connected_components(pairs)`-derived frames
     (plans/dedup.py::_shared_components), which satisfy it by
@@ -1284,10 +1296,21 @@ def _check_components(comp: DataFrame, pairs: DataFrame) -> DataFrame:
             .union(pairs.select(F.col(b).alias("node")))
             .distinct()
         )
-        labeled = comp.select("node")
-        missing = paired.join(labeled, "node", "left_anti").count()
-        extra = labeled.join(paired, "node", "left_anti").count()
-        dups = comp.count() - labeled.distinct().count()
+        lab_counts = comp.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+        # one full-outer join + one aggregate decides all three
+        # violation classes in a single job (the anti-join-per-class
+        # form recomputed `paired` and rescanned `comp` four times)
+        row = (
+            paired.select("node", F.lit(1).alias("p"))
+            .join(lab_counts, "node", "full_outer")
+            .agg(
+                F.count(F.when(F.col("c").isNull(), 1)).alias("missing"),
+                F.count(F.when(F.col("p").isNull(), 1)).alias("extra"),
+                F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("dups"),
+            )
+            .collect()[0]
+        )
+        missing, extra, dups = row["missing"], row["extra"], row["dups"]
         if missing or extra or dups:
             raise ValueError(
                 "components frame does not label the paired nodes of "

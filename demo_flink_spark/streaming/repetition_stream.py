@@ -24,6 +24,8 @@ bounded by codegen'd CPU per document, identical to the batch plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -50,8 +52,6 @@ def repetition_removal_stream(
     invisible to Spark's file readers, so the sink directory stays
     directly readable. Pass `checkpoint_dir` to place it elsewhere
     (e.g. a different filesystem than the sink at scale)."""
-    import os
-
     cleaned = remove_repeated_ngrams(incoming, n=n)
     return (
         cleaned.writeStream.format("parquet")

@@ -70,7 +70,10 @@ def main() -> None:
     from demo_flink_spark.session import get_spark
 
     cc_mode = len(sys.argv) > 1 and sys.argv[1] == "cc"
-    size_arg = sys.argv[2] if cc_mode else (sys.argv[1] if len(sys.argv) > 1 else None)
+    if cc_mode:
+        size_arg = sys.argv[2] if len(sys.argv) > 2 else None
+    else:
+        size_arg = sys.argv[1] if len(sys.argv) > 1 else None
     # default covers the first four sizes; pass 25704000 for the top
     # decade recorded in SCALING.md (sizes are multiples of
     # lcm(17, 5) = 85 so both component shapes tile exactly)
