@@ -31,6 +31,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    # bench needs eager memo-build materialization so each shared
+    # build's cost is owned by its build event (`memo_builds`
+    # attribution); non-bench sessions default to lazy builds
+    os.environ.setdefault("SPARK_GRAFT_MEMO_EAGER", "1")
+
     import __spark_entry__ as e
     from demo_flink_spark.session import get_spark
 

@@ -24,6 +24,7 @@ Scale design (the whole point at 100 TB):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -1263,7 +1264,12 @@ def cdc_chunk_stats(
     )
 
 
-def _check_components(comp: DataFrame, pairs: DataFrame) -> DataFrame:
+def _check_components(
+    comp: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
     """Guard the `components` trust boundary of the keep-policy
     resolvers: a caller-supplied label frame that does not correspond
     to `pairs` silently yields a WRONG keep/drop list (a paired doc
@@ -1276,9 +1282,13 @@ def _check_components(comp: DataFrame, pairs: DataFrame) -> DataFrame:
     plans all pass `connected_components(pairs)`-derived frames
     (plans/dedup.py::_shared_components), which satisfy it by
     construction.
-    """
-    import os
 
+    `src`/`dst` name the pair id columns (the
+    `connected_components` convention by default) — selected by
+    NAME, not position, so a pairs frame carrying extra leading
+    columns (valid for the default path) validates against the
+    right ids.
+    """
     if set(comp.columns) != {"node", "comp"}:
         raise ValueError(
             "components frame must have exactly (node, comp) columns "
@@ -1290,10 +1300,9 @@ def _check_components(comp: DataFrame, pairs: DataFrame) -> DataFrame:
         # with an equal paired-node count) must fail here, and an
         # extra label row for an unpaired node would wrongly mark that
         # doc as dropped — so both directions are anti-joined.
-        a, b = pairs.columns[0], pairs.columns[1]
         paired = (
-            pairs.select(F.col(a).alias("node"))
-            .union(pairs.select(F.col(b).alias("node")))
+            pairs.select(F.col(src).alias("node"))
+            .union(pairs.select(F.col(dst).alias("node")))
             .distinct()
         )
         lab_counts = comp.groupBy("node").agg(F.count(F.lit(1)).alias("c"))

@@ -266,8 +266,8 @@ def triangle_count(
     )
     return (
         closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )
 

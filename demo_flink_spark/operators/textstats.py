@@ -1161,7 +1161,7 @@ def pmi_cooccurrence(
     )
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
     totals = tok.agg(F.count(F.lit(1)).cast("long").alias("n_tokens")).crossJoin(
-        pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        F.broadcast(pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
     )
     # uni is vocabulary-sized: AQE picks broadcast while it measures
     # small, shuffle join once vocabulary outgrows the threshold (the

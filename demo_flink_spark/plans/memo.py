@@ -24,6 +24,7 @@ sf_dirs cannot pin executor storage memory forever.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import OrderedDict
 from typing import Callable
@@ -48,9 +49,13 @@ _CACHES: dict[str, OrderedDict] = {}
 # The eager count() adds one pass over the already-persisted frame
 # for the first consumer; in exchange the build cost is cleanly
 # attributable instead of fused invisibly into that consumer's plan.
+# It is GATED behind SPARK_GRAFT_MEMO_EAGER (bench.py sets it; so do
+# the tests that assert on build-event costs or materialization-time
+# failure handling) so non-bench sessions keep lazy builds and pay no
+# extra pass (ADVICE r10).
 _EVENTS: list[dict] = []
 # a session that never drains (anything but bench) must not grow the
-# log unboundedly: keep the newest _MAX_EVENTS only
+# log unboundedly: once _MAX_EVENTS is hit, trim to the newest half
 _MAX_EVENTS = 4096
 # per-nesting-level accumulator of child build seconds (see the
 # exclusive-time note in session_memo)
@@ -85,25 +90,39 @@ def session_memo(
     # true total instead of double-counting nested stages.
     _CHILD_SECS.append(0.0)
     t0 = time.time()
+    ok = False
     try:
         df = build().persist()
-        try:
-            df.count()  # materialize: the build event owns its cost
-        except BaseException:
-            # a frame whose materialization failed is never placed in
-            # entries, so no cleanup path could reach it — unpersist
-            # here or the failed build pins storage for the session
+        if os.environ.get("SPARK_GRAFT_MEMO_EAGER"):
+            # materialize so the build event owns its cost (bench
+            # attribution) and a materialization failure surfaces —
+            # and unpersists — here instead of poisoning the cache.
+            # Lazy otherwise: non-bench sessions skip the extra pass
+            # over the built frame (ADVICE r10).
             try:
-                df.unpersist()
-            except Exception:  # noqa: BLE001 — dead session
-                pass
-            raise
+                df.count()
+            except BaseException:
+                # a frame whose materialization failed is never
+                # placed in entries, so no cleanup path could reach
+                # it — unpersist here or the failed build pins
+                # storage for the session
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — dead session
+                    pass
+                raise
+        ok = True
     finally:
         # pop even on failure so a raising build cannot corrupt an
-        # enclosing build's accounting
+        # enclosing build's accounting; charge the parent only on
+        # SUCCESS — a failed child records no build event, so its
+        # elapsed must stay inside the parent's exclusive time or a
+        # build callable that catches the failure and continues would
+        # leave memo_builds summing short of true wall cost
+        # (ADVICE r10)
         elapsed = time.time() - t0
         child = _CHILD_SECS.pop()
-        if _CHILD_SECS:
+        if _CHILD_SECS and ok:
             _CHILD_SECS[-1] += elapsed
     _EVENTS.append(
         {"cache": cache, "event": "build", "secs": round(elapsed - child, 3)}

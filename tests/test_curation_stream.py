@@ -6,7 +6,6 @@ parity by construction (the batch operator IS the rule engine)."""
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 
 from demo_flink_spark.streaming.curation_stream import curation_gate
@@ -20,8 +19,12 @@ NUMERIC = "the a " + " ".join(str(1000 + n) for n in range(30))
 NO_STOPWORDS = " ".join(f"word{i}" for i in range(30))
 
 
-def _drop_batches(spark, batches):
-    stage = tempfile.mkdtemp(prefix="curation_src_")
+def _drop_batches(spark, batches, stage_dir):
+    """Stage source files under the caller's pytest tmp_path so the
+    directory is cleaned up with the test (ADVICE r10 pattern: the
+    mkdtemp form leaked a source dir per run)."""
+    stage = str(stage_dir)
+    os.makedirs(stage, exist_ok=True)
     base = time.time() - len(batches) - 1
     stamped: set[str] = set()
     for i, rows in enumerate(batches):
@@ -44,6 +47,7 @@ def test_curation_gate_routes_and_reasons(spark, tmp_path):
             [(1, GOOD), (2, TOO_SHORT)],
             [(3, NUMERIC), (4, NO_STOPWORDS), (5, GOOD + " again ok")],
         ],
+        tmp_path / "src",
     )
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -73,7 +77,7 @@ def test_curation_gate_multi_reason(spark, tmp_path):
     kept_dir = str(tmp_path / "k2")
     rejected_dir = str(tmp_path / "r2")
     # short AND no stopwords AND numeric-heavy: all reasons listed
-    stage = _drop_batches(spark, [[(9, "111 222 333")]])
+    stage = _drop_batches(spark, [[(9, "111 222 333")]], tmp_path / "src")
     stream = spark.readStream.schema("doc_id long, text string").parquet(stage)
     q = curation_gate(stream, kept_dir, rejected_dir, min_words=20)
     try:
@@ -92,7 +96,7 @@ def test_curation_gate_epoch_replay_is_idempotent(spark, tmp_path):
 
     kept_dir = str(tmp_path / "k3")
     rejected_dir = str(tmp_path / "r3")
-    stage = _drop_batches(spark, [[(1, GOOD), (2, TOO_SHORT)]])
+    stage = _drop_batches(spark, [[(1, GOOD), (2, TOO_SHORT)]], tmp_path / "src")
     stream = spark.readStream.schema("doc_id long, text string").parquet(stage)
     q = cs.curation_gate(stream, kept_dir, rejected_dir, min_words=20)
     try:

@@ -6,7 +6,6 @@ dedup against batch 1 docs, not just the seeded history."""
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 
 from pyspark.sql import functions as F
@@ -39,8 +38,12 @@ def _near_copy(text: str) -> str:
     return text.rsplit(" ", 1)[0] + " yesterday"
 
 
-def _drop_batches(spark, batches):
-    stage = tempfile.mkdtemp(prefix="dedup_stream_src_")
+def _drop_batches(spark, batches, stage_dir):
+    """Stage source files under the caller's pytest tmp_path so the
+    directory is cleaned up with the test (ADVICE r10 pattern: the
+    mkdtemp form leaked a source dir per run)."""
+    stage = str(stage_dir)
+    os.makedirs(stage, exist_ok=True)
     base = time.time() - len(batches) - 1
     stamped: set[str] = set()
     for i, rows in enumerate(batches):
@@ -69,6 +72,7 @@ def test_incremental_dedup_grows_index(spark, tmp_path):
             [(10, _near_copy(HIST_1)), (11, NEW_UNIQUE)],
             [(12, _near_copy(NEW_UNIQUE)), (13, LATER_UNIQUE)],
         ],
+        tmp_path / "src",
     )
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -109,6 +113,7 @@ def test_intra_batch_duplicates_resolve_to_lower_id(spark, tmp_path):
     stage = _drop_batches(
         spark,
         [[(20, NEW_UNIQUE), (21, _near_copy(NEW_UNIQUE))]],
+        tmp_path / "src",
     )
     stream = (
         spark.readStream.schema("doc_id long, text string")

@@ -6,7 +6,6 @@ execution modes, and this test proves the modes cannot diverge."""
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 
 from demo_flink_spark.operators.textstats import remove_repeated_ngrams
@@ -21,8 +20,12 @@ SHORT = "too few"  # < n tokens: nothing to window, nothing removed
 DEGENERATE = "w w w w w w w w w w"  # every window repeats window 0
 
 
-def _drop_batches(spark, batches):
-    stage = tempfile.mkdtemp(prefix="repetition_src_")
+def _drop_batches(spark, batches, stage_dir):
+    """Stage source files under the caller's pytest tmp_path so the
+    directory is cleaned up with the test (ADVICE r10: the mkdtemp
+    form leaked a repetition_src_* dir per run)."""
+    stage = str(stage_dir)
+    os.makedirs(stage, exist_ok=True)
     base = time.time() - len(batches) - 1
     stamped: set[str] = set()
     for i, rows in enumerate(batches):
@@ -41,7 +44,7 @@ def test_repetition_stream_matches_batch_exactly(spark, tmp_path):
         [(1, REPEATY), (2, CLEAN)],
         [(3, SHORT), (4, DEGENERATE)],
     ]
-    stage = _drop_batches(spark, batches)
+    stage = _drop_batches(spark, batches, tmp_path / "src")
     out_dir = str(tmp_path / "cleaned")
     stream = (
         spark.readStream.schema("doc_id long, text string")

@@ -81,7 +81,7 @@ def test_components_guard_set_membership_not_cardinality(spark, monkeypatch):
     from demo_flink_spark.operators import dedup as dd
 
     docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
-    pairs = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "doc_a long, doc_b long")
     monkeypatch.setenv("SPARK_GRAFT_VALIDATE_COMPONENTS", "1")
 
     # same row count, disjoint node set: 4 labeled vs 4 paired
@@ -106,12 +106,15 @@ def test_components_guard_set_membership_not_cardinality(spark, monkeypatch):
         dd.dedup_keep_list(docs, pairs, components=dup)
 
 
-def test_memo_failed_build_unpersists_and_is_retryable(spark):
+def test_memo_failed_build_unpersists_and_is_retryable(spark, monkeypatch):
     """A build whose materialization fails must not leak a persisted
     frame (nothing could ever unpersist it — it never enters the
-    cache) and must leave the key retryable."""
+    cache) and must leave the key retryable. Materialization inside
+    session_memo is the EAGER path (bench mode) — r11 gated it behind
+    SPARK_GRAFT_MEMO_EAGER, so this test opts in."""
     from demo_flink_spark.plans import memo
 
+    monkeypatch.setenv("SPARK_GRAFT_MEMO_EAGER", "1")
     memo.clear_session_memos()
     memo.drain_memo_events()
     captured = {}
@@ -203,7 +206,7 @@ def test_components_guard_schema_and_coverage(spark, monkeypatch):
     from demo_flink_spark.operators import dedup as dd
 
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
-    pairs = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "doc_a long, doc_b long")
     good = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 2), (3, 2)], "node long, comp long"
     )

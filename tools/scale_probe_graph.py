@@ -36,6 +36,31 @@ the probe rather than flattering it:
   chain head. The differentiating receipt: round count stays ~log²
   (the convergence loop's iteration cap is 30 and is never hit)
   while the work per round is linear in edges.
+- `skew` mode (`python tools/scale_probe_graph.py skew [max_nodes]`):
+  the planted stars/chains above are uniform-degree; the 100 TB
+  brief's named hazard is the HOT KEY (celebrity node / hot trade
+  id), so this mode plants hub-dominated graphs and re-times
+  pagerank/BFS (VERDICT r10 item 3):
+  - pagerank: ONE mega-star over the first n/10 nodes (hub = node 0,
+    degree n/10 − 1 — one node owning ~10.6% of all edge rows, so
+    the contributions groupBy(dst) has a single key carrying 10% of
+    the shuffle) + uniform 17-stars over the remaining 9n/10. Truth
+    stays closed-form BY GROUP: symmetry makes every mega-leaf /
+    small-hub / small-leaf rank identical, and the four group values
+    follow an exact 4-term scalar recurrence (the same update the
+    engine computes, collapsed by symmetry) — the probe iterates the
+    recurrence in Python and asserts each group's measured rank
+    matches it to 1e-6 relative (the Q52 pipeline is deterministic;
+    worst-case quantization drift is ~1.4e-10 absolute on the mega
+    hub, orders below the tolerance), plus per-group rank
+    uniqueness, node count, and Σrank = 1.
+  - BFS: a star-of-chains — hub 0 → C chain heads, each chain 5
+    nodes (n = 5C + 1): the hop-1 expansion explodes one frontier
+    row into C = ~n/5 neighbors (maximal frontier skew), and the
+    planted histogram is exactly {0: 1, h: C for h ∈ 1..5}.
+  n must be divisible by 170 (both shapes tile); the default sizes
+  are the uniform probe's first four, so SCALING.md can show the
+  skewed slopes beside the uniform ones.
 
 Methodology carried from the r9 synth probe: warm run + MEDIAN of 3
 measured reps per cell; edges persist()ed and released between sizes;
