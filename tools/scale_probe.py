@@ -68,6 +68,12 @@ PROBES = {
     "textrank_keywords": "documents",
     "sql_recursive_date_spine": "orders",
     "profile_lineitem": "lineitem",
+    # r11 (VERDICT r10 item 4): the last unprobed multi-second bench
+    # cells. (pysource_event_counts, the third one named, generates
+    # its own input — sf_dir is unused by design — so it gets a
+    # dedicated n_rows-decade probe: tools/scale_probe_pysource.py.)
+    "anomaly_mad_hampel": "events",
+    "anomaly_stl_residual": "events",
 }
 
 # tables that genuinely grow 10x per SF step (documents/embeddings
@@ -121,6 +127,12 @@ THIRD_DECADE = {
     "textrank_keywords",
     "sql_recursive_date_spine",
     "profile_lineitem",
+    # r11: events replicas in sf1 shift event/user ids (the event_type
+    # key set stays fixed), so these cells measure 10×-denser series
+    # per key — the honest scale shape for per-key robust statistics
+    # and decomposition.
+    "anomaly_mad_hampel",
+    "anomaly_stl_residual",
 }
 
 # queries whose pair work is quadratic BY DEFINITION (exact all-pairs

@@ -94,8 +94,10 @@ def main() -> None:
     )
     from demo_flink_spark.session import get_spark
 
-    cc_mode = len(sys.argv) > 1 and sys.argv[1] == "cc"
-    if cc_mode:
+    mode = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] in ("cc", "skew") else None
+    cc_mode = mode == "cc"
+    skew_mode = mode == "skew"
+    if mode:
         size_arg = sys.argv[2] if len(sys.argv) > 2 else None
     else:
         size_arg = sys.argv[1] if len(sys.argv) > 1 else None
@@ -103,23 +105,58 @@ def main() -> None:
     # decade recorded in SCALING.md (sizes are multiples of
     # lcm(17, 5) = 85 so both component shapes tile exactly)
     max_nodes = int(size_arg) if size_arg else 6_426_000
+    # optional trailing min-size arg: rerun a single upper cell
+    # without re-measuring the recorded smaller ones
+    min_idx = 3 if mode else 2
+    min_nodes = int(sys.argv[min_idx]) if len(sys.argv) > min_idx else 0
     spark = get_spark(
         "scale_probe_graph",
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.sql.shuffle.partitions": "128",
+            # reliable checkpoints of GC'd RDDs are deleted (paired
+            # with the forced GC in reclaim() below): without this,
+            # every round's cut_lineage checkpoint of every rep
+            # accumulates for the whole session — the cc 1.6M cell
+            # exhausted the box's ~80 GB of free disk mid-rep on the
+            # first r11 attempt
+            "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     import atexit
+    import gc
     import shutil
     import tempfile
 
-    if spark.sparkContext.getCheckpointDir() is None:
-        ckpt_dir = tempfile.mkdtemp(prefix="spark_graft_graph_ckpt_")
-        spark.sparkContext.setCheckpointDir(ckpt_dir)
-        atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
+    ckpt_root = tempfile.mkdtemp(prefix="spark_graft_graph_ckpt_")
+    atexit.register(shutil.rmtree, ckpt_root, ignore_errors=True)
+    reclaim_state = {"rep": 0, "dir": None}
+
+    def reclaim() -> None:
+        """Between-reps disk reclamation: each heavy-cell rep writes
+        tens of GB of reliable checkpoints + shuffle files that local
+        mode only reclaims on driver GC. Point the NEXT rep at a fresh
+        checkpoint subdir, drop Python-side wrappers, force a JVM GC
+        so ContextCleaner deletes dead shuffles/checkpoints, then
+        remove the dead rep's subdir outright — bounding peak disk at
+        ~one rep's footprint regardless of GC timing. Runs OUTSIDE
+        the timed window (timed_median calls it after each rep's
+        clock stops)."""
+        old = reclaim_state["dir"]
+        reclaim_state["rep"] += 1
+        new = os.path.join(ckpt_root, f"rep{reclaim_state['rep']}")
+        os.makedirs(new, exist_ok=True)
+        spark.sparkContext.setCheckpointDir(new)
+        reclaim_state["dir"] = new
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    reclaim()  # set the first checkpoint subdir
 
     K_STAR = 17  # star component size (hub + 16 leaves)
     K_CHAIN = 5  # chain component size
@@ -165,11 +202,13 @@ def main() -> None:
 
     def timed_median(run_and_assert, label: str) -> float:
         run_and_assert()  # warm (codegen, shuffle files)
+        reclaim()
         ts = []
         for _ in range(3):
             t0 = time.time()
             run_and_assert()
             ts.append(time.time() - t0)
+            reclaim()  # outside the timed window
         # per-cell progress line: the top cells run minutes each, so
         # a long run should be monitorable before its size completes
         print(f"  {label}: reps {[round(t, 1) for t in ts]}", flush=True)
@@ -245,6 +284,189 @@ def main() -> None:
         spark.catalog.clearCache()
         return t, m
 
+    if skew_mode:
+        K_MEGA_FRAC = 10  # mega block = n / 10 nodes, hub = node 0
+
+        def skew_star_edges(n: int):
+            """One symmetrized mega-star over [0, n/10) (hub 0) plus
+            symmetrized 17-stars over [M, n): the hot-key graph. n
+            must be divisible by 170 so both shapes tile exactly."""
+            M = n // K_MEGA_FRAC
+            mega = (
+                spark.range(1, M)
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("id").alias("src"),
+                                F.lit(0).cast("long").alias("dst"),
+                            ),
+                            F.struct(
+                                F.lit(0).cast("long").alias("src"),
+                                F.col("id").alias("dst"),
+                            ),
+                        )
+                    ).alias("e")
+                )
+                .select("e.src", "e.dst")
+            )
+            hub = (
+                F.col("id") - (F.col("id") - F.lit(M)) % K_STAR
+            ).alias("hub")
+            small = (
+                spark.range(M, n)
+                .filter((F.col("id") - F.lit(M)) % K_STAR != 0)
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("id").alias("src"), hub.alias("dst")),
+                            F.struct(hub.alias("src"), F.col("id").alias("dst")),
+                        )
+                    ).alias("e")
+                )
+                .select("e.src", "e.dst")
+            )
+            return mega.unionAll(small)
+
+        def expected_group_ranks(n: int, d: float = 0.85, n_iter: int = 10):
+            """The engine's update collapsed by symmetry: four scalar
+            values (mega hub/leaf, small hub/leaf) iterated exactly
+            like the distributed Q52 pipeline — the planted truth."""
+            M = n // K_MEGA_FRAC
+            rmh = rml = rsh = rsl = 1.0 / n
+            for _ in range(n_iter):
+                rmh, rml, rsh, rsl = (
+                    (1 - d) / n + d * (M - 1) * rml,
+                    (1 - d) / n + d * rmh / (M - 1),
+                    (1 - d) / n + d * 16 * rsl,
+                    (1 - d) / n + d * rsh / 16,
+                )
+            return {"mh": rmh, "ml": rml, "sh": rsh, "sl": rsl}
+
+        def probe_pagerank_skew(n: int) -> tuple[float, int]:
+            M = n // K_MEGA_FRAC
+            edges = skew_star_edges(n).persist()
+            m = edges.count()
+            want = expected_group_ranks(n)
+
+            def run():
+                r = pagerank(edges)
+                grp = F.when(F.col("node") == 0, F.lit("mh")).when(
+                    F.col("node") < M, F.lit("ml")
+                ).when(
+                    (F.col("node") - M) % K_STAR == 0, F.lit("sh")
+                ).otherwise(F.lit("sl"))
+                rows = (
+                    r.groupBy(grp.alias("g"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.countDistinct("rank").alias("ndv"),
+                        F.max("rank").alias("rank"),
+                        F.sum("rank").alias("mass"),
+                    )
+                    .collect()
+                )
+                got = {row["g"]: row for row in rows}
+                want_counts = {
+                    "mh": 1,
+                    "ml": M - 1,
+                    "sh": (n - M) // K_STAR,
+                    "sl": (n - M) // K_STAR * (K_STAR - 1),
+                }
+                assert set(got) == set(want_counts), f"groups {set(got)}"
+                mass = 0.0
+                for g, row in got.items():
+                    assert row["n"] == want_counts[g], (
+                        f"group {g} count {row['n']} != {want_counts[g]}"
+                    )
+                    assert row["ndv"] == 1, (
+                        f"group {g} symmetry broken: {row['ndv']} ranks"
+                    )
+                    rel = abs(row["rank"] - want[g]) / want[g]
+                    assert rel < 1e-6, (
+                        f"group {g} rank {row['rank']} != planted "
+                        f"{want[g]} (rel {rel:.2e})"
+                    )
+                    mass += row["mass"]
+                assert abs(mass - 1.0) < 1e-6, f"mass {mass}"
+
+            t = timed_median(run, f"pagerank_skew n={n}")
+            edges.unpersist(blocking=True)
+            spark.catalog.clearCache()
+            return t, m
+
+        def hub_chain_edges(c: int):
+            """Star-of-chains: hub 0 → c chain heads (ids 5j+1), each
+            chain 4 more hops. n = 5c + 1 nodes, n - 1 edges; hub
+            out-degree c = the skewed frontier expansion."""
+            heads = spark.range(c).select(
+                F.lit(0).cast("long").alias("src"),
+                (F.col("id") * K_CHAIN + 1).alias("dst"),
+            )
+            body = (
+                spark.range(1, c * K_CHAIN + 1)
+                .filter((F.col("id") - 1) % K_CHAIN != K_CHAIN - 1)
+                .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+            )
+            return heads.unionAll(body)
+
+        def probe_bfs_skew(n: int) -> tuple[float, int]:
+            c = n // K_CHAIN
+            edges = hub_chain_edges(c).persist()
+            m = edges.count()
+            seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+
+            def run():
+                hops = bfs_hops(edges, seeds, max_hops=K_CHAIN)
+                hist = {
+                    r["hops"]: r["cnt"]
+                    for r in hops.groupBy("hops")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
+                want = {0: 1, **{h: c for h in range(1, K_CHAIN + 1)}}
+                assert hist == want, f"BFS skew histogram {hist} != {want}"
+
+            t = timed_median(run, f"bfs_skew n={5 * c + 1}")
+            edges.unpersist(blocking=True)
+            spark.catalog.clearCache()
+            return t, m
+
+        skew_sizes = [
+            n
+            for n in (102_000, 408_000, 1_632_000, 6_426_000)
+            if min_nodes <= n <= max_nodes
+        ]
+        srows = []
+        for n in skew_sizes:
+            t_pr, m_pr = probe_pagerank_skew(n)
+            t_bfs, m_bfs = probe_bfs_skew(n)
+            srows.append((n, m_pr, t_pr, m_bfs, t_bfs))
+            print(
+                f"n={n:,} pagerank_skew={t_pr:.1f}s ({m_pr:,} edges,"
+                f" hub_deg={n // K_MEGA_FRAC - 1:,})"
+                f" bfs_skew={t_bfs:.1f}s ({m_bfs:,} edges,"
+                f" hub_deg={n // K_CHAIN:,})",
+                flush=True,
+            )
+        print(
+            "\n| nodes | pr edges | hub deg | pagerank_skew | slope |"
+            " bfs edges | hub deg | bfs_skew | slope |"
+        )
+        print("|---|---|---|---|---|---|---|---|---|")
+        for i, (n, mp, tp, mb, tb) in enumerate(srows):
+            if i == 0:
+                sp = sb = "—"
+            else:
+                ratio = math.log10(n / srows[i - 1][0])
+                sp = f"{math.log10(tp / srows[i - 1][2]) / ratio:.2f}"
+                sb = f"{math.log10(tb / srows[i - 1][4]) / ratio:.2f}"
+            print(
+                f"| {n:,} | {mp:,} | {n // K_MEGA_FRAC - 1:,} | {tp:.1f}s"
+                f" | {sp} | {mb:,} | {n // K_CHAIN:,} | {tb:.1f}s | {sb} |"
+            )
+        return
+
     if cc_mode:
         from demo_flink_spark.operators.dedup import connected_components_star
 
@@ -278,7 +500,7 @@ def main() -> None:
 
         cc_sizes = [
             n for n in (100_000, 400_000, 1_600_000, 6_400_000)
-            if n <= max_nodes
+            if min_nodes <= n <= max_nodes
         ]
         cc_rows = []
         for n in cc_sizes:
@@ -301,7 +523,7 @@ def main() -> None:
     sizes = [
         n
         for n in (102_000, 408_000, 1_632_000, 6_426_000, 25_704_000)
-        if n <= max_nodes
+        if min_nodes <= n <= max_nodes
     ]
 
     rows = []
