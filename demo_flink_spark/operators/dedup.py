@@ -1287,12 +1287,22 @@ def _check_components(
     `connected_components` convention by default) — selected by
     NAME, not position, so a pairs frame carrying extra leading
     columns (valid for the default path) validates against the
-    right ids.
+    right ids. Both resolvers forward their own `src`/`dst`, so
+    non-default pair column names stay reachable; missing columns
+    raise a clear ValueError here rather than an AnalysisException
+    from deep inside the coverage join.
     """
     if set(comp.columns) != {"node", "comp"}:
         raise ValueError(
             "components frame must have exactly (node, comp) columns "
             f"(the connected_components(pairs) shape); got {comp.columns}"
+        )
+    missing = [c for c in (src, dst) if c not in pairs.columns]
+    if missing:
+        raise ValueError(
+            f"pairs frame is missing id column(s) {missing} "
+            f"(have {pairs.columns}); pass src=/dst= naming the "
+            "pair id columns"
         )
     if os.environ.get("SPARK_GRAFT_VALIDATE_COMPONENTS"):
         # SET equality, not cardinality: a same-sized label frame over
@@ -1335,6 +1345,8 @@ def dedup_keep_list(
     pairs: DataFrame,
     id_col: str = "doc_id",
     components: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
 ) -> DataFrame:
     """Resolve near-dup pairs into a keep/drop decision per document:
     (id, canonical_id, is_kept) where canonical = min id per component
@@ -1355,12 +1367,13 @@ def dedup_keep_list(
     (plans/dedup.py::_shared_components); must be exactly
     `connected_components(pairs)`-shaped (schema-checked here; full
     node-coverage check under SPARK_GRAFT_VALIDATE_COMPONENTS —
-    see `_check_components`).
+    see `_check_components`). `src`/`dst` name the pair id columns
+    and flow through both the component build and the guard.
     """
     comp = (
-        _check_components(components, pairs)
+        _check_components(components, pairs, src=src, dst=dst)
         if components is not None
-        else connected_components(pairs)
+        else connected_components(pairs, src=src, dst=dst)
     )
     return docs.select(id_col).join(
         broadcast_if_small(comp, comp.count()),
@@ -1444,6 +1457,8 @@ def dedup_keep_best(
     score: Column,
     id_col: str = "doc_id",
     components: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
 ) -> DataFrame:
     """Cluster near-dup pairs and keep the BEST-scoring member of each
     cluster — the policy real corpus builds use when near-duplicates
@@ -1458,14 +1473,15 @@ def dedup_keep_best(
     same rationale as `dedup_keep_list`); the winner is ONE
     cluster-keyed window. `components`: optional pre-computed label
     frame, same contract (and same `_check_components` guard) as
-    `dedup_keep_list`.
+    `dedup_keep_list`, with `src`/`dst` flowing through the same
+    two paths.
     """
     from pyspark.sql.window import Window
 
     comp = (
-        _check_components(components, pairs)
+        _check_components(components, pairs, src=src, dst=dst)
         if components is not None
-        else connected_components(pairs)
+        else connected_components(pairs, src=src, dst=dst)
     )
     scored = (
         docs.select(F.col(id_col), score.alias("score"))

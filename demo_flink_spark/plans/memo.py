@@ -62,13 +62,30 @@ _MAX_EVENTS = 4096
 _CHILD_SECS: list[float] = []
 
 
+def _eager() -> bool:
+    """Eager (count()) materialization of builds — ON when bench (or
+    a test) sets SPARK_GRAFT_MEMO_EAGER to a true-ish value; "0" /
+    "false" / "no" / unset / empty all mean lazy, so an explicit
+    disable spelling works."""
+    return os.environ.get("SPARK_GRAFT_MEMO_EAGER", "").strip().lower() not in (
+        "",
+        "0",
+        "false",
+        "no",
+    )
+
+
 def session_memo(
     cache: str, key: tuple, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    """Return the memoized persisted frame for `key`, building (and
-    persisting + materializing) it on first use. LRU-bounded per
-    cache name; every build/hit appends to the event log (see
-    `drain_memo_events`)."""
+    """Return the memoized persisted frame for `key`, building it on
+    first use. Under SPARK_GRAFT_MEMO_EAGER (bench mode) the build is
+    also MATERIALIZED here (count()), so its cost is owned by the
+    build event and a failing build surfaces — and unpersists —
+    inside this call; by default the build stays lazy and executes at
+    the first consumer action (a failure then surfaces there).
+    LRU-bounded per cache name; every build/hit appends to the event
+    log (see `drain_memo_events`)."""
     entries = _CACHES.setdefault(cache, OrderedDict())
     if len(_EVENTS) >= _MAX_EVENTS:
         del _EVENTS[: -_MAX_EVENTS // 2]
@@ -93,7 +110,7 @@ def session_memo(
     ok = False
     try:
         df = build().persist()
-        if os.environ.get("SPARK_GRAFT_MEMO_EAGER"):
+        if _eager():
             # materialize so the build event owns its cost (bench
             # attribution) and a materialization failure surfaces —
             # and unpersists — here instead of poisoning the cache.
@@ -114,16 +131,20 @@ def session_memo(
         ok = True
     finally:
         # pop even on failure so a raising build cannot corrupt an
-        # enclosing build's accounting; charge the parent only on
-        # SUCCESS — a failed child records no build event, so its
-        # elapsed must stay inside the parent's exclusive time or a
-        # build callable that catches the failure and continues would
-        # leave memo_builds summing short of true wall cost
-        # (ADVICE r10)
+        # enclosing build's accounting. Charge the parent the full
+        # elapsed only on SUCCESS — a failed child records no build
+        # event, so its own time must stay inside the parent's
+        # exclusive seconds or a build callable that catches the
+        # failure and continues would leave memo_builds summing short
+        # of true wall cost (ADVICE r10). On FAILURE, still pass up
+        # the recorded-descendant time (`child`): a grandchild that
+        # succeeded before this level failed has its own build event,
+        # and discarding its charge here would double-count it in the
+        # enclosing level's exclusive seconds.
         elapsed = time.time() - t0
         child = _CHILD_SECS.pop()
-        if _CHILD_SECS and ok:
-            _CHILD_SECS[-1] += elapsed
+        if _CHILD_SECS:
+            _CHILD_SECS[-1] += elapsed if ok else child
     _EVENTS.append(
         {"cache": cache, "event": "build", "secs": round(elapsed - child, 3)}
     )

@@ -142,3 +142,96 @@ def test_memo_failed_child_build_stays_in_parent_exclusive(spark):
     assert evs["t11parent"]["secs"] >= 0.29
     assert evs["t11parent"]["secs"] >= wall - 0.05
     memo.clear_session_memos()
+
+
+def test_memo_grandchild_charge_survives_child_failure(spark):
+    """Review finding (r11): a grandchild build that SUCCEEDS before
+    its parent (the child) fails must not be double-counted — the
+    child's popped accumulator passes the recorded-descendant time up
+    on failure, so all recorded events still sum to true wall cost."""
+    from demo_flink_spark.plans import memo
+
+    memo.clear_session_memos()
+    memo.drain_memo_events()
+
+    def grandchild():
+        _t.sleep(0.2)
+        return spark.range(2)
+
+    def child():
+        memo.session_memo("t11gc", ("g",), grandchild)
+        _t.sleep(0.1)
+        raise RuntimeError("child build failed after grandchild")
+
+    def outer():
+        try:
+            memo.session_memo("t11mid", ("c",), child)
+        except RuntimeError:
+            pass
+        _t.sleep(0.1)
+        return spark.range(3)
+
+    t0 = _t.time()
+    memo.session_memo("t11outer", ("p",), outer)
+    wall = _t.time() - t0
+    evs = {e["cache"]: e for e in memo.drain_memo_events()}
+    # grandchild + outer recorded; the failed child records nothing
+    assert set(evs) == {"t11gc", "t11outer"}
+    assert evs["t11gc"]["secs"] >= 0.19
+    total = evs["t11gc"]["secs"] + evs["t11outer"]["secs"]
+    # no double count: events sum to wall (the old code charged the
+    # outer level nothing for the failed child, leaving the
+    # grandchild's 0.2 s inside outer's exclusive AND its own event)
+    assert total <= wall + 0.05
+    # and nothing is lost either: outer's exclusive keeps the failed
+    # child's own 0.1 s
+    assert total >= wall - 0.1
+    memo.clear_session_memos()
+
+
+def test_memo_eager_env_disable_spellings(spark, monkeypatch):
+    """'0' / 'false' must DISABLE eager mode (review finding: any
+    non-empty string used to enable it)."""
+    from demo_flink_spark.plans import memo
+
+    for off in ("0", "false", "no", ""):
+        monkeypatch.setenv("SPARK_GRAFT_MEMO_EAGER", off)
+        assert memo._eager() is False, f"{off!r} must mean lazy"
+    for on in ("1", "true", "yes"):
+        monkeypatch.setenv("SPARK_GRAFT_MEMO_EAGER", on)
+        assert memo._eager() is True, f"{on!r} must mean eager"
+
+
+def test_keep_resolvers_accept_custom_pair_columns(spark, monkeypatch):
+    """Review finding (r11): src/dst flow through BOTH resolver paths
+    (component build and guard), and a wrong name raises a clear
+    ValueError instead of an AnalysisException."""
+    from demo_flink_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+
+    # default path with custom names
+    out = {
+        r["doc_id"]: r
+        for r in dd.dedup_keep_list(docs, pairs, src="a", dst="b").collect()
+    }
+    assert out[1]["canonical_id"] == 0 and not out[1]["is_kept"]
+    assert out[4]["is_kept"]
+
+    # guard path with custom names, gated check on
+    monkeypatch.setenv("SPARK_GRAFT_VALIDATE_COMPONENTS", "1")
+    good = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2)], "node long, comp long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.dedup_keep_list(
+            docs, pairs, components=good, src="a", dst="b"
+        ).collect()
+    }
+    assert out[3]["canonical_id"] == 2 and not out[3]["is_kept"]
+
+    # wrong/default names against (a, b) pairs: clear ValueError
+    with pytest.raises(ValueError, match="missing id column"):
+        dd.dedup_keep_list(docs, pairs, components=good)

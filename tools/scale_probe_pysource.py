@@ -16,8 +16,10 @@ Planted truth: every attribute of event `i` is a pure md5 function
 of `i` (`sources/pysource.py::_row`), so the probe computes the FULL
 expected aggregate (per-type count, distinct users, value sum) in
 plain Python once per size and asserts exact equality — counts and
-users as integers; the value sum via the same decimal(38,6)
-accumulation the query uses, so the comparison is exact, not
+users as integers; the value sum as exact integral MICROS (every
+generated value has 2 decimals, so round-then-cast-long recovers the
+integer on both sides; the registry query's decimal(38,6) sum is the
+oracle-checked equivalent), so the comparison is exact, not
 toleranced. A connector that dropped a partition, double-read an
 offset range, or mangled a batch boundary fails the cell before its
 timing counts.
