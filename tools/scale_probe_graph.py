@@ -59,8 +59,8 @@ the probe rather than flattering it:
     row into C = ~n/5 neighbors (maximal frontier skew), and the
     planted histogram is exactly {0: 1, h: C for h ∈ 1..5}.
   n must be divisible by 170 (both shapes tile); the default sizes
-  are the uniform probe's first four, so SCALING.md can show the
-  skewed slopes beside the uniform ones.
+  mirror the uniform probe's, so SCALING.md shows the skewed slopes
+  beside the uniform ones through the same 25.7M-node top cell.
 
 Methodology carried from the r9 synth probe: warm run + MEDIAN of 3
 measured reps per cell; edges persist()ed and released between sizes;
@@ -434,7 +434,7 @@ def main() -> None:
 
         skew_sizes = [
             n
-            for n in (102_000, 408_000, 1_632_000, 6_426_000)
+            for n in (102_000, 408_000, 1_632_000, 6_426_000, 25_704_000)
             if min_nodes <= n <= max_nodes
         ]
         srows = []
