@@ -505,6 +505,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.4,
     shingles_df: DataFrame | None = None,
+    bucket_cap: int | None = None,
+    overflow: str = "star",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -513,7 +515,37 @@ def minhash_lsh_pairs(
     equi-join on (band_idx, band_hash) — sub-quadratic; verification
     recomputes exact Jaccard on the shingle sets so the output has no
     false positives (LSH misses stay missed: documented recall trade).
+
+    bucket_cap — the band-bucket WIDTH GUARD (VERDICT r11 #1). The
+    band equi-join emits k(k-1)/2 candidate rows from a bucket of k
+    docs BEFORE distinct: a real crawl corpus's near-identical
+    template cluster (boilerplate pages differing by a token — NOT
+    collapsed by exact dedup) puts its whole membership into shared
+    band buckets, so one k=100k cluster alone emits ~5x10^9 rows.
+    With bucket_cap=C set, buckets of width <= C run the normal
+    all-pairs join unchanged — PROVABLY so: the pytest and the
+    `dedup_minhash_capped` driver oracle assert a cap no bucket
+    exceeds leaves the output byte-identical. Buckets wider than C
+    are routed per `overflow`:
+      - "star" (default): each member pairs with the bucket's MIN
+        doc_id only — Theta(k) rows instead of Theta(k^2). Pair-level
+        recall inside the pathological bucket narrows to the rep's
+        star, but CLUSTER-level recall is what dedup consumes
+        (connected_components + keep-one), and the star spans the
+        bucket: when the bucket is a genuine mutual-near-dup template
+        cluster every rep-member pair passes exact-Jaccard
+        verification and the component survives intact. Verification
+        is unchanged, so precision stays 1 by construction.
+      - "drop": over-cap buckets contribute no candidates (the
+        flag-and-skip production policy); pair them with
+        `lsh_bucket_stats` to monitor what was dropped.
+    Both policies are deterministic and exactly reproduced by the
+    DuckDB oracle (plans/dedup.py::_minhash_lsh_oracle(cap=...)), so
+    the guard's semantics — not just its narrow-bucket no-op — are
+    hash-verified. Default None preserves the unguarded join.
     """
+    if overflow not in ("star", "drop"):
+        raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
     # localCheckpoint: signatures+shingles feed the band explode AND
     # both sides of the verification join — recomputing 64 minhashes 3×
     # dominates otherwise (storage is GC-released, unlike persist).
@@ -523,17 +555,56 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
+    if bucket_cap is not None:
+        from pyspark.sql.window import Window
+
+        # One window pass tags every banded row with its bucket's
+        # width and representative (min doc_id): a single shuffle on
+        # the SAME key the candidate join uses — no second exchange,
+        # no groupBy+join round trip. At cluster scale this is the
+        # standard pre-aggregation a skew guard costs.
+        wspec = Window.partitionBy("band_idx", "band_hash")
+        tagged = banded.select(
+            "doc_id",
+            "band_idx",
+            "band_hash",
+            F.count(F.lit(1)).over(wspec).alias("_w"),
+            F.min("doc_id").over(wspec).alias("_rep"),
+        ).transform(cut_lineage)
+        narrow = tagged.filter(F.col("_w") <= bucket_cap).select(
+            "doc_id", "band_idx", "band_hash"
+        )
+        a, b = narrow.alias("a"), narrow.alias("b")
+        pair_cands = a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        if overflow == "star":
+            # rep = bucket min, so doc_a < doc_b holds by construction
+            star = tagged.filter(
+                (F.col("_w") > bucket_cap) & (F.col("doc_id") != F.col("_rep"))
+            ).select(
+                F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+            candidates = pair_cands.unionByName(star).distinct()
+        else:
+            candidates = pair_cands.distinct()
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
     sh = sigs.select("doc_id", "shingles")
     verified = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
@@ -549,6 +620,54 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    bucket_cap: int | None = None,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Band-bucket width distribution of the LSH index — the
+    monitoring view that sizes (and then watches) `bucket_cap`.
+
+    One row: bucket count, max/mean width, the candidate-pair volume
+    the band join would emit (sum of w*(w-1)/2 — the number that
+    explodes under a template cluster), and, when `bucket_cap` is
+    given, how many buckets/docs sit over the cap (the "flagged"
+    half of the cap-or-flag mitigation). Run it on a sample before a
+    full dedup pass: max_width tells you whether the corpus has a
+    degenerate near-dup cluster and how big; candidate volume tells
+    you what the unguarded join would pay for it.
+    """
+    sigs = minhash_signatures(
+        docs, text_col, n, n_hashes, bands=bands, shingles_df=shingles_df
+    )
+    widths = (
+        sigs.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cap = F.lit(bucket_cap) if bucket_cap is not None else None
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("w").cast("long").alias("max_width"),
+        F.round(F.avg("w"), 6).alias("mean_width"),
+        F.sum(F.col("w") * (F.col("w") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+    ]
+    if cap is not None:
+        aggs += [
+            F.sum((F.col("w") > cap).cast("long")).alias("n_over_cap"),
+            F.sum(F.when(F.col("w") > cap, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("docs_in_over_cap"),
+        ]
+    return widths.agg(*aggs)
 
 
 @F.pandas_udf(LongType())

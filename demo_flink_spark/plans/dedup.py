@@ -231,6 +231,27 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs with the band-bucket width guard ACTIVE
+    (bucket_cap=2, star overflow) — the 100 TB template-cluster
+    mitigation as a declared, hash-verified query (VERDICT r11 #1).
+
+    The fixture's widest band bucket holds 3-4 docs at every sf, so
+    cap=2 genuinely routes buckets through the star path here (14-128
+    over-cap buckets depending on sf): the driver's oracle compare
+    proves the guard's exact overflow semantics, while the sibling
+    pytest proves a cap no bucket exceeds is a byte-identical no-op.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs,
+        n=3,
+        threshold=0.2,
+        shingles_df=_shared_shingles(spark, sf_dir),
+        bucket_cap=2,
+    )
+
+
 def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-index evaluation as a query (the retrieval_eval_metrics
     pattern applied to near-dup detection): MinHash-LSH pairs scored
@@ -420,18 +441,55 @@ _SPLIT_SQL = """
 """
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_lsh_oracle(cap: int | None = None) -> str:
     """SQL twin of minhash_lsh_pairs, generated from the SAME
     permutation constants the operator uses (operators/dedup.py::
     minhash_params): md5 shingle hashes, overflow-free (a*x+b) mod p
     via HUGEINT, md5 band keys, exact-Jaccard verification. Candidate
     generation (the banding) is reproduced exactly, so LSH's recall
     trade is identical on both engines and the result hash-matches.
+
+    With `cap` set, the candidate CTE reproduces the band-bucket
+    width guard (bucket_cap + star overflow, operators/dedup.py::
+    minhash_lsh_pairs): under-cap buckets all-pairs, over-cap buckets
+    reduced to each member vs the bucket's min doc_id. Bucket width
+    and representative are deterministic functions of the band keys,
+    so the guard's EXACT semantics — including which pairs the star
+    narrows away — are hash-verified by the driver, not just the
+    narrow-bucket no-op case.
     """
     from demo_flink_spark.operators.dedup import MINHASH_P, minhash_params
 
     a, b = minhash_params(64)
     perm_vals = ", ".join(f"({h}, {a[h]}, {b[h]})" for h in range(64))
+    if cap is None:
+        cand_cte = """
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bandkeys x JOIN bandkeys y
+              ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
+        )"""
+    else:
+        cand_cte = f"""
+        widths AS (
+            SELECT j, bh, count(*) AS w, min(doc_id) AS rep
+            FROM bandkeys GROUP BY j, bh
+        ),
+        cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bandkeys x
+                JOIN bandkeys y
+                  ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
+                JOIN widths w ON w.j = x.j AND w.bh = x.bh
+                WHERE w.w <= {cap}
+                UNION ALL
+                SELECT w.rep AS doc_a, b.doc_id AS doc_b
+                FROM bandkeys b
+                JOIN widths w ON w.j = b.j AND w.bh = b.bh
+                WHERE w.w > {cap} AND b.doc_id <> w.rep
+            )
+        )"""
     return f"""
         WITH sh AS (
             -- list_filter mirrors the operator's `toks == [''] -> []`
@@ -470,12 +528,7 @@ def _minhash_lsh_oracle() -> str:
                                   ORDER BY h)
                    ) % 9223372036854775808 AS bh
             FROM sig GROUP BY doc_id, h // 4
-        ),
-        cand AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM bandkeys x JOIN bandkeys y
-              ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
-        )
+        ),{cand_cte}
         SELECT doc_a, doc_b,
                round(len(list_intersect(sa.shingles, sb.shingles))
                      / CAST(len(list_distinct(list_cat(sa.shingles, sb.shingles)))
@@ -566,6 +619,11 @@ SPECS = [
         """,
     ),
     QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=_minhash_lsh_oracle()),
+    QuerySpec(
+        "dedup_minhash_capped",
+        q_minhash_capped,
+        oracle=_minhash_lsh_oracle(cap=2),
+    ),
     QuerySpec(
         "dedup_eval_minhash",
         q_dedup_eval_minhash,

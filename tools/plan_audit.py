@@ -40,6 +40,14 @@ CHECKS = {
     "join_theta": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "dedup_ngram_jaccard": ([], ["CartesianProduct"]),
     "dedup_minhash_lsh": ([], ["CartesianProduct"]),
+    # bucket-capped LSH: under-cap pairs UNION star overflow, both
+    # equi-keyed — the width-tag Window sits behind the cut_lineage
+    # checkpoint, so the visible contract is the Union and no
+    # all-pairs fallback anywhere
+    "dedup_minhash_capped": (
+        ["Union"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "similarity_topk_bruteforce": (
         ["BroadcastNestedLoopJoin"],  # intended: broadcast the query side
         [],
