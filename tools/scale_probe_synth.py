@@ -1,6 +1,7 @@
 """Synthetic-corpus scaling probe for the dedup flagship operators.
 
     python tools/scale_probe_synth.py [max_n]
+    python tools/scale_probe_synth.py --template [max_n] [bucket_cap]
 
 The parquet fixtures top out at 5k documents (sf0.1), where fixed
 overheads still dominate — `tools/scale_probe.py`'s slopes sit well
@@ -15,6 +16,24 @@ constant-size. A quadratic regression in the banding/inverted-index
 shape would show up as a slope ≥ 2 here long before it OOMs a
 cluster.
 
+--template mode (VERDICT r11 #1) plants the DEGENERATE case the
+default corpus deliberately avoids: one near-dup template cluster
+owning 10% of the corpus — k = n/10 docs of 50 tokens sharing a
+49-token template, each with a unique last token (pairwise shingle
+Jaccard 47/49 ~ 0.96: near-identical boilerplate that exact dedup
+does NOT collapse, the real-crawl hazard). Closed-form truth: the
+cluster owes k(k-1)/2 pairs on top of the background's (n-k)/2, so
+  - UNGUARDED minhash_lsh_pairs / ppjoin_prefix_pairs must count
+    exactly (n-k)/2 + k(k-1)/2 — and their cost is Theta(k^2), which
+    the probe measures until a cell exceeds its time budget (then
+    records an honest cost model, the r11 CC-probe standard);
+  - GUARDED minhash_lsh_pairs(bucket_cap=C) must keep CLUSTER-level
+    truth: connected components over its pairs = (n-k)/2 + 1
+    components with the largest exactly k — asserted every rep —
+    at Theta(k) cost per over-cap bucket;
+  - lsh_bucket_stats must DETECT the plant: max bucket width within
+    [k/2, k] (the modal band bucket holds ~J^4*k ~ 0.85k members).
+
 Results are appended to SCALING.md by hand (the probe prints a
 markdown table); pair counts are asserted so a recall regression
 fails the probe rather than flattering its timing.
@@ -28,18 +47,10 @@ import sys
 import time
 
 
-def main() -> None:
+def _session():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from pyspark.sql import functions as F
-
-    from demo_flink_spark.operators.dedup import (
-        exact_dedup,
-        minhash_lsh_pairs,
-        ppjoin_prefix_pairs,
-    )
     from demo_flink_spark.session import get_spark
 
-    max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 640_000
     spark = get_spark(
         "scale_probe_synth",
         extra_conf={
@@ -82,6 +93,19 @@ def main() -> None:
         ckpt_dir = tempfile.mkdtemp(prefix="spark_graft_synth_ckpt_")
         spark.sparkContext.setCheckpointDir(ckpt_dir)
         atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
+    return spark
+
+
+def main() -> None:
+    max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 640_000
+    spark = _session()
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ppjoin_prefix_pairs,
+    )
 
     def tok(grp, i: int):
         return F.translate(
@@ -187,5 +211,206 @@ def main() -> None:
         print(f"| {n:,} | {tl:.1f}s | {sl} | {te:.1f}s | {se} | {tp:.1f}s | {sp} |")
 
 
+def template_main(max_n: int, bucket_cap: int) -> None:
+    """Degenerate template-cluster probe (see module docstring)."""
+    spark = _session()
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.dedup import (
+        connected_components,
+        lsh_bucket_stats,
+        minhash_lsh_pairs,
+        ppjoin_prefix_pairs,
+    )
+
+    def tok(seed, i):
+        return F.translate(
+            F.substring(
+                F.md5(F.concat(seed.cast("string"), F.lit("_"), F.lit(i))), 1, 8
+            ),
+            "0123456789",
+            "ghijklmnop",
+        )
+
+    def corpus(n: int):
+        """k = n/10 template docs (49 shared tokens + unique last, so
+        every pair has shingle Jaccard 47/49 ~ 0.96 — near-dup, NOT
+        exact-dup) + background docs in identical pairs sharing no
+        shingle with anything else. Single-token md5 collisions across
+        groups can't create a shared 3-token shingle, so the groups
+        are disjoint in shingle space by construction."""
+        k = n // 10
+        template = F.concat_ws(
+            " ", *[tok(F.lit("tmpl"), i) for i in range(49)]
+        )
+        cluster = spark.range(k).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                template,
+                tok(F.concat(F.lit("uniq"), F.col("id").cast("string")), 0),
+            ).alias("text"),
+        )
+        grp = (F.col("id") / 2).cast("long")
+        background = spark.range(k, n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[tok(grp, i) for i in range(25)]).alias("text"),
+        )
+        return cluster.unionByName(background)
+
+    # Unguarded cells run while affordable; past the budget (or past
+    # the candidate-volume hard cap, predicted from lsh_bucket_stats
+    # BEFORE attempting the join) the cell is recorded as a cost
+    # model (the r11 long-chain-CC standard for "genuinely
+    # unmeasurable": the measured slope IS the receipt).
+    budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET_S", "600"))
+    cand_hard_cap = float(
+        os.environ.get("SPARK_GRAFT_PROBE_CAND_CAP", "5e9")
+    )
+
+    def timed_median(fn) -> tuple[float, int]:
+        """Warm + median of 3, collapsing to a single measured rep
+        when the warm run shows the cell is expensive (>120 s) — the
+        pair-mode probe showed rep-to-rep spread matters at seconds,
+        not at tens of minutes, and a 4x repeat of a 10-minute cell
+        buys spread data at an unaffordable price. Returns
+        (median_s, reps)."""
+        t0 = time.time()
+        fn()  # warm
+        warm = time.time() - t0
+        reps = 1 if warm > 120 else 3
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2], reps
+
+    sizes = [
+        n for n in (10_000, 40_000, 160_000, 640_000, 1_280_000) if n <= max_n
+    ]
+    rows = []
+    unguarded_alive = {"lsh": True, "ppjoin": True}
+    for n in sizes:
+        k = n // 10
+        truth_pairs = (n - k) // 2 + k * (k - 1) // 2
+        df = corpus(n).persist()
+        df.count()
+
+        # 1) detection: the monitoring stats must SEE the plant
+        stats = lsh_bucket_stats(df, n=3, bucket_cap=bucket_cap).collect()[0]
+        assert k // 2 <= stats["max_width"] <= k, stats
+        assert stats["n_over_cap"] >= 1, stats
+        # sum of w*(w-1)/2 = the candidate volume the unguarded band
+        # join must pay — the hazard's own number, printed per cell
+        cand_pairs = stats["candidate_pairs"]
+
+        # 2) guarded LSH, timed like the pair-mode cells (construction
+        #    + count); per-rep truth = count determinism, per-size
+        #    truth = cluster-level recall via connected components
+        #    (untimed — the guard's contract is cluster recall, and
+        #    connectivity across k nodes also implies >= k-1 pairs)
+        guard_counts: list[int] = []
+
+        def guarded_fn():
+            guard_counts.append(
+                minhash_lsh_pairs(
+                    df, n=3, threshold=0.2, bucket_cap=bucket_cap
+                ).count()
+            )
+
+        t_guard, r_guard = timed_median(guarded_fn)
+        assert len(set(guard_counts)) == 1, guard_counts
+        comp = connected_components(
+            minhash_lsh_pairs(
+                df, n=3, threshold=0.2, bucket_cap=bucket_cap
+            ).select("doc_a", "doc_b")
+        )
+        res = (
+            comp.groupBy("comp")
+            .count()
+            .agg(
+                F.count(F.lit(1)).alias("n_comp"),
+                F.max("count").alias("biggest"),
+            )
+            .collect()[0]
+        )
+        assert res["n_comp"] == (n - k) // 2 + 1, (res, n, k)
+        assert res["biggest"] == k, (res, n, k)
+
+        # 3) unguarded LSH / PPJoin: exact closed-form pair count
+        #    asserted every rep, run while the previous cell stayed
+        #    under budget and the predicted volume is attemptable
+        def unguarded(make):
+            got = make().count()
+            assert got == truth_pairs, (got, truth_pairs, n, k)
+
+        t_lsh = t_pp = None
+        r_lsh = r_pp = 0
+        if unguarded_alive["lsh"] and cand_pairs <= cand_hard_cap:
+            t_lsh, r_lsh = timed_median(
+                lambda: unguarded(
+                    lambda: minhash_lsh_pairs(df, n=3, threshold=0.2)
+                )
+            )
+            unguarded_alive["lsh"] = t_lsh < budget_s
+        else:
+            unguarded_alive["lsh"] = False
+        if unguarded_alive["ppjoin"] and cand_pairs <= cand_hard_cap:
+            t_pp, r_pp = timed_median(
+                lambda: unguarded(
+                    lambda: ppjoin_prefix_pairs(
+                        df, n=3, threshold_num=2, threshold_den=5
+                    )
+                )
+            )
+            unguarded_alive["ppjoin"] = t_pp < budget_s
+        else:
+            unguarded_alive["ppjoin"] = False
+        rows.append((n, k, cand_pairs, t_guard, t_lsh, t_pp))
+        print(
+            f"n={n} k={k} cand={cand_pairs} truth_pairs={truth_pairs}"
+            f" guard_pairs={guard_counts[0]}"
+            f" guarded={t_guard:.1f}s(x{r_guard})"
+            f" lsh={('%.1f(x%d)' % (t_lsh, r_lsh)) if t_lsh else 'SKIP'}"
+            f" ppjoin={('%.1f(x%d)' % (t_pp, r_pp)) if t_pp else 'SKIP'}",
+            flush=True,
+        )
+        df.unpersist(blocking=True)
+        spark.catalog.clearCache()
+
+    def slope(cur, prev, ncur, nprev):
+        if cur is None or prev is None:
+            return "—"
+        return f"{math.log10(cur / prev) / math.log10(ncur / nprev):.2f}"
+
+    print(
+        f"\n| docs | cluster k | band candidates | guarded lsh (cap={bucket_cap})"
+        " | slope | unguarded lsh | slope | ppjoin | slope |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|")
+    prev = None
+    for r in rows:
+        n, k, cand, tg, tl, tp = r
+        if prev is None:
+            sg = sl = sp = "—"
+        else:
+            sg = slope(tg, prev[3], n, prev[0])
+            sl = slope(tl, prev[4], n, prev[0])
+            sp = slope(tp, prev[5], n, prev[0])
+        fmt = lambda t: f"{t:.1f}s" if t is not None else "cost-model"
+        print(
+            f"| {n:,} | {k:,} | {cand:,} | {tg:.1f}s | {sg}"
+            f" | {fmt(tl)} | {sl} | {fmt(tp)} | {sp} |"
+        )
+        prev = r
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--template":
+        template_main(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 640_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 64,
+        )
+    else:
+        main()
