@@ -555,6 +555,20 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
+
+    def _band_pairs(frame: DataFrame) -> DataFrame:
+        """The band equi-join, shared verbatim by the guarded and
+        unguarded branches so they cannot silently diverge."""
+        a, b = frame.alias("a"), frame.alias("b")
+        return a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+
     if bucket_cap is not None:
         from pyspark.sql.window import Window
 
@@ -574,15 +588,7 @@ def minhash_lsh_pairs(
         narrow = tagged.filter(F.col("_w") <= bucket_cap).select(
             "doc_id", "band_idx", "band_hash"
         )
-        a, b = narrow.alias("a"), narrow.alias("b")
-        pair_cands = a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pair_cands = _band_pairs(narrow)
         if overflow == "star":
             # rep = bucket min, so doc_a < doc_b holds by construction
             star = tagged.filter(
@@ -594,17 +600,7 @@ def minhash_lsh_pairs(
         else:
             candidates = pair_cands.distinct()
     else:
-        a, b = banded.alias("a"), banded.alias("b")
-        candidates = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
+        candidates = _band_pairs(banded).distinct()
     sh = sigs.select("doc_id", "shingles")
     verified = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
@@ -636,38 +632,52 @@ def lsh_bucket_stats(
 
     One row: bucket count, max/mean width, the candidate-pair volume
     the band join would emit (sum of w*(w-1)/2 — the number that
-    explodes under a template cluster), and, when `bucket_cap` is
-    given, how many buckets/docs sit over the cap (the "flagged"
-    half of the cap-or-flag mitigation). Run it on a sample before a
-    full dedup pass: max_width tells you whether the corpus has a
-    degenerate near-dup cluster and how big; candidate volume tells
-    you what the unguarded join would pay for it.
+    explodes under a template cluster; kept in exact integer
+    arithmetic, since the product of consecutive ints is even and a
+    double-typed sum would silently lose precision past 2^53 — the
+    extreme-scale regime this metric exists to measure), and, when
+    `bucket_cap` is given, how many buckets sit over the cap plus how
+    many DISTINCT docs they touch (the "flagged" half of the
+    cap-or-flag mitigation; distinct, because one template cluster
+    overflows in ~all `bands` bands and a per-membership sum would
+    over-report affected docs by up to that factor). Run it on a
+    sample before a full dedup pass: max_width tells you whether the
+    corpus has a degenerate near-dup cluster and how big; candidate
+    volume tells you what the unguarded join would pay for it.
     """
     sigs = minhash_signatures(
         docs, text_col, n, n_hashes, bands=bands, shingles_df=shingles_df
     )
-    widths = (
-        sigs.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
-        .groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("w"))
+    banded = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    widths = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("w")
     )
     cap = F.lit(bucket_cap) if bucket_cap is not None else None
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.max("w").cast("long").alias("max_width"),
         F.round(F.avg("w"), 6).alias("mean_width"),
-        F.sum(F.col("w") * (F.col("w") - 1) / 2)
-        .cast("long")
-        .alias("candidate_pairs"),
+        # integer DIV: exact for any long w (w*(w-1) is even)
+        F.sum(F.expr("w * (w - 1) DIV 2")).cast("long").alias("candidate_pairs"),
     ]
-    if cap is not None:
-        aggs += [
-            F.sum((F.col("w") > cap).cast("long")).alias("n_over_cap"),
-            F.sum(F.when(F.col("w") > cap, F.col("w")).otherwise(0))
-            .cast("long")
-            .alias("docs_in_over_cap"),
-        ]
-    return widths.agg(*aggs)
+    if cap is None:
+        return widths.agg(*aggs)
+    stats = widths.agg(
+        *aggs,
+        F.sum((F.col("w") > cap).cast("long")).alias("n_over_cap"),
+    )
+    over_docs = (
+        banded.join(
+            widths.filter(F.col("w") > cap).select("band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .agg(F.countDistinct("doc_id").cast("long").alias("docs_in_over_cap"))
+    )
+    # two 1-row aggregates -> one stats row (the repo's broadcast
+    # crossJoin idiom for combining scalar aggregates)
+    return stats.crossJoin(F.broadcast(over_docs))
 
 
 @F.pandas_udf(LongType())

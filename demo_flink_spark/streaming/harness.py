@@ -54,21 +54,41 @@ def run_stateful(
     trigger (maxFilesPerTrigger=1) — each becomes its own micro-batch,
     so state must carry across batch boundaries.
 
-    Staging + checkpoint dirs live under `work_dir` when given (pytest
-    passes tmp_path, so its cleanup owns them); otherwise under a
-    mkdtemp that this function REMOVES once the query has stopped —
-    the memory sink holds the result rows driver-side, so the returned
-    DataFrame never re-reads the staged files (ADVICE r10's temp-leak
-    class, fixed in the tests in r11 and here in the shared helper in
-    r12).
+    Staging + checkpoint dirs live under `work_dir` when a caller
+    passes one (that caller's cleanup then owns them — covered by the
+    work_dir test in tests/test_round12.py); otherwise under a
+    mkdtemp that this function REMOVES on every exit — success OR an
+    exception anywhere after the mkdtemp — via the outer try/finally.
+    The memory sink holds the result rows driver-side, so the
+    returned DataFrame never re-reads the staged files (ADVICE r10's
+    temp-leak class, fixed in the tests in r11 and here in the shared
+    helper in r12).
     """
+    if n_batches > 1 and batch_col is None:
+        raise ValueError("batch_col required when n_batches > 1")
     own_dir = work_dir is None
     root = tempfile.mkdtemp(prefix="stateful_run_") if own_dir else work_dir
+    try:
+        return _run_stateful_in(
+            spark, source, key_cols, op, n_batches, batch_col, root
+        )
+    finally:
+        if own_dir:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _run_stateful_in(
+    spark: SparkSession,
+    source: DataFrame,
+    key_cols: list[str],
+    op: StatefulOp,
+    n_batches: int,
+    batch_col: str | None,
+    root: str,
+) -> DataFrame:
     stage = os.path.join(root, f"src_{uuid.uuid4().hex[:8]}")
     os.makedirs(stage, exist_ok=True)
     if n_batches > 1:
-        if batch_col is None:
-            raise ValueError("batch_col required when n_batches > 1")
         # FileStreamSource orders new files by modification time, with
         # ties broken by path — and paths contain random UUID part
         # names, so same-mtime-tick writes could replay out of order.
@@ -129,6 +149,4 @@ def run_stateful(
         query.processAllAvailable()
     finally:
         query.stop()
-        if own_dir:
-            shutil.rmtree(root, ignore_errors=True)
     return spark.table(name)

@@ -172,3 +172,53 @@ def test_lsh_bucket_stats_reports_overflow(spark):
     # without a cap the overflow columns are absent
     row2 = dd.lsh_bucket_stats(docs, n=3).collect()[0]
     assert "n_over_cap" not in row2.asDict()
+
+
+# --- run_stateful temp-dir contract (review findings r12) --------------------
+
+
+def test_run_stateful_work_dir_branch(spark, tmp_path):
+    """A caller-supplied work_dir owns the staging/checkpoint files:
+    the helper stages under it, does NOT delete it, and never creates
+    its own stateful_run_* mkdtemp."""
+    import glob
+
+    from demo_flink_spark.streaming.harness import run_stateful
+    from demo_flink_spark.streaming.stateful_ops import RUNNING_COUNTER
+
+    before = set(glob.glob("/tmp/stateful_run_*"))
+    src = spark.createDataFrame(
+        [(1, "u1", "click"), (2, "u1", "click")],
+        "seq long, user_id string, action string",
+    )
+    out = run_stateful(
+        spark, src, ["user_id"], RUNNING_COUNTER, work_dir=str(tmp_path)
+    )
+    assert {r["seq"]: r["clicks"] for r in out.collect()} == {1: 1, 2: 2}
+    staged = list(tmp_path.iterdir())
+    assert any(p.name.startswith("src_") for p in staged)
+    assert any(p.name.startswith("ckpt_") for p in staged)
+    assert set(glob.glob("/tmp/stateful_run_*")) == before
+
+
+def test_run_stateful_no_leak_on_error(spark):
+    """Early validation errors leave no stateful_run_* dir behind
+    (the review found the old structure mkdtemp'd before validating
+    and only cleaned up around processAllAvailable)."""
+    import glob
+
+    import pytest as _pytest
+
+    from demo_flink_spark.streaming.harness import run_stateful
+    from demo_flink_spark.streaming.stateful_ops import RUNNING_COUNTER
+
+    before = set(glob.glob("/tmp/stateful_run_*"))
+    src = spark.createDataFrame(
+        [(1, "u1", "x")], "seq long, user_id string, action string"
+    )
+    with _pytest.raises(ValueError, match="batch_col"):
+        run_stateful(spark, src, ["user_id"], RUNNING_COUNTER, n_batches=2)
+    # a mid-build failure (bad column) must also clean its own root
+    with _pytest.raises(Exception):
+        run_stateful(spark, src, ["no_such_column"], RUNNING_COUNTER)
+    assert set(glob.glob("/tmp/stateful_run_*")) == before
