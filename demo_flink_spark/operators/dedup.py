@@ -507,6 +507,7 @@ def minhash_lsh_pairs(
     shingles_df: DataFrame | None = None,
     bucket_cap: int | None = None,
     overflow: str = "star",
+    signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -543,15 +544,25 @@ def minhash_lsh_pairs(
     DuckDB oracle (plans/dedup.py::_minhash_lsh_oracle(cap=...)), so
     the guard's semantics — not just its narrow-bucket no-op — are
     hash-verified. Default None preserves the unguarded join.
+
+    signatures_df short-circuits the signature computation with a
+    pre-built (doc_id, shingles, bands) frame — the corpus-build
+    pattern where one materialized signature table feeds every dedup
+    pass (plans/dedup.py::_shared_minhash_sigs is the session-memo
+    equivalent). The caller owns its persistence.
     """
     if overflow not in ("star", "drop"):
         raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
-    # localCheckpoint: signatures+shingles feed the band explode AND
-    # both sides of the verification join — recomputing 64 minhashes 3×
-    # dominates otherwise (storage is GC-released, unlike persist).
-    sigs = minhash_signatures(
-        docs, text_col, n, n_hashes, bands=bands, shingles_df=shingles_df
-    ).transform(cut_lineage)
+    if signatures_df is not None:
+        sigs = signatures_df
+    else:
+        # localCheckpoint: signatures+shingles feed the band explode
+        # AND both sides of the verification join — recomputing 64
+        # minhashes 3× dominates otherwise (storage is GC-released,
+        # unlike persist).
+        sigs = minhash_signatures(
+            docs, text_col, n, n_hashes, bands=bands, shingles_df=shingles_df
+        ).transform(cut_lineage)
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )

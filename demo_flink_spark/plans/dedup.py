@@ -90,6 +90,33 @@ def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
+def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped persisted (doc_id, shingles, bands) MinHash
+    signature frame (n=3, 64 hashes, 16 bands — the parameters every
+    declared LSH consumer uses).
+
+    Three declared queries (`dedup_minhash_lsh`, `dedup_minhash_capped`,
+    `dedup_eval_minhash`) compute the same 64-permutation signatures
+    over the same corpus; in a corpus build the signature table is
+    materialized once per snapshot beside the shingle table and every
+    near-dup pass reads it. Built on top of the shingles memo, so the
+    narrow canonicalize+shingle stage is shared one level further
+    down (memo_builds attributes each level's cost separately)."""
+    from demo_flink_spark.plans.memo import session_memo
+
+    return session_memo(
+        "minhash_sigs",
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: dd.minhash_signatures(
+            load_table(spark, sf_dir, "documents"),
+            n=3,
+            n_hashes=64,
+            bands=16,
+            shingles_df=_shared_shingles(spark, sf_dir),
+        ),
+    )
+
+
 def _ngram_max_df(docs: DataFrame) -> int:
     """The df-cut rule every ngram-pair consumer shares: drop shingles
     present in more than max(1% of docs, 100) documents before the
@@ -227,7 +254,10 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
-        docs, n=3, threshold=0.2, shingles_df=_shared_shingles(spark, sf_dir)
+        docs,
+        n=3,
+        threshold=0.2,
+        signatures_df=_shared_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -247,7 +277,7 @@ def q_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         n=3,
         threshold=0.2,
-        shingles_df=_shared_shingles(spark, sf_dir),
+        signatures_df=_shared_minhash_sigs(spark, sf_dir),
         bucket_cap=2,
     )
 
@@ -267,9 +297,10 @@ def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured-recall pytest in tests/test_dedup_similarity.py."""
     docs = load_table(spark, sf_dir, "documents")
     # the corpus is canonicalized+shingled ONCE and shared by both
-    # pair generators; the exact ground truth additionally reuses the
-    # memoized pair list (identical parameters to dedup_ngram_jaccard)
-    sh = _shared_shingles(spark, sf_dir)
+    # pair generators (the shingles memo sits under both the ngram
+    # pair memo and the minhash signature memo); the exact ground
+    # truth additionally reuses the memoized pair list (identical
+    # parameters to dedup_ngram_jaccard)
     # set semantics on both pair lists: the DuckDB oracle uses
     # INTERSECT (a set op), so a duplicate (doc_a, doc_b) row from
     # either generator would inflate n_common under the inner join's
@@ -280,7 +311,12 @@ def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     approx = (
-        dd.minhash_lsh_pairs(docs, n=3, threshold=0.2, shingles_df=sh)
+        dd.minhash_lsh_pairs(
+            docs,
+            n=3,
+            threshold=0.2,
+            signatures_df=_shared_minhash_sigs(spark, sf_dir),
+        )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
