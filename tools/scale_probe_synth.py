@@ -287,11 +287,32 @@ def template_main(max_n: int, bucket_cap: int) -> None:
         return sorted(ts)[len(ts) // 2], reps
 
     sizes = [
-        n for n in (10_000, 40_000, 160_000, 640_000, 1_280_000) if n <= max_n
+        n
+        for n in (10_000, 40_000, 160_000, 640_000, 1_280_000, 2_560_000)
+        if n <= max_n
     ]
     rows = []
     unguarded_alive = {"lsh": True, "ppjoin": True}
+    # Per-size checkpoint-subdir rotation (the r11 CC-probe lesson
+    # generalized): reliable checkpoint files accumulate for the
+    # whole session otherwise — harmless for disk at these sizes but
+    # the growing dir's writeback perturbs the later big cells' X1
+    # (signature-checkpoint) stage, measured as a 3.6x rep spread at
+    # 2.56M before this rotation.
+    import shutil as _shutil
+
+    ckpt_root = spark.sparkContext.getCheckpointDir()
+    prev_sub: str | None = None
     for n in sizes:
+        if ckpt_root is not None:
+            sub = os.path.join(
+                ckpt_root.removeprefix("file:"), f"size_{n}"
+            )
+            os.makedirs(sub, exist_ok=True)
+            spark.sparkContext.setCheckpointDir(sub)
+            if prev_sub is not None:
+                _shutil.rmtree(prev_sub, ignore_errors=True)
+            prev_sub = sub
         k = n // 10
         truth_pairs = (n - k) // 2 + k * (k - 1) // 2
         df = corpus(n).persist()
