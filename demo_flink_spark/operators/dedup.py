@@ -559,10 +559,14 @@ def minhash_lsh_pairs(
         # localCheckpoint: signatures+shingles feed the band explode
         # AND both sides of the verification join — recomputing 64
         # minhashes 3× dominates otherwise (storage is GC-released,
-        # unlike persist).
+        # unlike persist). Project to the consumed columns FIRST:
+        # this path never reads the raw 64-long `signature` column,
+        # and a checkpoint materializes every column it is handed —
+        # 512 dead bytes/doc (~1.3 GB at 2.56M docs, measured as the
+        # dominant stage of the template probe's top cells).
         sigs = minhash_signatures(
             docs, text_col, n, n_hashes, bands=bands, shingles_df=shingles_df
-        ).transform(cut_lineage)
+        ).select("doc_id", "shingles", "bands").transform(cut_lineage)
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )

@@ -107,13 +107,17 @@ def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(
         "minhash_sigs",
         (spark.sparkContext.applicationId, sf_dir),
+        # project to the consumed columns before persisting: the LSH
+        # consumers read (doc_id, shingles, bands) only, and persist
+        # materializes whatever it is handed — the raw 64-long
+        # `signature` column would be 512 dead bytes/doc of storage
         lambda: dd.minhash_signatures(
             load_table(spark, sf_dir, "documents"),
             n=3,
             n_hashes=64,
             bands=16,
             shingles_df=_shared_shingles(spark, sf_dir),
-        ),
+        ).select("doc_id", "shingles", "bands"),
     )
 
 
