@@ -524,10 +524,9 @@ def minhash_lsh_pairs(
     collapsed by exact dedup) puts its whole membership into shared
     band buckets, so one k=100k cluster alone emits ~5x10^9 rows.
     With bucket_cap=C set, buckets of width <= C run the normal
-    all-pairs join unchanged — PROVABLY so: the pytest and the
-    `dedup_minhash_capped` driver oracle assert a cap no bucket
-    exceeds leaves the output byte-identical. Buckets wider than C
-    are routed per `overflow`:
+    all-pairs join unchanged — PROVABLY so: the pytest asserts a cap
+    no bucket exceeds leaves the output byte-identical. Buckets wider
+    than C are routed per `overflow`:
       - "star" (default): each member pairs with the bucket's MIN
         doc_id only — Theta(k) rows instead of Theta(k^2). Pair-level
         recall inside the pathological bucket narrows to the rep's
@@ -536,14 +535,23 @@ def minhash_lsh_pairs(
         bucket: when the bucket is a genuine mutual-near-dup template
         cluster every rep-member pair passes exact-Jaccard
         verification and the component survives intact. Verification
-        is unchanged, so precision stays 1 by construction.
+        is unchanged, so precision stays 1 by construction. Caveat:
+        cluster recall is preserved only when rep-member pairs clear
+        the Jaccard threshold — an over-cap bucket that is a mere
+        HASH-COLLISION crowd (not a genuine template cluster) can
+        lose an A-B pair entirely when both co-occur only there and
+        neither resembles the rep; run `lsh_bucket_stats` first to
+        confirm over-cap buckets are real template clusters.
       - "drop": over-cap buckets contribute no candidates (the
         flag-and-skip production policy); pair them with
         `lsh_bucket_stats` to monitor what was dropped.
     Both policies are deterministic and exactly reproduced by the
-    DuckDB oracle (plans/dedup.py::_minhash_lsh_oracle(cap=...)), so
-    the guard's semantics — not just its narrow-bucket no-op — are
-    hash-verified. Default None preserves the unguarded join.
+    DuckDB oracle (plans/dedup.py::_minhash_lsh_oracle(cap=...,
+    overflow=...)); the DECLARED capped query uses the drop policy
+    because its verified output diverges from the unguarded query's
+    at the driver's sf0.01 (the star policy's does not, on this
+    fixture — VERDICT r12 #1), so the driver hash genuinely pins the
+    overflow routing. Default None preserves the unguarded join.
 
     signatures_df short-circuits the signature computation with a
     pre-built (doc_id, shingles, bands) frame — the corpus-build

@@ -95,8 +95,10 @@ def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature frame (n=3, 64 hashes, 16 bands — the parameters every
     declared LSH consumer uses).
 
-    Three declared queries (`dedup_minhash_lsh`, `dedup_minhash_capped`,
-    `dedup_eval_minhash`) compute the same 64-permutation signatures
+    The declared LSH consumers (`dedup_minhash_lsh`,
+    `dedup_minhash_capped_drop`, `dedup_eval_minhash`,
+    `pipeline_curation_neardup`, `lsh_bucket_stats`)
+    compute the same 64-permutation signatures
     over the same corpus; in a corpus build the signature table is
     materialized once per snapshot beside the shingle table and every
     near-dup pass reads it. Built on top of the shingles memo, so the
@@ -265,16 +267,27 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_capped_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minhash_lsh_pairs with the band-bucket width guard ACTIVE
-    (bucket_cap=2, star overflow) — the 100 TB template-cluster
-    mitigation as a declared, hash-verified query (VERDICT r11 #1).
+    (bucket_cap=2, DROP overflow) — the 100 TB template-cluster
+    mitigation as a declared, hash-verified query whose receipt is
+    NON-VACUOUS at the driver's scale factor (VERDICT r12 #1).
 
-    The fixture's widest band bucket holds 3-4 docs at every sf, so
-    cap=2 genuinely routes buckets through the star path here (14-128
-    over-cap buckets depending on sf): the driver's oracle compare
-    proves the guard's exact overflow semantics, while the sibling
-    pytest proves a cap no bucket exceeds is a byte-identical no-op.
+    Why drop, not star: the round-12 star-policy receipt was vacuous
+    at sf0.01 — the star-narrowed candidate set re-verified to output
+    byte-identical to the unguarded query's (every verified pair on
+    this fixture spans its bucket's min-id rep, at ANY threshold —
+    measured), so the driver hash could not distinguish "cap honored"
+    from "cap ignored". The drop policy's verified output DIVERGES
+    from the unguarded query's at every sf (pair sym-diff 7/2/22 at
+    sf0.001/0.01/0.1 — measured, and pinned by
+    tests/test_round13.py::test_capped_drop_diverges_at_driver_sf),
+    so this receipt actually proves the guard routes over-cap buckets
+    (14 of them at sf0.01, max width 3) through the overflow path.
+    The star policy — the production default, which preserves
+    cluster-level recall — keeps its planted-template pytest receipts
+    and is additionally driver-exercised end-to-end by
+    `pipeline_curation_neardup`.
     """
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
@@ -283,6 +296,7 @@ def q_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.2,
         signatures_df=_shared_minhash_sigs(spark, sf_dir),
         bucket_cap=2,
+        overflow="drop",
     )
 
 
@@ -481,7 +495,7 @@ _SPLIT_SQL = """
 """
 
 
-def _minhash_lsh_oracle(cap: int | None = None) -> str:
+def _minhash_lsh_oracle(cap: int | None = None, overflow: str = "star") -> str:
     """SQL twin of minhash_lsh_pairs, generated from the SAME
     permutation constants the operator uses (operators/dedup.py::
     minhash_params): md5 shingle hashes, overflow-free (a*x+b) mod p
@@ -490,14 +504,23 @@ def _minhash_lsh_oracle(cap: int | None = None) -> str:
     trade is identical on both engines and the result hash-matches.
 
     With `cap` set, the candidate CTE reproduces the band-bucket
-    width guard (bucket_cap + star overflow, operators/dedup.py::
-    minhash_lsh_pairs): under-cap buckets all-pairs, over-cap buckets
-    reduced to each member vs the bucket's min doc_id. Bucket width
-    and representative are deterministic functions of the band keys,
-    so the guard's EXACT semantics — including which pairs the star
-    narrows away — are hash-verified by the driver, not just the
-    narrow-bucket no-op case.
+    width guard (bucket_cap, operators/dedup.py::minhash_lsh_pairs):
+    under-cap buckets all-pairs; over-cap buckets routed per
+    `overflow` — "star" reduces each to member-vs-min-doc_id rows,
+    "drop" contributes no candidates at all. Bucket width and
+    representative are deterministic functions of the band keys, so
+    the guard's EXACT semantics — including which pairs the overflow
+    policy removes — are hash-verified by the driver, not just the
+    narrow-bucket no-op case. The DECLARED capped query uses "drop"
+    because that is the policy whose verified OUTPUT diverges from
+    the unguarded query's on this fixture at the driver's sf0.01
+    (VERDICT r12 #1: star is output-invariant there — measured,
+    every verified pair spans its bucket's rep at any threshold —
+    so a star receipt cannot distinguish cap-honored from
+    cap-ignored).
     """
+    if overflow not in ("star", "drop"):
+        raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
     from demo_flink_spark.operators.dedup import MINHASH_P, minhash_params
 
     a, b = minhash_params(64)
@@ -510,6 +533,12 @@ def _minhash_lsh_oracle(cap: int | None = None) -> str:
               ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
         )"""
     else:
+        star_arm = f"""
+                UNION ALL
+                SELECT w.rep AS doc_a, b.doc_id AS doc_b
+                FROM bandkeys b
+                JOIN widths w ON w.j = b.j AND w.bh = b.bh
+                WHERE w.w > {cap} AND b.doc_id <> w.rep""" if overflow == "star" else ""
         cand_cte = f"""
         widths AS (
             SELECT j, bh, count(*) AS w, min(doc_id) AS rep
@@ -522,12 +551,7 @@ def _minhash_lsh_oracle(cap: int | None = None) -> str:
                 JOIN bandkeys y
                   ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
                 JOIN widths w ON w.j = x.j AND w.bh = x.bh
-                WHERE w.w <= {cap}
-                UNION ALL
-                SELECT w.rep AS doc_a, b.doc_id AS doc_b
-                FROM bandkeys b
-                JOIN widths w ON w.j = b.j AND w.bh = b.bh
-                WHERE w.w > {cap} AND b.doc_id <> w.rep
+                WHERE w.w <= {cap}{star_arm}
             )
         )"""
     return f"""
@@ -660,9 +684,9 @@ SPECS = [
     ),
     QuerySpec("dedup_minhash_lsh", q_minhash_lsh, oracle=_minhash_lsh_oracle()),
     QuerySpec(
-        "dedup_minhash_capped",
-        q_minhash_capped,
-        oracle=_minhash_lsh_oracle(cap=2),
+        "dedup_minhash_capped_drop",
+        q_minhash_capped_drop,
+        oracle=_minhash_lsh_oracle(cap=2, overflow="drop"),
     ),
     QuerySpec(
         "dedup_eval_minhash",

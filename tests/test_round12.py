@@ -8,8 +8,9 @@ equi-join emits Theta(k^2) candidate rows from one bucket.
 `bucket_cap` routes over-wide buckets to a rep-star (Theta(k)); these
 tests pin the guard's contract:
 
-- a cap no bucket exceeds is a byte-identical NO-OP (the oracle-side
-  twin of this proof is the `dedup_minhash_capped` driver query);
+- a cap no bucket exceeds is a byte-identical NO-OP (the driver-side
+  guard receipt is the `dedup_minhash_capped_drop` query, whose drop
+  policy makes the receipt output-divergent at sf0.01 — r13);
 - with the cap ACTIVE on a planted template cluster, pair-level
   output shrinks but CLUSTER-level recall — what dedup consumes —
   is intact: connected components over the guarded pairs still

@@ -40,12 +40,12 @@ CHECKS = {
     "join_theta": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "dedup_ngram_jaccard": ([], ["CartesianProduct"]),
     "dedup_minhash_lsh": ([], ["CartesianProduct"]),
-    # bucket-capped LSH: under-cap pairs UNION star overflow, both
-    # equi-keyed — the width-tag Window sits behind the cut_lineage
-    # checkpoint, so the visible contract is the Union and no
-    # all-pairs fallback anywhere
-    "dedup_minhash_capped": (
-        ["Union"],
+    # bucket-capped LSH, drop overflow: over-cap buckets are filtered
+    # out BEFORE the band equi-join (no star Union in this policy);
+    # the width-tag Window sits behind the cut_lineage checkpoint, so
+    # the visible contract is the equi-join with no all-pairs fallback
+    "dedup_minhash_capped_drop": (
+        [],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "similarity_topk_bruteforce": (
