@@ -300,6 +300,47 @@ def q_minhash_capped_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB NEAR-DUP curation playbook end-to-end as one
+    declared query (VERDICT r12 #2): guarded MinHash-LSH pair
+    detection (bucket_cap=2, STAR overflow — the production policy
+    whose Theta(k) star keeps template clusters connected) →
+    connected components → keep-LONGEST resolution. Output is the
+    keep/drop list a corpus build filters on: (doc_id, cluster_id,
+    score, is_kept), docs in no pair keeping themselves.
+
+    This is the composite SCALING.md's template-cluster section
+    documents as the production answer for template-heavy corpora —
+    previously exercised only stage-by-stage. The DuckDB twin chains
+    the capped-star candidate CTE (the exact overflow semantics,
+    plans/dedup.py::_minhash_lsh_oracle(cap=2)) into the recursive-
+    closure components + keep-longest oracles the individual stages
+    already carry, so the whole pipeline is value-hash-checked as a
+    unit — including which pairs the star narrowed away upstream of
+    clustering. Stages at scale: the pair join is band-bucketed and
+    width-guarded (never all-pairs), CC is O(diameter≈3) rounds of
+    equi-join + min-agg on near-clique graphs, and the resolution is
+    one cluster-keyed window over a component map that broadcasts
+    while small (operators/dedup.py::dedup_keep_best).
+    """
+    from demo_flink_spark.operators.textstats import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs,
+        n=3,
+        threshold=0.2,
+        signatures_df=_shared_minhash_sigs(spark, sf_dir),
+        bucket_cap=2,
+        overflow="star",
+    )
+    return dd.dedup_keep_best(
+        docs,
+        pairs,
+        F.size(_tokens(F.col("text"))).cast("long"),
+    )
+
+
 def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-index evaluation as a query (the retrieval_eval_metrics
     pattern applied to near-dup detection): MinHash-LSH pairs scored
@@ -687,6 +728,42 @@ SPECS = [
         "dedup_minhash_capped_drop",
         q_minhash_capped_drop,
         oracle=_minhash_lsh_oracle(cap=2, overflow="drop"),
+    ),
+    QuerySpec(
+        "pipeline_curation_neardup",
+        q_pipeline_curation_neardup,
+        # capped-STAR pair CTE (exact overflow semantics) chained into
+        # the same recursive-closure + keep-longest SQL the stage
+        # queries carry — the end-to-end playbook as one value hash
+        oracle=rf"""
+        WITH RECURSIVE pairs AS ({_minhash_lsh_oracle(cap=2)}),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT s, t FROM edges
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+            WHERE e.t <> r.s
+        ),
+        comp AS (
+            SELECT s AS node, least(s, min(t)) AS c FROM reach GROUP BY s
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   coalesce(c.c, d.doc_id) AS cluster_id,
+                   CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                                        w -> w <> '')) AS BIGINT) AS score
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        )
+        SELECT doc_id, cluster_id, score,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY score DESC, doc_id ASC) = 1
+                 AS is_kept
+        FROM scored
+        """,
     ),
     QuerySpec(
         "dedup_eval_minhash",

@@ -76,6 +76,34 @@ def test_capped_drop_diverges_at_driver_sf(spark, docs001, sigs001):
     assert len(uncapped) == 25 and len(dropped) == 23
 
 
+def test_curation_neardup_composite_invariants(spark):
+    """pipeline_curation_neardup = capped-star LSH → connected
+    components → keep-longest, as one declared query. Pins the
+    keep-list contract: exactly one kept member per cluster, the kept
+    member is the cluster's (score desc, doc_id asc) argmax, and
+    unpaired docs keep themselves under their own id."""
+    from collections import defaultdict
+
+    from demo_flink_spark.plans.dedup import q_pipeline_curation_neardup
+
+    rows = q_pipeline_curation_neardup(spark, DRIVER_SF_DIR).collect()
+    assert len(rows) == 500  # one row per document
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    for cid, members in clusters.items():
+        kept = [m for m in members if m.is_kept]
+        assert len(kept) == 1
+        best = min(members, key=lambda m: (-m.score, m.doc_id))
+        assert kept[0].doc_id == best.doc_id
+        if len(members) == 1:
+            # unpaired docs keep themselves under their own id
+            assert cid == members[0].doc_id
+    # the fixture plants near-dup clusters: some multi-doc cluster
+    # must exist, else the composite degenerated to a no-op
+    assert any(len(m) > 1 for m in clusters.values())
+
+
 def test_capped_star_is_output_invariant_here(spark, docs001, sigs001):
     """Documents WHY the declared receipt had to switch policies: on
     this fixture the star overflow re-admits every verified pair at
