@@ -649,6 +649,7 @@ def lsh_bucket_stats(
     bands: int = 16,
     bucket_cap: int | None = None,
     shingles_df: DataFrame | None = None,
+    signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """Band-bucket width distribution of the LSH index — the
     monitoring view that sizes (and then watches) `bucket_cap`.
@@ -667,16 +668,37 @@ def lsh_bucket_stats(
     sample before a full dedup pass: max_width tells you whether the
     corpus has a degenerate near-dup cluster and how big; candidate
     volume tells you what the unguarded join would pay for it.
+
+    `signatures_df` short-circuits the signature build with a
+    pre-built (doc_id, .., bands) frame — same contract as
+    `minhash_lsh_pairs`. Without it, the signature stage is cut
+    below the fan-out: with `bucket_cap` set, `banded` feeds the
+    widths aggregate AND the over-cap membership join, and `widths`
+    feeds the stats row AND that join's filter — an uncut lineage
+    would re-run the Arrow minhash UDF pass once per consumer
+    (ADVICE r12), 3x the dominant cost of what is meant to be a
+    cheap pre-pass on a sample.
     """
-    sigs = minhash_signatures(
-        docs, text_col, n, n_hashes, bands=bands, shingles_df=shingles_df
-    )
+    if signatures_df is not None:
+        sigs = signatures_df
+    else:
+        sigs = minhash_signatures(
+            docs, text_col, n, n_hashes, bands=bands, shingles_df=shingles_df
+        ).select("doc_id", "bands")
     banded = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
+    if bucket_cap is not None:
+        # banded feeds the widths aggregate AND the over-cap join;
+        # widths feeds the stats row AND that join's filter — cut so
+        # the signature/explode stage runs once, not per consumer
+        # (the uncapped path below is linear and needs no cut)
+        banded = banded.transform(cut_lineage)
     widths = banded.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("w")
     )
+    if bucket_cap is not None:
+        widths = widths.transform(cut_lineage)
     cap = F.lit(bucket_cap) if bucket_cap is not None else None
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_buckets"),

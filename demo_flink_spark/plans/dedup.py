@@ -341,6 +341,25 @@ def q_pipeline_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH band-bucket width monitor as a declared query (VERDICT
+    r12 #5): bucket count, max/mean width, the prospective candidate-
+    pair volume the unguarded band join would emit (sum w(w-1)/2 in
+    exact integer arithmetic), and — with the cap the guarded queries
+    use (2) — how many buckets sit over it plus how many DISTINCT
+    docs they touch. This is the "diagnose BEFORE paying" half of the
+    template-cluster mitigation: run it on a sample, read max_width /
+    candidate_pairs, then size `bucket_cap` — now under the driver's
+    value hash, not just pytest (operators/dedup.py::lsh_bucket_stats).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.lsh_bucket_stats(
+        docs,
+        bucket_cap=2,
+        signatures_df=_shared_minhash_sigs(spark, sf_dir),
+    )
+
+
 def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-index evaluation as a query (the retrieval_eval_metrics
     pattern applied to near-dup detection): MinHash-LSH pairs scored
@@ -536,67 +555,18 @@ _SPLIT_SQL = """
 """
 
 
-def _minhash_lsh_oracle(cap: int | None = None, overflow: str = "star") -> str:
-    """SQL twin of minhash_lsh_pairs, generated from the SAME
-    permutation constants the operator uses (operators/dedup.py::
-    minhash_params): md5 shingle hashes, overflow-free (a*x+b) mod p
-    via HUGEINT, md5 band keys, exact-Jaccard verification. Candidate
-    generation (the banding) is reproduced exactly, so LSH's recall
-    trade is identical on both engines and the result hash-matches.
-
-    With `cap` set, the candidate CTE reproduces the band-bucket
-    width guard (bucket_cap, operators/dedup.py::minhash_lsh_pairs):
-    under-cap buckets all-pairs; over-cap buckets routed per
-    `overflow` — "star" reduces each to member-vs-min-doc_id rows,
-    "drop" contributes no candidates at all. Bucket width and
-    representative are deterministic functions of the band keys, so
-    the guard's EXACT semantics — including which pairs the overflow
-    policy removes — are hash-verified by the driver, not just the
-    narrow-bucket no-op case. The DECLARED capped query uses "drop"
-    because that is the policy whose verified OUTPUT diverges from
-    the unguarded query's on this fixture at the driver's sf0.01
-    (VERDICT r12 #1: star is output-invariant there — measured,
-    every verified pair spans its bucket's rep at any threshold —
-    so a star receipt cannot distinguish cap-honored from
-    cap-ignored).
-    """
-    if overflow not in ("star", "drop"):
-        raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
+def _bandkeys_ctes() -> str:
+    """The shared CTE prefix reproducing the operator's MinHash band
+    keys in DuckDB — shingles, the 64 (a,b) permutation constants,
+    per-doc min-hash signatures, md5-folded band hashes. Consumed by
+    `_minhash_lsh_oracle` (pair queries) and the `lsh_bucket_stats`
+    oracle (width monitoring), so both twins derive from ONE pinned
+    reproduction of the banding."""
     from demo_flink_spark.operators.dedup import MINHASH_P, minhash_params
 
     a, b = minhash_params(64)
     perm_vals = ", ".join(f"({h}, {a[h]}, {b[h]})" for h in range(64))
-    if cap is None:
-        cand_cte = """
-        cand AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM bandkeys x JOIN bandkeys y
-              ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
-        )"""
-    else:
-        star_arm = f"""
-                UNION ALL
-                SELECT w.rep AS doc_a, b.doc_id AS doc_b
-                FROM bandkeys b
-                JOIN widths w ON w.j = b.j AND w.bh = b.bh
-                WHERE w.w > {cap} AND b.doc_id <> w.rep""" if overflow == "star" else ""
-        cand_cte = f"""
-        widths AS (
-            SELECT j, bh, count(*) AS w, min(doc_id) AS rep
-            FROM bandkeys GROUP BY j, bh
-        ),
-        cand AS (
-            SELECT DISTINCT doc_a, doc_b FROM (
-                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-                FROM bandkeys x
-                JOIN bandkeys y
-                  ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
-                JOIN widths w ON w.j = x.j AND w.bh = x.bh
-                WHERE w.w <= {cap}{star_arm}
-            )
-        )"""
-    return f"""
-        WITH sh AS (
+    return f"""sh AS (
             -- list_filter mirrors the operator's `toks == [''] -> []`
             -- branch for empty-canonical docs (operators/dedup.py:125):
             -- they must get empty_sig (= b mod p), not a signature over
@@ -633,7 +603,66 @@ def _minhash_lsh_oracle(cap: int | None = None, overflow: str = "star") -> str:
                                   ORDER BY h)
                    ) % 9223372036854775808 AS bh
             FROM sig GROUP BY doc_id, h // 4
-        ),{cand_cte}
+        )"""
+
+
+def _minhash_lsh_oracle(cap: int | None = None, overflow: str = "star") -> str:
+    """SQL twin of minhash_lsh_pairs, generated from the SAME
+    permutation constants the operator uses (operators/dedup.py::
+    minhash_params): md5 shingle hashes, overflow-free (a*x+b) mod p
+    via HUGEINT, md5 band keys, exact-Jaccard verification. Candidate
+    generation (the banding) is reproduced exactly, so LSH's recall
+    trade is identical on both engines and the result hash-matches.
+
+    With `cap` set, the candidate CTE reproduces the band-bucket
+    width guard (bucket_cap, operators/dedup.py::minhash_lsh_pairs):
+    under-cap buckets all-pairs; over-cap buckets routed per
+    `overflow` — "star" reduces each to member-vs-min-doc_id rows,
+    "drop" contributes no candidates at all. Bucket width and
+    representative are deterministic functions of the band keys, so
+    the guard's EXACT semantics — including which pairs the overflow
+    policy removes — are hash-verified by the driver, not just the
+    narrow-bucket no-op case. The DECLARED capped query uses "drop"
+    because that is the policy whose verified OUTPUT diverges from
+    the unguarded query's on this fixture at the driver's sf0.01
+    (VERDICT r12 #1: star is output-invariant there — measured,
+    every verified pair spans its bucket's rep at any threshold —
+    so a star receipt cannot distinguish cap-honored from
+    cap-ignored).
+    """
+    if overflow not in ("star", "drop"):
+        raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
+    if cap is None:
+        cand_cte = """
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bandkeys x JOIN bandkeys y
+              ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
+        )"""
+    else:
+        star_arm = f"""
+                UNION ALL
+                SELECT w.rep AS doc_a, b.doc_id AS doc_b
+                FROM bandkeys b
+                JOIN widths w ON w.j = b.j AND w.bh = b.bh
+                WHERE w.w > {cap} AND b.doc_id <> w.rep""" if overflow == "star" else ""
+        cand_cte = f"""
+        widths AS (
+            SELECT j, bh, count(*) AS w, min(doc_id) AS rep
+            FROM bandkeys GROUP BY j, bh
+        ),
+        cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM bandkeys x
+                JOIN bandkeys y
+                  ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
+                JOIN widths w ON w.j = x.j AND w.bh = x.bh
+                WHERE w.w <= {cap}{star_arm}
+            )
+        )"""
+    return f"""
+        WITH {_bandkeys_ctes()},{cand_cte}
         SELECT doc_a, doc_b,
                round(len(list_intersect(sa.shingles, sb.shingles))
                      / CAST(len(list_distinct(list_cat(sa.shingles, sb.shingles)))
@@ -728,6 +757,36 @@ SPECS = [
         "dedup_minhash_capped_drop",
         q_minhash_capped_drop,
         oracle=_minhash_lsh_oracle(cap=2, overflow="drop"),
+    ),
+    QuerySpec(
+        "lsh_bucket_stats",
+        q_lsh_bucket_stats,
+        # width histogram over the SAME pinned bandkeys CTE the pair
+        # oracles use; integer division keeps candidate_pairs exact
+        oracle=f"""
+        WITH {_bandkeys_ctes()},
+        widths AS (
+            SELECT j, bh, count(*) AS w FROM bandkeys GROUP BY j, bh
+        ),
+        base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(max(w) AS BIGINT) AS max_width,
+                   round(avg(w), 6) AS mean_width,
+                   CAST(sum(w * (w - 1) // 2) AS BIGINT) AS candidate_pairs,
+                   CAST(sum(CASE WHEN w > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_over_cap
+            FROM widths
+        ),
+        od AS (
+            SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT)
+                     AS docs_in_over_cap
+            FROM bandkeys b JOIN widths w ON w.j = b.j AND w.bh = b.bh
+            WHERE w.w > 2
+        )
+        SELECT n_buckets, max_width, mean_width, candidate_pairs,
+               n_over_cap, docs_in_over_cap
+        FROM base, od
+        """,
     ),
     QuerySpec(
         "pipeline_curation_neardup",
