@@ -1,0 +1,167 @@
+"""Streaming state-boundedness receipts (VERDICT r12 #3): drive a
+SLIDING key population — fresh keys every micro-batch, event time
+advancing well past the watermark — through the stream-stream join
+and a watermarked window aggregate, and assert via Spark's own state
+accounting (`stateOperators[].numRowsTotal`) that buffered state
+PLATEAUS at the watermark-window bound instead of growing with total
+input. This is the streaming analog of the batch scale probes: the
+claim "watermarks bound the join buffers" was previously a docstring;
+these tests make it a measured number (recorded in SCALING.md r13).
+
+Every batch uses NEW keys, so a non-evicting implementation must
+retain every row ever seen (nothing is an update) — the series would
+track cumulative input and fail both plateau checks by construction.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_flink_spark.streaming.state_receipt import (
+    assert_plateaus,
+    batch_state_metrics,
+)
+
+@pytest.fixture()
+def few_shuffle_partitions(spark):
+    """State-store commit overhead scales with shuffle partitions (one
+    store instance per partition per stateful operator per batch); the
+    receipt's 22 micro-batches only need a handful of keys per batch,
+    so run them on 4 partitions and restore the session default after.
+    The boundedness claim is partition-count-independent — eviction is
+    per-key event-time logic."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+N_BATCHES = 22
+ROWS_PER_BATCH = 24
+# event time advances 60 s per batch — far past watermark (10 s) +
+# join window (10 s), so each batch's state is evictable two
+# watermark advances later
+STEP_S = 60
+BASE_EPOCH = 1_700_000_000
+
+
+def _stage_sliding_batches(spark, stage_dir) -> str:
+    """One parquet file per micro-batch (maxFilesPerTrigger=1), mtime-
+    stamped for deterministic trigger order (harness pattern). Keys
+    are unique per batch — the sliding population."""
+    stage = str(stage_dir)
+    os.makedirs(stage, exist_ok=True)
+    base = time.time() - N_BATCHES - 1
+    stamped: set[str] = set()
+    for b in range(N_BATCHES):
+        rows = [
+            (f"k{b}_{i}", BASE_EPOCH + b * STEP_S + (i % 5))
+            for i in range(ROWS_PER_BATCH)
+        ]
+        spark.createDataFrame(rows, "key string, sec long").coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+        for fname in os.listdir(stage):
+            if fname.endswith(".parquet") and fname not in stamped:
+                os.utime(os.path.join(stage, fname), (base + b, base + b))
+                stamped.add(fname)
+    return stage
+
+
+def _read_stream(spark, stage, schema="key string, sec long"):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("sec").cast("timestamp"))
+        .drop("sec")
+    )
+
+
+def _run_to_memory(df, tmp_path) -> tuple:
+    name = f"bounded_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        metrics = batch_state_metrics(query)
+    finally:
+        query.stop()
+    return name, metrics
+
+
+def test_stream_stream_join_state_plateaus(spark, tmp_path, few_shuffle_partitions):
+    """The stream-stream join buffers BOTH sides in the state store;
+    the event-time constraint + watermark must evict rows that can no
+    longer match. 22 micro-batches x 24 fresh keys per side = 1056
+    rows/side ingested; unbounded buffering would end at ~2112 state
+    rows. Measured: the plateau holds at ~2-3 batches' worth."""
+    from demo_flink_spark.streaming.joins import stream_stream_join
+
+    stage = _stage_sliding_batches(spark, tmp_path / "src")
+    left = _read_stream(spark, stage)
+    right = _read_stream(spark, stage)
+    joined = stream_stream_join(
+        left, right, key="key", left_ts="ts", right_ts="ts",
+        watermark="10 seconds", within="10 seconds",
+    )
+    name, metrics = _run_to_memory(
+        joined.select(F.col("l.key").alias("key")), tmp_path
+    )
+
+    total_output = spark.table(name).count()
+    # every key matches itself within the window, both directions
+    # collapse to one row per (l,r) pair; the 5 distinct second
+    # offsets all sit within ±10 s, so each key yields >= 1 match
+    assert total_output >= N_BATCHES * ROWS_PER_BATCH
+
+    series = [m["state_rows"] for m in metrics if m["input_rows"] > 0]
+    ingested = 2 * N_BATCHES * ROWS_PER_BATCH  # both sides buffered
+    assert_plateaus(series, ingested)
+
+
+def test_windowed_agg_state_plateaus(spark, tmp_path, few_shuffle_partitions):
+    """Watermarked tumbling-window count (W1+W3): open windows are
+    the state; closed windows must evict after the watermark passes.
+    Fresh keys per batch mean a non-evicting agg would retain one
+    state row per (window, key) forever — cumulative growth."""
+    from demo_flink_spark.streaming.windows import windowed_count_stream
+
+    stage = _stage_sliding_batches(spark, tmp_path / "src")
+    stream = _read_stream(spark, stage).withColumnRenamed("key", "word")
+    counted = windowed_count_stream(
+        stream,
+        ts_col="ts",
+        key_col="word",
+        window_duration="10 seconds",
+        watermark_delay="10 seconds",
+    )
+    name, metrics = _run_to_memory(counted, tmp_path)
+
+    # append mode emits each window exactly once, after it closes;
+    # the final batches' windows stay open at stream end
+    emitted = spark.table(name).count()
+    distinct_keys = N_BATCHES * ROWS_PER_BATCH
+    assert emitted >= distinct_keys - 3 * ROWS_PER_BATCH
+
+    series = [m["state_rows"] for m in metrics if m["input_rows"] > 0]
+    assert_plateaus(series, distinct_keys)
+
+
+def test_plateau_guard_rejects_cumulative_growth():
+    """The receipt's own sanity check: a non-evicting buffer's series
+    (cumulative input) must FAIL assert_plateaus — otherwise the two
+    streaming tests above prove nothing."""
+    cumulative = [24 * (b + 1) for b in range(N_BATCHES)]
+    with pytest.raises(AssertionError):
+        assert_plateaus(cumulative, 24 * N_BATCHES)
