@@ -104,6 +104,38 @@ def test_curation_neardup_composite_invariants(spark):
     assert any(len(m) > 1 for m in clusters.values())
 
 
+def test_profile_approx_ndv_bound(spark):
+    """profile_table(exact_ndv=False) — the 100x-scale profiling path
+    (VERDICT r12 #4): per-column HLL++ sketches (rsd=0.02) inside the
+    ONE wide aggregation, no melt shuffle. Pins (a) every non-NDV
+    field byte-identical to the exact path's, (b) per-column relative
+    NDV error <= 5% at sf0.01 lineitem (2.5x the sketch's standard
+    relative error — headroom for the estimator's tail without
+    tolerating a broken sketch)."""
+    from demo_flink_spark.operators.relational import profile_table
+    from demo_flink_spark.sources import load_table
+
+    li = load_table(spark, DRIVER_SF_DIR, "lineitem")
+    exact = {r.column: r for r in profile_table(li).collect()}
+    approx = {
+        r.column: r for r in profile_table(li, exact_ndv=False).collect()
+    }
+    assert set(exact) == set(approx) == set(li.columns)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_null, a.min_value, a.max_value) == (
+            e.n_rows,
+            e.n_null,
+            e.min_value,
+            e.max_value,
+        )
+        rel_err = abs(a.n_distinct - e.n_distinct) / max(e.n_distinct, 1)
+        assert rel_err <= 0.05, (
+            f"{c}: approx ndv {a.n_distinct} vs exact {e.n_distinct} "
+            f"({rel_err:.1%})"
+        )
+
+
 def test_capped_star_is_output_invariant_here(spark, docs001, sigs001):
     """Documents WHY the declared receipt had to switch policies: on
     this fixture the star overflow re-admits every verified pair at
