@@ -183,11 +183,16 @@ def test_run_stateful_work_dir_branch(spark, tmp_path):
     the helper stages under it, does NOT delete it, and never creates
     its own stateful_run_* mkdtemp."""
     import glob
+    import os
+    import tempfile
 
     from demo_flink_spark.streaming.harness import run_stateful
     from demo_flink_spark.streaming.stateful_ops import RUNNING_COUNTER
 
-    before = set(glob.glob("/tmp/stateful_run_*"))
+    # mkdtemp stages under tempfile.gettempdir(), not a literal /tmp —
+    # a hardcoded /tmp glob passes vacuously under a custom TMPDIR
+    leak_glob = os.path.join(tempfile.gettempdir(), "stateful_run_*")
+    before = set(glob.glob(leak_glob))
     src = spark.createDataFrame(
         [(1, "u1", "click"), (2, "u1", "click")],
         "seq long, user_id string, action string",
@@ -199,7 +204,7 @@ def test_run_stateful_work_dir_branch(spark, tmp_path):
     staged = list(tmp_path.iterdir())
     assert any(p.name.startswith("src_") for p in staged)
     assert any(p.name.startswith("ckpt_") for p in staged)
-    assert set(glob.glob("/tmp/stateful_run_*")) == before
+    assert set(glob.glob(leak_glob)) == before
 
 
 def test_run_stateful_no_leak_on_error(spark):
@@ -207,13 +212,16 @@ def test_run_stateful_no_leak_on_error(spark):
     (the review found the old structure mkdtemp'd before validating
     and only cleaned up around processAllAvailable)."""
     import glob
+    import os
+    import tempfile
 
     import pytest as _pytest
 
     from demo_flink_spark.streaming.harness import run_stateful
     from demo_flink_spark.streaming.stateful_ops import RUNNING_COUNTER
 
-    before = set(glob.glob("/tmp/stateful_run_*"))
+    leak_glob = os.path.join(tempfile.gettempdir(), "stateful_run_*")
+    before = set(glob.glob(leak_glob))
     src = spark.createDataFrame(
         [(1, "u1", "x")], "seq long, user_id string, action string"
     )
@@ -222,4 +230,4 @@ def test_run_stateful_no_leak_on_error(spark):
     # a mid-build failure (bad column) must also clean its own root
     with _pytest.raises(Exception):
         run_stateful(spark, src, ["no_such_column"], RUNNING_COUNTER)
-    assert set(glob.glob("/tmp/stateful_run_*")) == before
+    assert set(glob.glob(leak_glob)) == before

@@ -300,8 +300,15 @@ def template_main(max_n: int, bucket_cap: int) -> None:
     # (signature-checkpoint) stage, measured as a 3.6x rep spread at
     # 2.56M before this rotation.
     import shutil as _shutil
+    from urllib.parse import urlparse
 
     ckpt_root = spark.sparkContext.getCheckpointDir()
+    # rotation is a LOCAL-filesystem optimization: os.makedirs/rmtree
+    # on an HDFS/S3 checkpoint URI would create bogus local 's3:/...'
+    # dirs while the real remote files silently kept accumulating
+    # (ADVICE r12) — on a remote scheme, skip rotation entirely
+    if ckpt_root is not None and urlparse(ckpt_root).scheme not in ("", "file"):
+        ckpt_root = None
     prev_sub: str | None = None
     for n in sizes:
         if ckpt_root is not None:
