@@ -48,6 +48,18 @@ CHECKS = {
         [],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r13 composite: keep-best is ONE cluster-keyed Window over a
+    # broadcast component map — never a self-join resolution
+    "pipeline_curation_neardup": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # r13 monitor: the only nested-loop is the intended 1-row
+    # broadcast crossJoin combining the two scalar aggregates
+    "lsh_bucket_stats": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
     "similarity_topk_bruteforce": (
         ["BroadcastNestedLoopJoin"],  # intended: broadcast the query side
         [],
