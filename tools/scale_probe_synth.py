@@ -218,6 +218,7 @@ def template_main(max_n: int, bucket_cap: int) -> None:
 
     from demo_flink_spark.operators.dedup import (
         connected_components,
+        dedup_keep_best,
         lsh_bucket_stats,
         minhash_lsh_pairs,
         ppjoin_prefix_pairs,
@@ -349,11 +350,10 @@ def template_main(max_n: int, bucket_cap: int) -> None:
 
         t_guard, r_guard = timed_median(guarded_fn)
         assert len(set(guard_counts)) == 1, guard_counts
-        comp = connected_components(
-            minhash_lsh_pairs(
-                df, n=3, threshold=0.2, bucket_cap=bucket_cap
-            ).select("doc_a", "doc_b")
-        )
+        guarded_pairs = minhash_lsh_pairs(
+            df, n=3, threshold=0.2, bucket_cap=bucket_cap
+        ).select("doc_a", "doc_b")
+        comp = connected_components(guarded_pairs)
         res = (
             comp.groupBy("comp")
             .count()
@@ -365,6 +365,37 @@ def template_main(max_n: int, bucket_cap: int) -> None:
         )
         assert res["n_comp"] == (n - k) // 2 + 1, (res, n, k)
         assert res["biggest"] == k, (res, n, k)
+
+        # 2b) resolution: keep-longest over the guarded pairs — the
+        #     declared composite's final rung (pipeline_curation_
+        #     neardup = capped pairs -> CC -> keep-best), closed-form
+        #     at every size: one keeper per cluster, the template
+        #     cluster keeps its min id (all 50 tokens, id tiebreak),
+        #     each 25-token background pair keeps one — so total kept
+        #     score is exactly 50 + 25 * (n - k) / 2. Untimed: the
+        #     rung is one cluster-keyed window; what this buys is the
+        #     END-TO-END playbook truth at probe scale, not a slope.
+        kept = dedup_keep_best(
+            df,
+            guarded_pairs,
+            F.size(F.split(F.col("text"), " ")).cast("long"),
+            components=comp,
+        )
+        krow = kept.agg(
+            F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_kept"), F.col("score")).otherwise(F.lit(0))
+            ).alias("kept_score"),
+            F.min(
+                F.when(
+                    F.col("is_kept") & (F.col("cluster_id") == 0),
+                    F.col("doc_id"),
+                )
+            ).alias("tmpl_keeper"),
+        ).collect()[0]
+        assert krow["n_kept"] == (n - k) // 2 + 1, (krow, n, k)
+        assert krow["kept_score"] == 50 + 25 * ((n - k) // 2), (krow, n, k)
+        assert krow["tmpl_keeper"] == 0, (krow, n, k)
 
         # 3) unguarded LSH / PPJoin: exact closed-form pair count
         #    asserted every rep, run while the previous cell stayed
