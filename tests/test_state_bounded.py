@@ -158,6 +158,29 @@ def test_windowed_agg_state_plateaus(spark, tmp_path, few_shuffle_partitions):
     assert_plateaus(series, distinct_keys)
 
 
+def test_streaming_dedup_state_plateaus(spark, tmp_path, few_shuffle_partitions):
+    """dropDuplicatesWithinWatermark (streaming_dedup): the seen-keys
+    set is the state; its docstring claims eviction once the watermark
+    passes — the bounded-state trade every streaming dedup makes.
+    Fresh keys per batch make a non-evicting dedup retain every key
+    ever seen. Each batch's rows are emitted in full (duplicate-free
+    input), so correctness is total passthrough."""
+    from demo_flink_spark.streaming.windows import streaming_dedup
+
+    stage = _stage_sliding_batches(spark, tmp_path / "src")
+    stream = _read_stream(spark, stage)
+    deduped = streaming_dedup(
+        stream, key_cols=["key"], ts_col="ts", watermark_delay="10 seconds"
+    )
+    name, metrics = _run_to_memory(deduped, tmp_path)
+
+    # every key is unique corpus-wide -> nothing is actually dropped
+    assert spark.table(name).count() == N_BATCHES * ROWS_PER_BATCH
+
+    series = [m["state_rows"] for m in metrics if m["input_rows"] > 0]
+    assert_plateaus(series, N_BATCHES * ROWS_PER_BATCH)
+
+
 def test_plateau_guard_rejects_cumulative_growth():
     """The receipt's own sanity check: a non-evicting buffer's series
     (cumulative input) must FAIL assert_plateaus — otherwise the two
