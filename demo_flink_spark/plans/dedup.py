@@ -15,6 +15,13 @@ from demo_flink_spark.operators import dedup as dd
 from demo_flink_spark.plans.spec import QuerySpec
 from demo_flink_spark.sources import load_table
 
+# The band-bucket width cap every DECLARED guarded query uses — and
+# the SAME constant its DuckDB oracles are derived from (ADVICE r13:
+# the lsh_bucket_stats oracle previously hardcoded 'w > 2', so a cap
+# change would only surface as a driver hash FAIL instead of being
+# impossible to desynchronize).
+LSH_BUCKET_CAP = 2
+
 # DuckDB twin of operators.dedup._canonical (lowercase → strip
 # non-[a-z\s] → collapse whitespace → trim).
 _CANON = (
@@ -269,7 +276,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_capped_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minhash_lsh_pairs with the band-bucket width guard ACTIVE
-    (bucket_cap=2, DROP overflow) — the 100 TB template-cluster
+    (bucket_cap=LSH_BUCKET_CAP, DROP overflow) — the 100 TB template-cluster
     mitigation as a declared, hash-verified query whose receipt is
     NON-VACUOUS at the driver's scale factor (VERDICT r12 #1).
 
@@ -295,7 +302,7 @@ def q_minhash_capped_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.2,
         signatures_df=_shared_minhash_sigs(spark, sf_dir),
-        bucket_cap=2,
+        bucket_cap=LSH_BUCKET_CAP,
         overflow="drop",
     )
 
@@ -303,7 +310,7 @@ def q_minhash_capped_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB NEAR-DUP curation playbook end-to-end as one
     declared query (VERDICT r12 #2): guarded MinHash-LSH pair
-    detection (bucket_cap=2, STAR overflow — the production policy
+    detection (bucket_cap=LSH_BUCKET_CAP, STAR overflow — the production policy
     whose Theta(k) star keeps template clusters connected) →
     connected components → keep-LONGEST resolution. Output is the
     keep/drop list a corpus build filters on: (doc_id, cluster_id,
@@ -313,7 +320,7 @@ def q_pipeline_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents as the production answer for template-heavy corpora —
     previously exercised only stage-by-stage. The DuckDB twin chains
     the capped-star candidate CTE (the exact overflow semantics,
-    plans/dedup.py::_minhash_lsh_oracle(cap=2)) into the recursive-
+    plans/dedup.py::_minhash_lsh_oracle(cap=LSH_BUCKET_CAP)) into the recursive-
     closure components + keep-longest oracles the individual stages
     already carry, so the whole pipeline is value-hash-checked as a
     unit — including which pairs the star narrowed away upstream of
@@ -331,7 +338,7 @@ def q_pipeline_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.2,
         signatures_df=_shared_minhash_sigs(spark, sf_dir),
-        bucket_cap=2,
+        bucket_cap=LSH_BUCKET_CAP,
         overflow="star",
     )
     return dd.dedup_keep_best(
@@ -355,7 +362,7 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.lsh_bucket_stats(
         docs,
-        bucket_cap=2,
+        bucket_cap=LSH_BUCKET_CAP,
         signatures_df=_shared_minhash_sigs(spark, sf_dir),
     )
 
@@ -756,7 +763,7 @@ SPECS = [
     QuerySpec(
         "dedup_minhash_capped_drop",
         q_minhash_capped_drop,
-        oracle=_minhash_lsh_oracle(cap=2, overflow="drop"),
+        oracle=_minhash_lsh_oracle(cap=LSH_BUCKET_CAP, overflow="drop"),
     ),
     QuerySpec(
         "lsh_bucket_stats",
@@ -773,7 +780,7 @@ SPECS = [
                    CAST(max(w) AS BIGINT) AS max_width,
                    round(avg(w), 6) AS mean_width,
                    CAST(sum(w * (w - 1) // 2) AS BIGINT) AS candidate_pairs,
-                   CAST(sum(CASE WHEN w > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(sum(CASE WHEN w > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_over_cap
             FROM widths
         ),
@@ -781,7 +788,7 @@ SPECS = [
             SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT)
                      AS docs_in_over_cap
             FROM bandkeys b JOIN widths w ON w.j = b.j AND w.bh = b.bh
-            WHERE w.w > 2
+            WHERE w.w > {LSH_BUCKET_CAP}
         )
         SELECT n_buckets, max_width, mean_width, candidate_pairs,
                n_over_cap, docs_in_over_cap
@@ -795,7 +802,7 @@ SPECS = [
         # the same recursive-closure + keep-longest SQL the stage
         # queries carry — the end-to-end playbook as one value hash
         oracle=rf"""
-        WITH RECURSIVE pairs AS ({_minhash_lsh_oracle(cap=2)}),
+        WITH RECURSIVE pairs AS ({_minhash_lsh_oracle(cap=LSH_BUCKET_CAP)}),
         edges AS (
             SELECT doc_a AS s, doc_b AS t FROM pairs
             UNION

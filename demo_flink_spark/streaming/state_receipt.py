@@ -57,14 +57,27 @@ def assert_plateaus(
 ) -> None:
     """Assert a per-batch state-row series is BOUNDED, not cumulative.
 
-    Two independent checks, both of which a non-evicting (unbounded)
-    buffer fails by construction on a sliding key population:
+    Four independent checks; a non-evicting (unbounded) buffer fails
+    1, 2 and 3 by construction on a sliding key population:
       1. the final plateau holds at most ``max_total_fraction`` of all
          state rows ever ingested (a cumulative buffer holds ~100%);
       2. the maximum over the last ``tail`` batches is within
          ``tail_growth_slack`` of the maximum over the preceding
-         window — i.e. the series stopped growing (a cumulative
-         buffer's tail max is its global max and keeps moving).
+         window — i.e. the series stopped growing. Two ADJACENT
+         windows, so a slow leak under ~slack^(1/tail)-1 per batch
+         (≈1.8% at the defaults) slips through this check alone
+         (ADVICE r13);
+      3. whole-series slow-leak check: the tail maximum is within
+         ``tail_growth_slack`` of the maximum over the EARLIEST
+         post-warmup window (batches ``tail..2*tail``). The gap this
+         compares across grows with the series length, so the
+         per-batch leak rate it tolerates shrinks toward zero as a
+         receipt drives more batches — a monotone leak fails here
+         long before the cumulative-fraction bound of check 1 trips;
+      4. spike check: the GLOBAL maximum is within
+         ``tail_growth_slack`` of the tail maximum — a mid-run spike
+         that drained before the tail would otherwise be blessed as
+         "bounded" even though the store needed spike-sized memory.
     Bounds are deliberately loose: micro-batch watermark advancement
     lags one batch, so the plateau spans 2-3 batches of rows, not 1.
     """
@@ -83,4 +96,16 @@ def assert_plateaus(
     assert final_plateau <= tail_growth_slack * mid_max, (
         f"state still growing across the tail: last-{tail} max "
         f"{final_plateau} vs preceding-{tail} max {mid_max}"
+    )
+    early_max = max(series[tail : 2 * tail])
+    assert final_plateau <= tail_growth_slack * early_max, (
+        f"slow monotone leak: last-{tail} max {final_plateau} vs "
+        f"earliest post-warmup window max {early_max} over "
+        f"{len(series) - 2 * tail} intervening batches"
+    )
+    global_max = max(series)
+    assert global_max <= tail_growth_slack * final_plateau, (
+        f"state peaked mid-run above the settled plateau: global max "
+        f"{global_max} vs tail max {final_plateau} — the store needed "
+        f"spike-sized memory even though the tail looks bounded"
     )

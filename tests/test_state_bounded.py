@@ -188,3 +188,27 @@ def test_plateau_guard_rejects_cumulative_growth():
     cumulative = [24 * (b + 1) for b in range(N_BATCHES)]
     with pytest.raises(AssertionError):
         assert_plateaus(cumulative, 24 * N_BATCHES)
+
+
+def test_plateau_guard_rejects_slow_monotone_leak():
+    """ADVICE r13: a store leaking ~1.5%/batch passes the adjacent-
+    window tail check (1.015^8 = 1.13 < 1.15 slack) and, on a short
+    enough run, the total-fraction check too — the whole-series
+    early-vs-tail comparison must catch it independently. 40 batches
+    at 1.5%/batch: early-window max ~72, tail max ~103 → ratio 1.44."""
+    leak = [int(60 * 1.015**b) for b in range(40)]
+    # confirm the leak is slow enough to slip the ADJACENT-window
+    # check alone (tail max / mid max under the 1.15 slack) — i.e.
+    # this test exercises the new check, not check 2
+    assert max(leak[-8:]) <= 1.15 * max(leak[-16:-8])
+    with pytest.raises(AssertionError, match="slow monotone leak"):
+        assert_plateaus(leak, total_ingested=24 * 40_000)
+
+
+def test_plateau_guard_rejects_midrun_spike():
+    """A store that ballooned mid-run and drained before the tail
+    still needed spike-sized memory; checks 1-2 look only at the tail
+    and would bless it. The global-vs-tail check must reject it."""
+    spike = [60] * 10 + [600] + [60] * 11
+    with pytest.raises(AssertionError, match="peaked mid-run"):
+        assert_plateaus(spike, total_ingested=24 * N_BATCHES * 100)
