@@ -23,15 +23,46 @@ incrementally):
    later batches dedup against earlier batches too, and the kept set
    is exactly "first occurrence wins" in stream order.
 
+Band-bucket WIDTH GUARD (`bucket_cap`, VERDICT r13 #1): the batch
+path caps template-cluster buckets (operators/dedup.py:
+minhash_lsh_pairs — one k=100k boilerplate cluster alone emits
+~5x10^9 candidate rows unguarded, measured slope 1.95 in SCALING.md
+r12), and the streaming form pays the SAME quadratic incrementally:
+every new template-doc arrival joins against all k prior members in
+its hot bucket, so total candidate volume over the cluster's
+lifetime is still Theta(k^2) — per-batch cost grows linearly with
+the accumulated cluster, unmonitored. With `bucket_cap=C` set, the
+guard tags every bucket TOUCHED by the batch (batch members plus the
+bucket's index members — a semi-join keeps untouched index buckets
+out of the pass entirely) with its width and representative (min
+doc_id across history + batch, matching the batch guard exactly);
+buckets of width <= C run the normal all-pairs candidate join, and
+wider buckets route per `overflow`:
+  - "star": each member pairs with the bucket's rep only — Theta(k)
+    rows per bucket lifetime instead of Theta(k^2), cluster-level
+    recall preserved for genuine template clusters (every member
+    verifies against the rep; same caveat as batch: a
+    hash-collision crowd can lose non-rep pairs);
+  - "drop": touched over-cap buckets contribute no candidates (the
+    flag-and-skip policy; monitor via `stats_dir`).
+Verification is unchanged, so precision stays 1 under both policies.
+`stats_dir` (opt-in) writes one row per epoch — candidate count and
+over-cap bucket/doc tallies — the streaming twin of the batch
+`lsh_bucket_stats` monitoring view, and what the planted-template
+receipt (tests/test_dedup_stream_guard.py) measures.
+
 Scale notes: the index is parquet partitioned by (epoch_id,
 band_idx) — the join key prunes on band_idx; at 100 TB the index join
 is a shuffled equi-join on 8-byte keys (band hash), and
 re-banding/compaction of the index dir is `compact_parquet`
-maintenance. foreachBatch is at-least-once, so both sinks are made
-exactly-once PER EPOCH: candidate history is read as `epoch_id <
-current` (a replayed batch never sees its own earlier half-write),
-and verdicts/index rows land via dynamic partition overwrite of the
-epoch's partitions — a replay rewrites its epoch instead of
+maintenance. Candidate generation is SKINNY (doc_id + band keys
+only); shingle payloads are attached to surviving candidates via a
+semi-joined lookup, so the wide arrays never ride the band join.
+foreachBatch is at-least-once, so all sinks are made exactly-once
+PER EPOCH: candidate history is read as `epoch_id < current` (a
+replayed batch never sees its own earlier half-write), and
+verdicts/index/stats rows land via dynamic partition overwrite of
+the epoch's partitions — a replay rewrites its epoch instead of
 duplicating it (tests/test_dedup_stream.py pins this with a direct
 double-replay).
 """
@@ -74,23 +105,144 @@ def incremental_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.4,
     checkpoint_dir: str | None = None,
+    bucket_cap: int | None = None,
+    overflow: str = "star",
+    stats_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the streaming dedup query over a streaming `incoming`
     DataFrame with (doc_id long, text string). Verdict rows:
     (doc_id, is_dup, matched_id, jaccard, epoch_id) — matched_id is
     the best (highest-jaccard, then lowest-id) prior doc, NULL when
-    the doc is novel.
+    the doc is novel. `bucket_cap`/`overflow`/`stats_dir`: see the
+    module docstring's width-guard section.
     """
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         process_dedup_batch(
             batch_df, epoch_id, index_dir, verdict_dir,
             n=n, n_hashes=n_hashes, bands=bands, threshold=threshold,
+            bucket_cap=bucket_cap, overflow=overflow, stats_dir=stats_dir,
         )
 
     writer = incoming.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def _candidate_keys(
+    mine_keys: DataFrame,
+    idx_keys: DataFrame,
+    bucket_cap: int | None,
+    overflow: str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Skinny candidate-pair generation: (in_id, hist_id) pairs where
+    in_id is always an incoming doc and hist_id is an earlier doc —
+    from the index, or a lower-id doc in the same batch (the batch
+    family's keep-min intra-batch convention).
+
+    `mine_keys`: (doc_id, band_idx, band_hash) of the batch.
+    `idx_keys`: same columns for the accumulated index (history).
+    Returns (cand_keys, tagged) — `tagged` is the width-tagged
+    touched-bucket frame (None when unguarded), exposed so the
+    caller's stats sidecar reuses the materialized pass instead of
+    recomputing it.
+
+    Guard shape (bucket_cap set): history rows are first SEMI-joined
+    to the batch's bucket keys — a bucket no incoming doc touches can
+    emit no candidates this batch, so the width pass costs
+    Theta(batch + index-rows-in-touched-buckets) per batch, NOT
+    Theta(index). One window over the join key tags width + rep, the
+    same single-shuffle shape as the batch guard
+    (operators/dedup.py:minhash_lsh_pairs).
+    """
+    if bucket_cap is None:
+        hist_ck = mine_keys.join(
+            idx_keys.withColumnRenamed("doc_id", "hist_id"),
+            ["band_idx", "band_hash"],
+        ).select(F.col("doc_id").alias("in_id"), "hist_id")
+        a, b = mine_keys.alias("a"), mine_keys.alias("b")
+        intra_ck = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("in_id"),
+            F.col("b.doc_id").alias("hist_id"),
+        )
+        return hist_ck.unionByName(intra_ck), None
+
+    from pyspark.sql.window import Window
+
+    touched_idx = idx_keys.join(
+        mine_keys.select("band_idx", "band_hash").distinct(),
+        ["band_idx", "band_hash"],
+        "semi",
+    )
+    all_keys = (
+        mine_keys.select(
+            "doc_id", "band_idx", "band_hash", F.lit(True).alias("is_new")
+        )
+        .unionByName(
+            touched_idx.select(
+                "doc_id", "band_idx", "band_hash",
+                F.lit(False).alias("is_new"),
+            )
+        )
+    )
+    # width + representative in ONE window pass on the join key —
+    # struct min is ordered by its first field, so _rep carries the
+    # bucket-min doc_id AND whether that rep is itself incoming
+    wspec = Window.partitionBy("band_idx", "band_hash")
+    tagged = all_keys.select(
+        "doc_id",
+        "band_idx",
+        "band_hash",
+        "is_new",
+        F.count(F.lit(1)).over(wspec).alias("_w"),
+        F.min(F.struct(F.col("doc_id"), F.col("is_new"))).over(wspec)
+        .alias("_rep"),
+    ).transform(cut_lineage)  # feeds narrow join, star routing, stats
+
+    narrow = tagged.filter(F.col("_w") <= bucket_cap)
+    mine_n = narrow.filter(F.col("is_new")).select(
+        "doc_id", "band_idx", "band_hash"
+    )
+    hist_n = narrow.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("hist_id"), "band_idx", "band_hash"
+    )
+    hist_ck = mine_n.join(hist_n, ["band_idx", "band_hash"]).select(
+        F.col("doc_id").alias("in_id"), "hist_id"
+    )
+    a, b = mine_n.alias("a"), mine_n.alias("b")
+    intra_ck = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") > F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("in_id"), F.col("b.doc_id").alias("hist_id")
+    )
+    cand = hist_ck.unionByName(intra_ck)
+    if overflow == "star":
+        # over-cap members pair with the bucket rep only; the verdict
+        # side (in_id) must be the INCOMING doc, so orient each
+        # rep-member pair by which side is new (both-history pairs
+        # were resolved in an earlier batch and emit nothing)
+        members = tagged.filter(
+            (F.col("_w") > bucket_cap)
+            & (F.col("doc_id") != F.col("_rep.doc_id"))
+        ).filter(F.col("is_new") | F.col("_rep.is_new"))
+        star_ck = members.select(
+            F.when(F.col("is_new"), F.col("doc_id"))
+            .otherwise(F.col("_rep.doc_id"))
+            .alias("in_id"),
+            F.when(F.col("is_new"), F.col("_rep.doc_id"))
+            .otherwise(F.col("doc_id"))
+            .alias("hist_id"),
+        )
+        cand = cand.unionByName(star_ck)
+    return cand, tagged
 
 
 def process_dedup_batch(
@@ -103,52 +255,69 @@ def process_dedup_batch(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.4,
+    bucket_cap: int | None = None,
+    overflow: str = "star",
+    stats_dir: str | None = None,
 ) -> None:
     """One micro-batch of the incremental dedup — module-level so a
-    replay (same batch, same epoch) can be exercised directly; both
-    sinks are idempotent per epoch."""
+    replay (same batch, same epoch) can be exercised directly; all
+    sinks are idempotent per epoch. `bucket_cap`/`overflow` apply the
+    batch family's band-bucket width guard to the history AND
+    intra-batch candidate joins (module docstring); `stats_dir`
+    additionally writes one (epoch_id, n_candidates, n_over_cap,
+    docs_in_over_cap) monitoring row per epoch."""
     from demo_flink_spark.operators.dedup import minhash_signatures
 
+    if overflow not in ("star", "drop"):
+        raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
     spark = batch_df.sparkSession
     sigs = cut_lineage(
         minhash_signatures(batch_df, n=n, n_hashes=n_hashes, bands=bands)
-    )  # two consumers: candidate join + index append
-    mine = sigs.select(
-        F.col("doc_id").alias("in_id"),
-        F.col("shingles").alias("in_sh"),
-        F.posexplode("bands").alias("band_idx", "band_hash"),
+        .select("doc_id", "shingles", "bands")
+    )  # three consumers: candidate join + shingle lookup + index append
+    mine_keys = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     # replay safety: a re-run epoch must not see its own earlier
     # half-written index rows as "history"
     idx = spark.read.parquet(index_dir).filter(
         F.col("epoch_id") < F.lit(int(epoch_id))
     )
-    hist_cand = mine.join(idx, ["band_idx", "band_hash"]).select(
-        "in_id",
-        "in_sh",
-        F.col("doc_id").alias("hist_id"),
-        F.col("shingles").alias("hist_sh"),
+    cand_keys, tagged = _candidate_keys(
+        mine_keys,
+        idx.select("doc_id", "band_idx", "band_hash"),
+        bucket_cap,
+        overflow,
     )
-    # intra-batch candidates: two near-dups arriving in the SAME
-    # micro-batch must still resolve (lower doc_id wins, matching
-    # the batch family's keep-min convention)
-    a, b = mine.alias("a"), mine.alias("b")
-    intra_cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.in_id") > F.col("b.in_id")),
-        )
-        .select(
-            F.col("a.in_id").alias("in_id"),
-            F.col("a.in_sh").alias("in_sh"),
-            F.col("b.in_id").alias("hist_id"),
-            F.col("b.in_sh").alias("hist_sh"),
-        )
+    cand_keys = cand_keys.dropDuplicates(["in_id", "hist_id"]).transform(
+        cut_lineage  # feeds shingle lookup semi-join + the wide join
     )
-    cand = hist_cand.unionByName(intra_cand).dropDuplicates(
-        ["in_id", "hist_id"]
+    # attach shingle payloads to SURVIVING candidates only: hist_id
+    # may be a history doc (index) or a lower-id batch doc (intra),
+    # and only candidates' shingles leave the column store
+    hist_lookup = (
+        sigs.select("doc_id", "shingles")
+        .unionByName(idx.select("doc_id", "shingles"))
+        .join(
+            cand_keys.select(F.col("hist_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "semi",
+        )
+        .dropDuplicates(["doc_id"])  # index holds one row per band
+    )
+    cand = (
+        cand_keys.join(
+            sigs.select(
+                F.col("doc_id").alias("in_id"), F.col("shingles").alias("in_sh")
+            ),
+            "in_id",
+        )
+        .join(
+            hist_lookup.withColumnsRenamed(
+                {"doc_id": "hist_id", "shingles": "hist_sh"}
+            ),
+            "hist_id",
+        )
     )
     inter = F.size(F.array_intersect("in_sh", "hist_sh"))
     union = F.size(F.array_union("in_sh", "hist_sh"))
@@ -187,6 +356,25 @@ def process_dedup_batch(
         .partitionBy("epoch_id")
         .parquet(verdict_dir)
     )
+    if stats_dir is not None:
+        # monitoring sidecar (streaming lsh_bucket_stats): candidate
+        # volume per batch is the number the guard bounds, over-cap
+        # tallies are what it routed. Counts on already-materialized
+        # frames (cand_keys/tagged are lineage-cut above).
+        if tagged is not None:
+            over = tagged.filter(F.col("_w") > bucket_cap)
+            n_over = over.select("band_idx", "band_hash").distinct().count()
+            docs_over = over.select("doc_id").distinct().count()
+        else:
+            n_over, docs_over = 0, 0
+        spark.createDataFrame(
+            [(int(cand_keys.count()), int(n_over), int(docs_over),
+              int(epoch_id))],
+            "n_candidates long, n_over_cap long, docs_in_over_cap long, "
+            "epoch_id long",
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch_id").parquet(stats_dir)
     # fold the batch's novel docs into the index: later batches
     # dedup against them (first occurrence wins in stream order)
     novel = verdicts.filter(~F.col("is_dup")).select("doc_id")
