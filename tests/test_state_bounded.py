@@ -181,6 +181,124 @@ def test_streaming_dedup_state_plateaus(spark, tmp_path, few_shuffle_partitions)
     assert_plateaus(series, N_BATCHES * ROWS_PER_BATCH)
 
 
+def _flush_source(spark):
+    """Sliding key population shaped for the inactivity-flush kernel:
+    one row per fresh key per batch (user_id, ts, ts_ms, value) with
+    event time advancing STEP_S per batch — far past watermark (10 s)
+    + flush gap (15 s), so every batch's keys become evictable two
+    watermark advances later."""
+    rows = []
+    for b in range(N_BATCHES):
+        for i in range(ROWS_PER_BATCH):
+            rows.append((f"k{b}_{i}", BASE_EPOCH + b * STEP_S + (i % 5), b))
+    return (
+        spark.createDataFrame(rows, "user_id string, sec long, batch int")
+        .select(
+            "user_id",
+            F.col("sec").cast("timestamp").alias("ts"),
+            (F.col("sec") * 1000).alias("ts_ms"),
+            F.lit(1.0).alias("value"),
+            "batch",
+        )
+    )
+
+
+def test_custom_stateful_op_timeout_evicts(spark, tmp_path, few_shuffle_partitions):
+    """The fourth receipt (VERDICT r13 #2): a CUSTOM keyed stateful
+    operator — applyInPandasWithState with the timers.py inactivity-
+    flush kernel — through run_stateful's opt-in EventTimeTimeout.
+    Keys that go quiet are flushed AND removed from the store, so
+    `numRowsTotal` plateaus at ~2-3 batches of keys instead of
+    tracking every key ever seen. This closes the one stateful class
+    (custom ops) whose 100 TB boundedness story was prose: the three
+    r13 receipts cover only Spark's built-in stateful operators."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from demo_flink_spark.streaming.harness import run_stateful
+    from demo_flink_spark.streaming.stateful_ops import StatefulOp
+    from demo_flink_spark.streaming.timers import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        make_inactivity_flush,
+    )
+
+    op = StatefulOp(
+        name="inactivity_flush",
+        fn=make_inactivity_flush(gap_ms=15_000),
+        output_schema=OUTPUT_SCHEMA,
+        state_schema=STATE_SCHEMA,
+    )
+    metrics: list[dict] = []
+    out = run_stateful(
+        spark,
+        _flush_source(spark),
+        ["user_id"],
+        op,
+        n_batches=N_BATCHES,
+        batch_col="batch",
+        work_dir=str(tmp_path),
+        timeout_conf=GroupStateTimeout.EventTimeTimeout,
+        watermark=("ts", "10 seconds"),
+        metrics_out=metrics,
+    )
+    total_keys = N_BATCHES * ROWS_PER_BATCH
+    # each flushed key emits exactly one summary row (n_events=1,
+    # value 1.0); the final batches' keys stay armed at stream end
+    flushed = {r.user_id: r for r in out.collect()}
+    assert len(flushed) >= total_keys - 3 * ROWS_PER_BATCH
+    assert all(r.n_events == 1 and r.sum_value == 1.0 for r in flushed.values())
+    series = [m["state_rows"] for m in metrics if m["input_rows"] > 0]
+    assert_plateaus(series, total_keys)
+
+
+def test_custom_stateful_op_no_timeout_grows_with_keys(
+    spark, tmp_path, few_shuffle_partitions
+):
+    """The measured NoTimeout growth law (SCALING.md r14): without a
+    timeout the store holds exactly one state row per DISTINCT KEY
+    EVER SEEN — faithful to the reference's W2 no-watermark CDC
+    semantics (unbounded by design), and the counterfactual proving
+    the receipt above measures eviction, not harness noise: the same
+    sliding population through a no-timeout accumulator must end at
+    state_rows == total keys and FAIL the plateau guard."""
+    import pandas as pd
+
+    from demo_flink_spark.streaming.harness import run_stateful
+    from demo_flink_spark.streaming.stateful_ops import StatefulOp
+
+    def accumulate(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [int(n)]})
+
+    op = StatefulOp(
+        name="no_timeout_accumulator",
+        fn=accumulate,
+        output_schema="user_id string, n_events long",
+        state_schema="n long",
+    )
+    metrics: list[dict] = []
+    run_stateful(
+        spark,
+        _flush_source(spark),
+        ["user_id"],
+        op,
+        n_batches=N_BATCHES,
+        batch_col="batch",
+        work_dir=str(tmp_path),
+        metrics_out=metrics,
+    )
+    series = [m["state_rows"] for m in metrics if m["input_rows"] > 0]
+    total_keys = N_BATCHES * ROWS_PER_BATCH
+    # the growth law, exactly: state rows = distinct keys seen
+    assert series[-1] == total_keys
+    assert series == sorted(series)  # monotone, never evicts
+    with pytest.raises(AssertionError):
+        assert_plateaus(series, total_keys)
+
+
 def test_plateau_guard_rejects_cumulative_growth():
     """The receipt's own sanity check: a non-evicting buffer's series
     (cumulative input) must FAIL assert_plateaus — otherwise the two
