@@ -95,6 +95,81 @@ def seed_index(docs: DataFrame, index_dir: str, *, n: int = 3,
     )
 
 
+def compact_index(
+    spark, index_dir: str, up_to_epoch: int, *, out_partitions: int = 16
+) -> int:
+    """Fold index epochs ``<= up_to_epoch`` into the consolidated
+    history epoch (-1) — the maintenance half of the index's 100 TB
+    story. The index is partitioned (epoch_id, band_idx), so an
+    always-on stream accretes 1 + bands directories per epoch and the
+    per-batch `spark.read.parquet(index_dir)` listing cost grows with
+    stream lifetime; folding closed epochs bounds the partition count
+    at (1 + bands × retained epochs) without touching semantics:
+
+    - the `epoch_id < current` replay filter still holds — the
+      consolidated rows carry -1, which is less than every live
+      epoch (seed_index already uses -1 for pre-stream history);
+    - run it between batches (foreachBatch bodies are serialized per
+      stream, so a maintenance window is any quiet moment; the
+      consolidated tree is built in a temp dir FIRST, then swapped
+      in, so a crash mid-compaction leaves either the old or the new
+      layout, never a half state);
+    - a REPLAY of an already-compacted epoch re-appends that epoch's
+      band rows next to their folded copies — harmless by
+      construction: self-pairs are excluded from the candidate keys
+      (the folded copies of the replayed docs would otherwise be
+      "history" to themselves), cross pairs are `dropDuplicates`'d
+      before verification, and the width guard only sees a
+      conservatively WIDER bucket; the next compaction dedupes the
+      doubled rows (receipt: test_replay_after_compaction_is_safe).
+      Production discipline remains: prefer compacting only epochs at
+      least two behind the stream's committed offset, where the
+      checkpoint guarantees no replay can reach them.
+
+    Local-filesystem swap (shutil): an object-store deployment uses
+    the same read→rewrite→swap with its atomic-rename primitive.
+    Returns the number of rows folded. `out_partitions` is the hash
+    partition count on band_idx for the rewrite (≈ out_partitions /
+    bands files per band directory — the small-files compaction; the
+    hash on band_idx also co-locates each band's rows).
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    tmp = index_dir.rstrip("/") + f"_compact_{uuid.uuid4().hex[:8]}"
+    folded = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("epoch_id") <= F.lit(int(up_to_epoch)))
+        .select("doc_id", "shingles", "band_idx", "band_hash")
+        # a replayed-after-compaction epoch leaves each of its band
+        # rows both in -1 and in its re-created epoch partition;
+        # folding dedupes them so the doubles never outlive the next
+        # compaction (shingles are identical per doc, so any row wins)
+        .dropDuplicates(["doc_id", "band_idx", "band_hash"])
+        .withColumn("epoch_id", F.lit(-1))
+        .repartition(out_partitions, "band_idx")
+    )
+    # the write MATERIALIZES the read before index_dir is mutated
+    folded.write.mode("overwrite").partitionBy("epoch_id", "band_idx").parquet(
+        tmp
+    )
+    n = spark.read.parquet(tmp).count()
+    for d in glob.glob(os.path.join(index_dir, "epoch_id=*")):
+        try:
+            epoch = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if epoch <= up_to_epoch:
+            shutil.rmtree(d)
+    consolidated = os.path.join(tmp, "epoch_id=-1")
+    if os.path.isdir(consolidated):  # empty fold writes no partition
+        shutil.move(consolidated, os.path.join(index_dir, "epoch_id=-1"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return int(n)
+
+
 def incremental_lsh_dedup(
     incoming: DataFrame,
     index_dir: str,
@@ -289,8 +364,17 @@ def process_dedup_batch(
         bucket_cap,
         overflow,
     )
-    cand_keys = cand_keys.dropDuplicates(["in_id", "hist_id"]).transform(
-        cut_lineage  # feeds shingle lookup semi-join + the wide join
+    # self-pair exclusion: in_id == hist_id arises when a doc's own
+    # band rows are visible as history — an epoch REPLAYED after
+    # compact_index folded it into -1 (the folded rows lose the epoch
+    # identity the `epoch_id < current` filter keys on), or a caller
+    # re-sending an id. A doc is never a duplicate of itself; without
+    # this, a post-compaction replay would flip its novel docs to
+    # dup-of-self (receipt: test_replay_after_compaction_is_safe).
+    cand_keys = (
+        cand_keys.filter(F.col("in_id") != F.col("hist_id"))
+        .dropDuplicates(["in_id", "hist_id"])
+        .transform(cut_lineage)  # feeds shingle lookup semi + wide join
     )
     # attach shingle payloads to SURVIVING candidates only: hist_id
     # may be a history doc (index) or a lower-id batch doc (intra),

@@ -339,3 +339,131 @@ def test_overflow_validation(spark, tmp_path):
             0, str(tmp_path / "i"), str(tmp_path / "v"),
             bucket_cap=2, overflow="median",
         )
+
+
+# --- index compaction (the maintenance half of the 100 TB story) ----------
+
+
+def _run_epochs(spark, batches, index_dir, verdict_dir, **kwargs):
+    from demo_flink_spark.streaming.dedup_stream import process_dedup_batch
+
+    for epoch, rows in enumerate(batches):
+        process_dedup_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            epoch, index_dir, verdict_dir, threshold=0.4, **kwargs,
+        )
+
+
+def _verdict_rows(spark, verdict_dir):
+    return sorted(
+        (r.doc_id, r.is_dup, r.matched_id, r.epoch_id)
+        for r in spark.read.parquet(verdict_dir).collect()
+    )
+
+
+def test_compact_index_preserves_semantics(spark, tmp_path):
+    """compact_index folds closed epochs into the consolidated -1
+    epoch: later batches must produce verdicts IDENTICAL to an
+    uncompacted twin, the index doc set must be unchanged, and the
+    epoch partition count must drop to (folded) + (live)."""
+    import os
+
+    from demo_flink_spark.streaming.dedup_stream import compact_index
+
+    batches = _clique_corpus()
+    seed = spark.createDataFrame(
+        [(1, "seed history document about nothing in particular here")],
+        "doc_id long, text string",
+    )
+    # twin A: no compaction
+    seed_index(seed, str(tmp_path / "idxA"))
+    _run_epochs(spark, batches, str(tmp_path / "idxA"), str(tmp_path / "vA"))
+    # twin B: compact after epoch 1, then run epoch 2
+    seed_index(seed, str(tmp_path / "idxB"))
+    _run_epochs(spark, batches[:2], str(tmp_path / "idxB"), str(tmp_path / "vB"))
+    folded = compact_index(spark, str(tmp_path / "idxB"), up_to_epoch=1)
+    assert folded > 0
+    epochs = {
+        d for d in os.listdir(str(tmp_path / "idxB"))
+        if d.startswith("epoch_id=")
+    }
+    assert epochs == {"epoch_id=-1"}
+    _run_epochs(
+        spark, batches[2:], str(tmp_path / "idxB"), str(tmp_path / "vB2"),
+    )
+    # compaction changed NOTHING the stream can observe... except the
+    # verdict epoch stamp of twin B's last batch (it processed the
+    # same rows as twin A's epoch 2 but under epoch index 0 of the
+    # continuation run), so compare modulo the stamp
+    a = _verdict_rows(spark, str(tmp_path / "vA"))
+    b = _verdict_rows(spark, str(tmp_path / "vB")) + _verdict_rows(
+        spark, str(tmp_path / "vB2")
+    )
+    assert [(d, i, m) for d, i, m, _ in a] == sorted(
+        (d, i, m) for d, i, m, _ in b
+    )
+    docs_a = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "idxA"))
+        .select("doc_id").distinct().collect()
+    }
+    docs_b = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "idxB"))
+        .select("doc_id").distinct().collect()
+    }
+    assert docs_a == docs_b
+
+
+def test_replay_after_compaction_is_safe(spark, tmp_path):
+    """foreachBatch is at-least-once: an epoch replayed AFTER its
+    partition was folded into -1 re-creates the partition next to the
+    folded copy. The doubled band rows must not change verdicts
+    (candidates are dropDuplicates'd; the width guard only widens),
+    and the next compaction must dedupe them away."""
+    from demo_flink_spark.streaming.dedup_stream import (
+        compact_index,
+        process_dedup_batch,
+    )
+
+    batches = _clique_corpus()
+    index_dir, verdict_dir = str(tmp_path / "idx"), str(tmp_path / "v")
+    seed_index(
+        spark.createDataFrame(
+            [(1, "seed history document about nothing in particular here")],
+            "doc_id long, text string",
+        ),
+        index_dir,
+    )
+    _run_epochs(spark, batches[:2], index_dir, verdict_dir)
+    compact_index(spark, index_dir, up_to_epoch=1)
+    # replay epoch 1 post-compaction (same rows, same epoch id)
+    process_dedup_batch(
+        spark.createDataFrame(batches[1], "doc_id long, text string"),
+        1, index_dir, verdict_dir, threshold=0.4,
+    )
+    base = spark.read.parquet(index_dir)
+    # novel doc 13's band rows now exist twice (folded -1 + replayed 1)
+    per_doc = {
+        r.doc_id: r.n
+        for r in base.groupBy("doc_id").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert per_doc[13] == 32  # 16 bands x 2 copies
+    # epoch 2 still resolves exactly as the clique twin demands
+    process_dedup_batch(
+        spark.createDataFrame(batches[2], "doc_id long, text string"),
+        2, index_dir, verdict_dir, threshold=0.4,
+    )
+    v = {r.doc_id: r for r in spark.read.parquet(verdict_dir).collect()}
+    assert v[17].is_dup and v[17].matched_id == 13
+    assert v[18].is_dup and v[18].matched_id == 10
+    assert not v[16].is_dup
+    # the next compaction folds the doubles away
+    compact_index(spark, index_dir, up_to_epoch=2)
+    per_doc2 = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(index_dir).groupBy("doc_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert all(n == 16 for n in per_doc2.values()), per_doc2
