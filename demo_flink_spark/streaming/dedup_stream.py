@@ -98,22 +98,29 @@ def seed_index(docs: DataFrame, index_dir: str, *, n: int = 3,
 def compact_index(
     spark, index_dir: str, up_to_epoch: int, *, out_partitions: int = 16
 ) -> int:
-    """Fold index epochs ``<= up_to_epoch`` into the consolidated
-    history epoch (-1) — the maintenance half of the index's 100 TB
-    story. The index is partitioned (epoch_id, band_idx), so an
-    always-on stream accretes 1 + bands directories per epoch and the
-    per-batch `spark.read.parquet(index_dir)` listing cost grows with
-    stream lifetime; folding closed epochs bounds the partition count
-    at (1 + bands × retained epochs) without touching semantics:
+    """Fold index epochs ``<= up_to_epoch`` into one consolidated
+    history epoch — the maintenance half of the index's 100 TB story.
+    The index is partitioned (epoch_id, band_idx), so an always-on
+    stream accretes 1 + bands directories per epoch and the per-batch
+    `spark.read.parquet(index_dir)` listing cost grows with stream
+    lifetime; folding closed epochs bounds the partition count at
+    (1 + bands × retained epochs) without touching semantics:
 
-    - the `epoch_id < current` replay filter still holds — the
-      consolidated rows carry -1, which is less than every live
-      epoch (seed_index already uses -1 for pre-stream history);
-    - run it between batches (foreachBatch bodies are serialized per
-      stream, so a maintenance window is any quiet moment; the
-      consolidated tree is built in a temp dir FIRST, then swapped
-      in, so a crash mid-compaction leaves either the old or the new
-      layout, never a half state);
+    - the `epoch_id < current` replay filter still holds — each
+      consolidated partition carries a NEGATIVE epoch (one below the
+      smallest epoch currently present, so every compaction
+      generation gets a fresh value: -2, -3, …; seed_index's -1 is
+      the zeroth generation), which is less than every live epoch;
+    - crash-safety by DUPLICATE TOLERANCE, not atomicity (a
+      multi-directory swap has no atomic rename): the consolidated
+      partition is built in a temp tree and moved INTO the index in
+      one rename BEFORE any folded directory is deleted. A crash
+      before the move leaves the index untouched (plus an orphan
+      ``*_compact_*`` temp dir to sweep); a crash during the delete
+      loop leaves folded rows present TWICE (consolidated + not-yet-
+      deleted originals) — exactly the state the pipeline already
+      tolerates (see next bullet) and the next compaction dedupes.
+      No window loses data;
     - a REPLAY of an already-compacted epoch re-appends that epoch's
       band rows next to their folded copies — harmless by
       construction: self-pairs are excluded from the candidate keys
@@ -126,8 +133,8 @@ def compact_index(
       least two behind the stream's committed offset, where the
       checkpoint guarantees no replay can reach them.
 
-    Local-filesystem swap (shutil): an object-store deployment uses
-    the same read→rewrite→swap with its atomic-rename primitive.
+    Local-filesystem moves (shutil); an object-store deployment uses
+    the same build→install→delete order with its rename primitive.
     Returns the number of rows folded. `out_partitions` is the hash
     partition count on band_idx for the rewrite (≈ out_partitions /
     bands files per band directory — the small-files compaction; the
@@ -138,17 +145,29 @@ def compact_index(
     import shutil
     import uuid
 
+    def _epoch_dirs() -> list[tuple[int, str]]:
+        out = []
+        for d in glob.glob(os.path.join(index_dir, "epoch_id=*")):
+            try:
+                out.append((int(os.path.basename(d).split("=", 1)[1]), d))
+            except ValueError:
+                continue
+        return out
+
+    existing = _epoch_dirs()
+    new_epoch = min((e for e, _ in existing), default=-1) - 1
     tmp = index_dir.rstrip("/") + f"_compact_{uuid.uuid4().hex[:8]}"
     folded = (
         spark.read.parquet(index_dir)
         .filter(F.col("epoch_id") <= F.lit(int(up_to_epoch)))
         .select("doc_id", "shingles", "band_idx", "band_hash")
         # a replayed-after-compaction epoch leaves each of its band
-        # rows both in -1 and in its re-created epoch partition;
-        # folding dedupes them so the doubles never outlive the next
-        # compaction (shingles are identical per doc, so any row wins)
+        # rows both in the consolidated partition and in its
+        # re-created epoch partition; folding dedupes them so the
+        # doubles never outlive the next compaction (shingles are
+        # identical per doc, so any row wins)
         .dropDuplicates(["doc_id", "band_idx", "band_hash"])
-        .withColumn("epoch_id", F.lit(-1))
+        .withColumn("epoch_id", F.lit(new_epoch))
         .repartition(out_partitions, "band_idx")
     )
     # the write MATERIALIZES the read before index_dir is mutated
@@ -156,16 +175,16 @@ def compact_index(
         tmp
     )
     n = spark.read.parquet(tmp).count()
-    for d in glob.glob(os.path.join(index_dir, "epoch_id=*")):
-        try:
-            epoch = int(os.path.basename(d).split("=", 1)[1])
-        except ValueError:
-            continue
-        if epoch <= up_to_epoch:
-            shutil.rmtree(d)
-    consolidated = os.path.join(tmp, "epoch_id=-1")
+    # install FIRST (one rename; folded rows now exist twice — the
+    # tolerated state), delete the folded originals AFTER
+    consolidated = os.path.join(tmp, f"epoch_id={new_epoch}")
     if os.path.isdir(consolidated):  # empty fold writes no partition
-        shutil.move(consolidated, os.path.join(index_dir, "epoch_id=-1"))
+        shutil.move(
+            consolidated, os.path.join(index_dir, f"epoch_id={new_epoch}")
+        )
+        for epoch, d in existing:
+            if epoch <= up_to_epoch:
+                shutil.rmtree(d)
     shutil.rmtree(tmp, ignore_errors=True)
     return int(n)
 
@@ -191,6 +210,11 @@ def incremental_lsh_dedup(
     the doc is novel. `bucket_cap`/`overflow`/`stats_dir`: see the
     module docstring's width-guard section.
     """
+    if overflow not in ("star", "drop"):
+        # fail fast at call time — inside foreachBatch this would only
+        # surface as a StreamingQueryException at the first micro-batch
+        raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         process_dedup_batch(
             batch_df, epoch_id, index_dir, verdict_dir,
@@ -230,12 +254,16 @@ def _candidate_keys(
     same single-shuffle shape as the batch guard
     (operators/dedup.py:minhash_lsh_pairs).
     """
-    if bucket_cap is None:
-        hist_ck = mine_keys.join(
-            idx_keys.withColumnRenamed("doc_id", "hist_id"),
+    def _band_cands(new_side: DataFrame, hist_side: DataFrame) -> DataFrame:
+        """The two candidate joins, shared verbatim by the guarded and
+        unguarded branches so they cannot silently diverge (the batch
+        twin's `_band_pairs` discipline, operators/dedup.py): the
+        history equi-join plus the keep-min intra-batch self-join."""
+        hist_ck = new_side.join(
+            hist_side.withColumnRenamed("doc_id", "hist_id"),
             ["band_idx", "band_hash"],
         ).select(F.col("doc_id").alias("in_id"), "hist_id")
-        a, b = mine_keys.alias("a"), mine_keys.alias("b")
+        a, b = new_side.alias("a"), new_side.alias("b")
         intra_ck = a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -245,7 +273,10 @@ def _candidate_keys(
             F.col("a.doc_id").alias("in_id"),
             F.col("b.doc_id").alias("hist_id"),
         )
-        return hist_ck.unionByName(intra_ck), None
+        return hist_ck.unionByName(intra_ck)
+
+    if bucket_cap is None:
+        return _band_cands(mine_keys, idx_keys), None
 
     from pyspark.sql.window import Window
 
@@ -284,21 +315,9 @@ def _candidate_keys(
         "doc_id", "band_idx", "band_hash"
     )
     hist_n = narrow.filter(~F.col("is_new")).select(
-        F.col("doc_id").alias("hist_id"), "band_idx", "band_hash"
+        "doc_id", "band_idx", "band_hash"
     )
-    hist_ck = mine_n.join(hist_n, ["band_idx", "band_hash"]).select(
-        F.col("doc_id").alias("in_id"), "hist_id"
-    )
-    a, b = mine_n.alias("a"), mine_n.alias("b")
-    intra_ck = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col("a.doc_id") > F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("in_id"), F.col("b.doc_id").alias("hist_id")
-    )
-    cand = hist_ck.unionByName(intra_ck)
+    cand = _band_cands(mine_n, hist_n)
     if overflow == "star":
         # over-cap members pair with the bucket rep only; the verdict
         # side (in_id) must be the INCOMING doc, so orient each
@@ -378,16 +397,22 @@ def process_dedup_batch(
     )
     # attach shingle payloads to SURVIVING candidates only: hist_id
     # may be a history doc (index) or a lower-id batch doc (intra),
-    # and only candidates' shingles leave the column store
-    hist_lookup = (
-        sigs.select("doc_id", "shingles")
-        .unionByName(idx.select("doc_id", "shingles"))
-        .join(
-            cand_keys.select(F.col("hist_id").alias("doc_id")).distinct(),
-            "doc_id",
-            "semi",
-        )
+    # and only candidates' shingles leave the column store. The index
+    # side WINS when an id exists in both (a caller re-sending an id
+    # with changed text): "duplicate of a prior doc" means the
+    # historical text, and an arbitrary-winner union would make the
+    # verdict depend on partition ordering (review r14).
+    needed = cand_keys.select(F.col("hist_id").alias("doc_id")).distinct()
+    idx_look = (
+        idx.select("doc_id", "shingles")
+        .join(needed, "doc_id", "semi")
         .dropDuplicates(["doc_id"])  # index holds one row per band
+        .transform(cut_lineage)  # two consumers: union side + anti side
+    )
+    hist_lookup = idx_look.unionByName(
+        sigs.select("doc_id", "shingles")
+        .join(needed, "doc_id", "semi")
+        .join(idx_look.select("doc_id"), "doc_id", "anti")
     )
     cand = (
         cand_keys.join(
@@ -446,9 +471,20 @@ def process_dedup_batch(
         # tallies are what it routed. Counts on already-materialized
         # frames (cand_keys/tagged are lineage-cut above).
         if tagged is not None:
-            over = tagged.filter(F.col("_w") > bucket_cap)
-            n_over = over.select("band_idx", "band_hash").distinct().count()
-            docs_over = over.select("doc_id").distinct().count()
+            # both over-cap tallies in ONE job over the materialized
+            # frame — the hot-bucket case this monitors is exactly
+            # where a second scan would hurt most (review r14)
+            row = (
+                tagged.filter(F.col("_w") > bucket_cap)
+                .agg(
+                    F.count_distinct(
+                        F.col("band_idx"), F.col("band_hash")
+                    ).alias("b"),
+                    F.count_distinct(F.col("doc_id")).alias("d"),
+                )
+                .first()
+            )
+            n_over, docs_over = row.b, row.d
         else:
             n_over, docs_over = 0, 0
         spark.createDataFrame(

@@ -69,11 +69,16 @@ def assert_plateaus(
          (ADVICE r13);
       3. whole-series slow-leak check: the tail maximum is within
          ``tail_growth_slack`` of the maximum over the EARLIEST
-         post-warmup window (batches ``tail..2*tail``). The gap this
-         compares across grows with the series length, so the
-         per-batch leak rate it tolerates shrinks toward zero as a
-         receipt drives more batches — a monotone leak fails here
-         long before the cumulative-fraction bound of check 1 trips;
+         post-warmup window (``series[tail : 2*tail]``, truncated to
+         stay disjoint from the tail). The gap this compares across
+         grows with the series length, so the per-batch leak rate it
+         tolerates shrinks toward zero as a receipt drives more
+         batches — a monotone leak fails here long before the
+         cumulative-fraction bound of check 1 trips. At the minimum
+         permitted length (exactly ``2*tail`` batches) no disjoint
+         early window exists and this check does not bind — drive
+         more than ``2*tail`` batches for slow-leak coverage (the
+         repo's receipts drive 22 vs the 16 minimum);
       4. spike check: the GLOBAL maximum is within
          ``tail_growth_slack`` of the tail maximum — a mid-run spike
          that drained before the tail would otherwise be blessed as
@@ -97,12 +102,14 @@ def assert_plateaus(
         f"state still growing across the tail: last-{tail} max "
         f"{final_plateau} vs preceding-{tail} max {mid_max}"
     )
-    early_max = max(series[tail : 2 * tail])
-    assert final_plateau <= tail_growth_slack * early_max, (
-        f"slow monotone leak: last-{tail} max {final_plateau} vs "
-        f"earliest post-warmup window max {early_max} over "
-        f"{len(series) - 2 * tail} intervening batches"
-    )
+    early = series[tail : min(2 * tail, len(series) - tail)]
+    if early:  # empty at the minimum length — see docstring
+        early_max = max(early)
+        assert final_plateau <= tail_growth_slack * early_max, (
+            f"slow monotone leak: last-{tail} max {final_plateau} vs "
+            f"earliest post-warmup window max {early_max} over "
+            f"{len(series) - 2 * tail} intervening batches"
+        )
     global_max = max(series)
     assert global_max <= tail_growth_slack * final_plateau, (
         f"state peaked mid-run above the settled plateau: global max "

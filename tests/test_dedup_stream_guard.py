@@ -384,10 +384,13 @@ def test_compact_index_preserves_semantics(spark, tmp_path):
     folded = compact_index(spark, str(tmp_path / "idxB"), up_to_epoch=1)
     assert folded > 0
     epochs = {
-        d for d in os.listdir(str(tmp_path / "idxB"))
+        int(d.split("=", 1)[1])
+        for d in os.listdir(str(tmp_path / "idxB"))
         if d.startswith("epoch_id=")
     }
-    assert epochs == {"epoch_id=-1"}
+    # exactly one partition left: the fresh consolidated negative
+    # epoch (one below the pre-compaction minimum of -1)
+    assert epochs == {-2}
     _run_epochs(
         spark, batches[2:], str(tmp_path / "idxB"), str(tmp_path / "vB2"),
     )
@@ -467,3 +470,58 @@ def test_replay_after_compaction_is_safe(spark, tmp_path):
         .withColumnRenamed("count", "n").collect()
     }
     assert all(n == 16 for n in per_doc2.values()), per_doc2
+
+
+def test_compaction_crash_window_is_duplicate_tolerant(spark, tmp_path):
+    """The compaction's documented crash contract: the consolidated
+    partition is installed BEFORE the folded originals are deleted, so
+    a crash mid-delete leaves folded rows present twice — never lost.
+    Simulate that exact state (re-create a folded epoch dir after
+    compaction) and pin that verdicts are unchanged and the next
+    compaction dedupes the doubles."""
+    import shutil
+
+    from demo_flink_spark.streaming.dedup_stream import (
+        compact_index,
+        process_dedup_batch,
+    )
+
+    batches = _clique_corpus()
+    index_dir, verdict_dir = str(tmp_path / "idx"), str(tmp_path / "v")
+    seed_index(
+        spark.createDataFrame(
+            [(1, "seed history document about nothing in particular here")],
+            "doc_id long, text string",
+        ),
+        index_dir,
+    )
+    _run_epochs(spark, batches[:2], index_dir, verdict_dir)
+    # snapshot epoch 1's partition, compact, then restore it — the
+    # on-disk state of a crash after install but mid-delete
+    shutil.copytree(f"{index_dir}/epoch_id=1", str(tmp_path / "crashcopy"))
+    compact_index(spark, index_dir, up_to_epoch=1)
+    shutil.copytree(str(tmp_path / "crashcopy"), f"{index_dir}/epoch_id=1")
+    # epoch 1's novel doc 13 now exists in -2 AND in the restored 1
+    counts = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(index_dir).groupBy("doc_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert counts[13] == 32
+    # the stream continues correctly through the duplicate state
+    process_dedup_batch(
+        spark.createDataFrame(batches[2], "doc_id long, text string"),
+        2, index_dir, verdict_dir, threshold=0.4,
+    )
+    v = {r.doc_id: r for r in spark.read.parquet(verdict_dir).collect()}
+    assert v[17].is_dup and v[17].matched_id == 13
+    assert v[18].is_dup and v[18].matched_id == 10
+    assert not v[16].is_dup
+    # re-running the interrupted maintenance heals the duplicates
+    compact_index(spark, index_dir, up_to_epoch=2)
+    healed = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(index_dir).groupBy("doc_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert all(n == 16 for n in healed.values()), healed

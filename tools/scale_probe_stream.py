@@ -106,7 +106,11 @@ def expect(T: int, policy: str) -> list[int]:
 
 
 def main() -> int:
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from demo_flink_spark.session import get_spark
 
     sizes = [int(a) for a in sys.argv[1:]] or [1000, 2000]
