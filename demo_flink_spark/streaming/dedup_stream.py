@@ -385,8 +385,9 @@ def process_dedup_batch(
     )
     # self-pair exclusion: in_id == hist_id arises when a doc's own
     # band rows are visible as history — an epoch REPLAYED after
-    # compact_index folded it into -1 (the folded rows lose the epoch
-    # identity the `epoch_id < current` filter keys on), or a caller
+    # compact_index folded it into a consolidated negative epoch (the
+    # folded rows lose the epoch identity the `epoch_id < current`
+    # filter keys on), or a caller
     # re-sending an id. A doc is never a duplicate of itself; without
     # this, a post-compaction replay would flip its novel docs to
     # dup-of-self (receipt: test_replay_after_compaction_is_safe).

@@ -362,8 +362,8 @@ def _verdict_rows(spark, verdict_dir):
 
 
 def test_compact_index_preserves_semantics(spark, tmp_path):
-    """compact_index folds closed epochs into the consolidated -1
-    epoch: later batches must produce verdicts IDENTICAL to an
+    """compact_index folds closed epochs into one consolidated
+    negative epoch: later batches must produce verdicts IDENTICAL to an
     uncompacted twin, the index doc set must be unchanged, and the
     epoch partition count must drop to (folded) + (live)."""
     import os
