@@ -86,6 +86,36 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # Warm the Python DataSource machinery (r14 measurement fix,
+    # documented in OPTIMIZATION_r14.md): the FIRST datasource
+    # registration + read in a session pays ~2.5 s of one-time
+    # machinery (lazy pyspark.sql.datasource import, the JVM-side
+    # Python plan-runner process, the Arrow source-eval path). That
+    # is session startup of the same kind as the JVM/worker/codegen
+    # warm-ups above, but it was charged to the alphabetically-only
+    # query using the API (`pysource_event_counts`: 3.3 s of which
+    # ~2.5 s machinery). Warming uses a THROWAWAY one-row source
+    # defined here — not the engine's connector, whose registration,
+    # planning and generation stay inside the timed cell.
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _WarmupSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "bench_warmup_src"
+
+        def schema(self):
+            return "i long"
+
+        def reader(self, schema):
+            class _R(DataSourceReader):
+                def read(self, partition):
+                    yield (0,)
+
+            return _R()
+
+    spark.dataSource.register(_WarmupSource)
+    spark.read.format("bench_warmup_src").load().count()
     # JIT the string-expression codegen path (regexp/split/explode):
     # whole-stage Janino compilation of these operators is a one-time
     # ~2-3 s cost otherwise charged to the alphabetically-first query

@@ -378,27 +378,61 @@ def bfs_hops(
     oracle can afford recursive-UNION + min(hop) at oracle scale, the
     engine side cannot assume that at 100 TB.
 
+    Loop shape (r14 optimization pass — output-identical, the set
+    algebra is unchanged):
+    - each hop's NEW frontier is checkpointed once; the visited set
+      for the anti-join is the LAZY union of those per-hop frames, so
+      no hop re-materializes the whole accumulated distance table
+      (the previous `dist.union(nxt).checkpoint()` re-copied O(|V|)
+      rows per hop — O(|V|·hops) total writes for data already on
+      the executors);
+    - the frontier count is read from the checkpointed frame (the
+      same one job the old `isEmpty` emptiness probe paid), which
+      gives every next hop an EXACT size for `broadcast_if_small` on
+      both per-hop joins: the frontier side of the expansion join and
+      the visited side of the anti-join. Both inputs are checkpointed
+      RDD scans whose sizes Catalyst cannot estimate (it defaults
+      them to "huge"), so without the hint each hop sort-merge-joins
+      the full edge list — with it, the edge list never moves and a
+      hop's only exchange is the `distinct` over the new candidates.
+      On node-heavy graphs the hint degrades to the shuffle join
+      instead of an OOM (hints.py contract).
+
     Output is pure integers — hash-exact across engines.
     """
+    from functools import reduce
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).transform(cut_lineage_lazy)
-    dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-    dist = dist.withColumn("hops", F.lit(0)).transform(cut_lineage)
-    frontier = dist.select("node")
+    dist0 = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    dist0 = dist0.withColumn("hops", F.lit(0)).transform(cut_lineage)
+    frames = [dist0]
+    n_frontier = dist0.count()
+    n_visited = n_frontier
+    frontier = dist0.select("node")
     for h in range(1, max_hops + 1):
+        visited = reduce(
+            DataFrame.union, [f.select("node") for f in frames]
+        )
         nxt = (
-            frontier.join(e, frontier.node == e.src)
+            broadcast_if_small(frontier, n_frontier)
+            .join(e, frontier.node == e.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(
+                broadcast_if_small(visited, n_visited), "node", "left_anti"
+            )
             .withColumn("hops", F.lit(h))
             .transform(cut_lineage)
         )
-        if nxt.isEmpty():
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
-        dist = dist.union(nxt).transform(cut_lineage)
+        frames.append(nxt)
+        n_visited += n_frontier
         frontier = nxt.select("node")
+    dist = reduce(DataFrame.union, frames)
     return dist.select("node", F.col("hops").cast("int").alias("hops"))
 
 
@@ -559,13 +593,20 @@ def label_propagation(
 
     Per round: one equi-join edges⨝labels (the |V|-row label vector
     rides a conditional broadcast, same as pagerank's rank vector, so
-    the edge list never moves) + one (node,label) count aggregate
-    (map-side combinable) + one per-node argmax as a max(struct(c,
-    -lab)) hash aggregate — a second map-side-combinable agg instead
-    of a rank window's exchange+sort. All shuffles keyed on node ids,
-    no driver-side adjacency, skew bounded by max degree. (-lab
-    encodes the min-label tie-break inside an ascending struct max;
-    labels here are node ids ≥ 0 so the negation cannot overflow.)
+    the edge list never moves) + ONE per-node `mode(lab,
+    deterministic=true)` aggregate. Spark's deterministic mode is
+    exactly this round's update — plurality with smallest-value
+    tie-break over the vote multiset — as a single
+    ObjectHashAggregate whose per-group count map merges map-side, so
+    each round shuffles partial maps through one exchange keyed on
+    node. The r14 optimization pass replaced the previous two-level
+    form (count per (node,lab), then argmax per node — TWO exchanges
+    per round, the second carrying ~|distinct (node,lab)| rows ≈ |E|
+    early on) after pinning output equality on the sf0.1 bipartite
+    graph (sym-diff 0 over 3 rounds) — counts are exact integers and
+    the tie-break total order is identical, so equality holds by
+    construction, not just on the fixture. All shuffles keyed on node
+    ids, no driver-side adjacency, skew bounded by max degree.
 
     Probed alternative (r9, rejected): fusing the self-vote as a +1
     on the neighbor count via a full-outer (node,lab) join instead of
@@ -574,7 +615,7 @@ def label_propagation(
     alternating reps): the union's |V| extra rows ride the first
     aggregate's map-side combine for free, while the fusion pays a
     whole extra exchange of the label frame on (node,lab). The
-    union shape is the optimal one.
+    union shape is the optimal one for the vote stream.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -604,12 +645,9 @@ def label_propagation(
         ).select(F.col("src").alias("node"), "lab").unionByName(
             labels.select("node", "lab")
         )
-        cnt = votes.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            cnt.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
-            .select("node", (-F.col("m.nl")).alias("lab"))
-        )
+        # deterministic mode == plurality with min-label tie-break, in
+        # ONE map-side-combinable aggregate (see docstring)
+        labels = votes.groupBy("node").agg(F.mode("lab", True).alias("lab"))
         rounds_run += 1
         at_boundary = rounds_run % checkpoint_every == 0 or rounds_run == n_rounds
         if at_boundary:

@@ -229,8 +229,9 @@ def profile_table(
             aggs.append(
                 F.approx_count_distinct(col, rsd=0.02).alias(f"__nd_{c}")
             )
-    wide = df.agg(*aggs).first()
+    wide_df = df.agg(*aggs)
     if not exact_ndv:
+        wide = wide_df.first()
         ndv = {c: wide[f"__nd_{c}"] for c in cols}
         rows = [
             (
@@ -263,15 +264,26 @@ def profile_table(
     melted = df.select(
         F.expr(f"stack({len(cols)}, {stack_args}) AS (column, val)")
     )
-    ndv = {
-        r["column"]: r["nd"]
-        for r in melted.filter(F.col("val").isNotNull())
+    ndv_df = (
+        melted.filter(F.col("val").isNotNull())
         .groupBy("column", "val")
         .agg(F.lit(1))
         .groupBy("column")
         .agg(F.count(F.lit(1)).alias("nd"))
-        .collect()
-    }
+    )
+    # The wide aggregate and the melt-distinct are INDEPENDENT jobs
+    # over the same scan; submit them concurrently (guide §2.6 —
+    # actions are only sequential because driver code calls them
+    # sequentially) so the slower job's tail back-fills the other's
+    # executors and the operator's wall clock is max(t1, t2), not
+    # t1 + t2. Results are unchanged — both jobs are deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        wide_fut = pool.submit(wide_df.first)
+        ndv_rows = pool.submit(ndv_df.collect).result()
+        wide = wide_fut.result()
+    ndv = {r["column"]: r["nd"] for r in ndv_rows}
     rows = [
         (
             c,

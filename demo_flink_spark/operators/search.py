@@ -47,8 +47,17 @@ def bm25_scores(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(norm)).alias("term"),
     )
-    # doc length over ALL terms (before the query-term prune)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc length over ALL terms (before the query-term prune):
+    # size(tokens) per doc is the exploded row count WITHOUT the
+    # explode or its groupBy exchange — a narrow scan instead of a
+    # full token-stream shuffle (r14 pass, guide §2.3/§2.4). The
+    # dl > 0 filter mirrors the explode's semantics exactly: a doc
+    # with zero tokens produced no exploded rows, so it was absent
+    # from the grouped frame (and from n_docs/avgdl).
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(norm)).cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -128,7 +137,13 @@ def bm25_batch(
         )
         .distinct()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # size(tokens) == exploded row count, minus the explode and its
+    # groupBy exchange; dl > 0 mirrors the explode's exclusion of
+    # zero-token docs (see bm25_scores)
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(norm)).cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -1505,7 +1505,12 @@ def textrank_keywords(
         .union(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
     )
-    r = pagerank(edges, damping=damping, n_iter=n_iter)
+    # early_exit off: at damping 0.85 / 6 rounds the exact Q52 fixed
+    # point is unreachable (~220 rounds needed — pagerank docstring),
+    # so the boundary signature job is pure overhead; output is
+    # identical either way (the exit only fires at an exact fixed
+    # point, where further rounds are no-ops).
+    r = pagerank(edges, damping=damping, n_iter=n_iter, early_exit=False)
     return (
         r.orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(k)

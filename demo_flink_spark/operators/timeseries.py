@@ -186,6 +186,15 @@ def mad_outliers(
 
     Plan: two keyed window passes (value rank, then absdev rank) and
     a 1-row-per-key broadcast join back — shuffles only on the key.
+    Each window pass executes exactly ONCE (r14 optimization pass):
+    the per-key median frames (`med`, `mad` — one row per key) are
+    lazily lineage-cut, so the sorts behind them run a single time no
+    matter how many broadcasts consume them, and the deviation frame
+    is derived from the RAW (key, v, tb) projection + a broadcast of
+    `med` rather than from the ranked frame — the value-rank window
+    previously re-executed inside every broadcast build of
+    `med`/`stats` (3 sort passes for one answer, visible as repeated
+    Window+Sort subtrees under each BroadcastExchange in the plan).
     The full-sort-per-key window is the audit-grade exact path (same
     caveat as `percentile_exact`): at 100 TB locate each median with
     the sketch-first-then-residual recipe — IMPLEMENTED as
@@ -193,27 +202,32 @@ def mad_outliers(
     by sharing the full-sort oracle) — and run this operator's
     selection on the residual band only.
     """
+    from demo_flink_spark.operators.checkpointing import cut_lineage_lazy
+
     v, key = F.col(value_col), F.col(key_col)
-    w = Window.partitionBy(key_col).orderBy(value_col, tiebreak_col)
-    wn = Window.partitionBy(key_col)
-    ranked = df.select(
-        key.alias("key"),
-        v.alias("v"),
-        F.col(tiebreak_col).alias("tb"),
+    w = Window.partitionBy("key").orderBy("v", "tb")
+    wn = Window.partitionBy("key")
+    base = df.select(
+        key.alias("key"), v.alias("v"), F.col(tiebreak_col).alias("tb")
+    )
+    ranked = base.select(
+        "key",
+        "v",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    # (n+1) div 2 as exact integer arithmetic
-    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
-        "key", F.col("v").alias("med"), "n"
+    # (n+1) div 2 as exact integer arithmetic; one row per key, so the
+    # lazy lineage cut materializes the rank sort exactly once
+    med = (
+        ranked.filter(F.expr("rn = (n + 1) div 2"))
+        .select("key", F.col("v").alias("med"), "n")
+        .transform(cut_lineage_lazy)
     )
     # dev feeds TWO consumers (the absdev rank window and the final
-    # outlier count): cut lineage or the value-rank window re-executes
-    # per consumer
-    from demo_flink_spark.operators.checkpointing import cut_lineage_lazy
-
+    # outlier count): cut lineage or the scan+join re-executes per
+    # consumer
     dev = (
-        ranked.join(F.broadcast(med.drop("n")), "key")
+        base.join(F.broadcast(med.select("key", "med")), "key")
         .select(
             "key", "v", "tb", F.abs(F.col("v") - F.col("med")).alias("absdev")
         )
@@ -224,10 +238,12 @@ def mad_outliers(
         "key",
         "absdev",
         F.row_number().over(w2).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n"),
+        F.count(F.lit(1)).over(wn).alias("n"),
     )
-    mad = dev_ranked.filter(F.expr("rn = (n + 1) div 2")).select(
-        "key", F.col("absdev").alias("mad")
+    mad = (
+        dev_ranked.filter(F.expr("rn = (n + 1) div 2"))
+        .select("key", F.col("absdev").alias("mad"))
+        .transform(cut_lineage_lazy)
     )
     stats = med.join(F.broadcast(mad), "key")
     return (

@@ -67,6 +67,14 @@ def get_spark(
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # --- broadcast joins for dimension tables (small side < 32 MiB) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # --- allow shuffled-hash when its size conditions hold (guide
+        #     §3.1/§9): hash beats sort-merge's per-partition sort when
+        #     one side's partitions fit in memory; the planner's
+        #     canBuildLocalHashMap guard and AQE still fall back to
+        #     sort-merge otherwise. r14 A/B over 12 mixed queries:
+        #     median 19.7 s -> 18.5 s (within box noise, adopted as the
+        #     documented-safe default, not as a measured-win claim) ---
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # --- ANSI off: match the permissive semantics of the oracle data ---
         .config("spark.sql.ansi.enabled", "false")
         # --- session timezone pinned so timestamp semantics match DuckDB ---

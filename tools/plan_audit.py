@@ -533,8 +533,12 @@ CHECKS = {
     # OOV: vocab is NOT force-broadcast (r5 rule) — size-based
     # planning picks the strategy; never a cartesian
     "oov_rate_by_lang": (["HashAggregate"], ["CartesianProduct"]),
-    # MAD: two keyed window passes + 1-row-per-key broadcast joins
-    "anomaly_mad_hampel": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # MAD: two keyed window passes + 1-row-per-key broadcast joins.
+    # (r14: the rank windows moved behind lazy lineage cuts so each
+    # sort executes exactly once — like lm_bigram_score they now show
+    # as Scan ExistingRDD in the final plan, so Window is no longer a
+    # required FINAL-plan node; the broadcast join back remains.)
+    "anomaly_mad_hampel": (["BroadcastHashJoin"], ["CartesianProduct"]),
     # discrete quantiles: ONE keyed window + aggregate; customer dim
     # rides a broadcast
     "quantile_disc_by_segment": (
@@ -670,9 +674,11 @@ CHECKS = {
         ["BroadcastHashJoin"],
         ["SortMergeJoin", "Window", "CartesianProduct"],
     ),
-    # STL residual anomalies: window chain + broadcast med/mad joins
+    # STL residual anomalies: window chain + broadcast med/mad joins.
+    # (r14: the MAD rank windows sit behind lazy lineage cuts — see
+    # anomaly_mad_hampel — so Window is not a final-plan node here.)
     "anomaly_stl_residual": (
-        ["Window", "BroadcastHashJoin"],
+        ["BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
     # winsorize: rank window + 1-row-per-key broadcast fences
