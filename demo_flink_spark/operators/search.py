@@ -48,16 +48,23 @@ def bm25_scores(
         F.explode(_tokens(norm)).alias("term"),
     )
     # doc length over ALL terms (before the query-term prune):
-    # size(tokens) per doc is the exploded row count WITHOUT the
-    # explode or its groupBy exchange — a narrow scan instead of a
-    # full token-stream shuffle (r14 pass, guide §2.3/§2.4). The
-    # dl > 0 filter mirrors the explode's semantics exactly: a doc
-    # with zero tokens produced no exploded rows, so it was absent
-    # from the grouped frame (and from n_docs/avgdl).
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(_tokens(norm)).cast("long").alias("dl"),
-    ).filter(F.col("dl") > 0)
+    # size(tokens) per INPUT ROW, then summed per doc_id — the same
+    # grouped exchange as before but over one narrow row per doc
+    # instead of the full exploded token stream (r14 pass, guide
+    # §2.3: aggregate before you shuffle / shuffle fewer bytes).
+    # Summing per doc_id (not a bare per-row size) keeps the old
+    # explode+groupBy semantics exact even for a caller passing
+    # duplicate doc_ids (review r14), and the dl > 0 filter mirrors
+    # the explode's exclusion of docs whose rows all tokenize empty.
+    dl = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(_tokens(norm)).cast("long").alias("_n_toks"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_n_toks").alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -137,13 +144,19 @@ def bm25_batch(
         )
         .distinct()
     )
-    # size(tokens) == exploded row count, minus the explode and its
-    # groupBy exchange; dl > 0 mirrors the explode's exclusion of
-    # zero-token docs (see bm25_scores)
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(_tokens(norm)).cast("long").alias("dl"),
-    ).filter(F.col("dl") > 0)
+    # per-row size(tokens) summed per doc_id: the dl exchange carries
+    # one narrow row per doc instead of the exploded token stream,
+    # with semantics exact even under duplicate doc_ids — see
+    # bm25_scores (review r14)
+    dl = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(_tokens(norm)).cast("long").alias("_n_toks"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_n_toks").alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

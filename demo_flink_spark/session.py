@@ -73,8 +73,16 @@ def get_spark(
         #     canBuildLocalHashMap guard and AQE still fall back to
         #     sort-merge otherwise. r14 A/B over 12 mixed queries:
         #     median 19.7 s -> 18.5 s (within box noise, adopted as the
-        #     documented-safe default, not as a measured-win claim) ---
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        #     documented-safe default, not as a measured-win claim).
+        #     The guard is estimate-based, so a badly under-estimated
+        #     build side OOMs where sort-merge would spill — on a
+        #     deployment where that tail risk outweighs the sort
+        #     savings, set SPARK_GRAFT_PREFER_SMJ=true to restore
+        #     Spark's default (parameterised, not buried) ---
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # --- ANSI off: match the permissive semantics of the oracle data ---
         .config("spark.sql.ansi.enabled", "false")
         # --- session timezone pinned so timestamp semantics match DuckDB ---

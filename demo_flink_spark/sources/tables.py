@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -75,11 +76,30 @@ def ensure_session(spark: SparkSession) -> None:
 # discipline as Spark's own per-session file-index cache
 # (`spark.sql.hive.filesourcePartitionFileCacheSize`, guide §6),
 # applied at the source wrapper because these are path tables with no
-# catalog. Keyed by applicationId so a new session re-lists and
-# re-infers; bounded so long-lived sessions sweeping many sf_dirs
-# cannot grow it without limit.
-_HANDLES: dict[tuple, DataFrame] = {}
+# catalog. Keyed WEAKLY by the SparkSession OBJECT (review r14: a
+# `spark.newSession()` sibling shares the applicationId but must not
+# receive a DataFrame bound to the parent session), so a new or
+# sibling session re-lists and re-infers and a dead session's entries
+# are collectable; per-session maps are bounded so a long-lived
+# session sweeping many sf_dirs cannot grow one without limit.
+# Contract for table MUTATION (the memo contract, mirrored): a flow
+# that rewrites <sf_dir>/<name>.parquet mid-session must call
+# `clear_table_handles()` or the cached handle's frozen file listing
+# points at deleted part-files. No in-repo flow rewrites a load_table
+# path in-session (tools/scale_probe.py builds its derived dir
+# before its first read); the hook exists for external callers.
+_HANDLES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 _MAX_HANDLES = 64
+
+
+def clear_table_handles() -> None:
+    """Drop every cached table handle (all sessions). Call after
+    rewriting any table file a prior `load_table` of this session may
+    have listed — the handle cache is metadata-only but its file
+    listing is frozen at first read."""
+    _HANDLES.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -93,8 +113,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _HANDLES.get(key)
+    per_session = _HANDLES.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -111,9 +132,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if len(_HANDLES) >= _MAX_HANDLES:
-        _HANDLES.pop(next(iter(_HANDLES)))
-    _HANDLES[key] = df
+    if len(per_session) >= _MAX_HANDLES:
+        per_session.pop(next(iter(per_session)))
+    per_session[key] = df
     return df
 
 

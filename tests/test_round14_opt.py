@@ -105,6 +105,47 @@ def test_bm25_dl_excludes_zero_token_docs_exactly(spark):
     assert base == plus
 
 
+def test_bm25_dl_sums_duplicate_doc_ids(spark):
+    """Review r14: the dl rewrite must keep the old explode+groupBy
+    semantics under DUPLICATE doc_ids — one dl row per doc_id with
+    the SUMMED token count, one n_docs contribution per doc_id."""
+    from demo_flink_spark.operators.search import bm25_scores
+
+    uni = spark.createDataFrame(
+        [(1, "apple banana apple cherry"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    dup = spark.createDataFrame(
+        [(1, "apple banana"), (1, "apple cherry"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    # same multiset of tokens per doc_id => identical dl/n_docs/avgdl
+    # => identical tf-normalized scores
+    r_uni = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in bm25_scores(uni, ["apple", "cherry"]).collect()
+    }
+    r_dup = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in bm25_scores(dup, ["apple", "cherry"]).collect()
+    }
+    assert r_uni == r_dup
+
+
+def test_load_table_handle_cache_is_per_session(spark):
+    """Review r14: a `newSession()` sibling shares the applicationId
+    but must get its OWN handle (a DataFrame is bound to the session
+    that created it)."""
+    from demo_flink_spark.sources import load_table
+
+    sib = spark.newSession()
+    a = load_table(spark, SF_DIR, "lineitem")
+    b = load_table(sib, SF_DIR, "lineitem")
+    assert a is not b
+    assert b is load_table(sib, SF_DIR, "lineitem")
+    assert b.sparkSession is sib
+
+
 def test_load_table_handle_cache(spark):
     """Repeat load_table calls return the SAME DataFrame handle per
     (session, sf_dir, table) — metadata caching only — and distinct

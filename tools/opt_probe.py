@@ -6,9 +6,11 @@ Usage:
 
 Timing uses the bench methodology (count() on the query frame) so the
 numbers compare 1:1 with bench.py cells; run on a quiet box. Plans are
-load-independent. Memos are cleared between queries only for `plans`
-mode when SPARK_GRAFT_PROBE_COLDMEMO=1, so a consumer query's captured
-plan shows the build it normally hits in-session.
+load-independent. Note: session memos are NOT cleared between
+queries, so a memo-consumer query captured after another consumer
+shows an InMemoryTableScan of the shared build (which is also what it
+hits in a bench session); capture it in a fresh process for the
+cold-build plan.
 """
 
 from __future__ import annotations
