@@ -66,6 +66,18 @@ def _modp_affine(x, a, b):
     multiplies with 2^61 ≡ 1 (mod p) folds; every intermediate < 2^63.
     Exactly equals integer (a*x+b) %% p — validated against Python int
     math and DuckDB HUGEINT in tests.
+
+    The reductions are Mersenne folds, not generic `%` (r15, guide
+    §1.2 per-task work): for p = 2^61-1, y mod p of any y < 2^63 is
+    `(y & p) + (y >> 61)` followed by ONE conditional subtract —
+    shift/mask/compare instead of 64-bit integer division — and the
+    arithmetic runs in place (`out=`/`where=`) so the (V × n_hashes)
+    sweep makes ~8 array passes instead of ~15 temporaries. Each
+    fold's input bound is noted inline; outputs are bit-identical to
+    the old generic-% form (same math mod p, pinned by the existing
+    cross-engine tests and the r15 twin-kernel receipt). 3x measured
+    on the signature sweep (90 -> 29 ms at V=25k with the caller's
+    cache blocking).
     """
     import numpy as np
 
@@ -74,12 +86,38 @@ def _modp_affine(x, a, b):
     m30 = np.uint64((1 << 30) - 1)
     a1, a0 = a >> np.uint64(31), a & m31
     x1, x0 = x >> np.uint64(31), x & m31
-    term1 = (((a1 * x1) % p) * np.uint64(2)) % p  # *2^62 ≡ *2 (mod p)
-    t2 = (a1 * x0 + a0 * x1) % p
-    u1, u0 = t2 >> np.uint64(30), t2 & m30
-    term2 = (u1 + (u0 << np.uint64(31))) % p      # t2 * 2^31 (mod p)
-    term3 = (a0 * x0) % p
-    return (term1 + term2 + term3 + b) % p
+    # a1*x1 < 2^60 < p: already reduced; *2^62 ≡ *2 (mod p), < 2^61
+    acc = a1 * x1
+    acc <<= np.uint64(1)
+    np.subtract(acc, p, out=acc, where=acc >= p)
+    # a1*x0 + a0*x1 < 2^62: one fold + subtract reduces below p
+    t2 = a1 * x0
+    t2 += a0 * x1
+    hi = t2 >> np.uint64(61)
+    t2 &= p
+    t2 += hi
+    np.subtract(t2, p, out=t2, where=t2 >= p)
+    # t2 * 2^31 (mod p): u1 + (u0 << 31) < 2^61 + 2^31; one subtract
+    hi = t2 >> np.uint64(30)
+    t2 &= m30
+    t2 <<= np.uint64(31)
+    t2 += hi
+    np.subtract(t2, p, out=t2, where=t2 >= p)
+    acc += t2
+    # a0*x0 < 2^62: one fold + subtract
+    t3 = a0 * x0
+    hi = t3 >> np.uint64(61)
+    t3 &= p
+    t3 += hi
+    np.subtract(t3, p, out=t3, where=t3 >= p)
+    acc += t3
+    # each term < p, b < 2^61: acc + b < 2^63 -> one fold + subtract
+    acc += b
+    hi = acc >> np.uint64(61)
+    acc &= p
+    acc += hi
+    np.subtract(acc, p, out=acc, where=acc >= p)
+    return acc
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -403,6 +441,8 @@ def minhash_signatures(
     """
     import numpy as np
 
+    from demo_flink_spark.operators.fasthash import md5_u64_batch
+
     sh = shingles_df if shingles_df is not None else shingles(docs, text_col, n)
     p = np.uint64(MINHASH_P)
     a_list, b_list = minhash_params(n_hashes)
@@ -410,88 +450,94 @@ def minhash_signatures(
     b = np.array(b_list, dtype=np.uint64)
     empty_sig = (b % p).astype(np.int64)  # doc with no shingles
 
-    def band_fold(sig_i64: "np.ndarray") -> list[int]:
-        # engine-portable band key: md5 of "bandIdx:v0,v1,..." over the
-        # band's signature rows, reduced into a non-negative int64 —
-        # any SQL engine with md5 reproduces it (DuckDB:
-        # md5_number_upper(...) % 2^63)
-        rows = n_hashes // bands
-        chunk = sig_i64.reshape(bands, rows)
-        return [
-            int.from_bytes(
-                hashlib.md5(
-                    (f"{j}:" + ",".join(str(int(v)) for v in chunk[j])).encode()
-                ).digest()[:8],
-                "little",
-            )
-            % (1 << 63)
-            for j in range(bands)
-        ]
-
     out_schema = "doc_id long, signature array<long>, shingles array<string>"
     if bands is not None:
         out_schema += ", bands array<long>"
+    rows_per_band = None if bands is None else n_hashes // bands
+
+    def band_fold_batch(sig_rows: list) -> "np.ndarray":
+        # engine-portable band key: md5 of "bandIdx:v0,v1,..." over the
+        # band's signature rows, reduced into a non-negative int64 —
+        # any SQL engine with md5 reproduces it (DuckDB:
+        # md5_number_upper(...) % 2^63). r15: the strings are still
+        # built per (doc, band) — f-string formatting of the plain-int
+        # rows beat numpy 'U' concatenation by 4x here — but hashed in
+        # ONE md5 batch instead of a hashlib call each (guide §4.2).
+        n_docs = len(sig_rows)
+        r = rows_per_band
+        enc = [
+            (
+                "%d:" % j
+                + ",".join(map(str, row[j * r : (j + 1) * r]))
+            ).encode()
+            for row in sig_rows
+            for j in range(bands)
+        ]
+        folded = md5_u64_batch(enc) & np.uint64((1 << 63) - 1)
+        return folded.astype(np.int64).reshape(n_docs, bands)
 
     def sign(batches):
         for pdf in batches:
             # The permutation value depends only on the shingle hash,
             # and corpora repeat shingles heavily — so compute the
             # affine ONCE per distinct shingle in the chunk ((V, 64),
-            # V = chunk vocabulary) and per-doc take a gather + min.
-            # A flat per-occurrence pass materialized (N_occurrences,
-            # 64) uint64 intermediates — gigabytes per chunk at sf0.1,
-            # which was 10x slower than this, not faster. Memo is per
-            # Arrow batch, not per partition: a partition-lifetime dict
-            # would grow to the whole vocabulary.
-            memo: dict[str, int] = {}
-
-            def shingle_idx(s: str) -> int:
+            # V = chunk vocabulary) and per-doc take a gather +
+            # segment-min. A flat per-occurrence pass materialized
+            # (N_occurrences, 64) uint64 intermediates — gigabytes per
+            # chunk at sf0.1, which was 10x slower than this, not
+            # faster. Memo is per Arrow batch, not per partition: a
+            # partition-lifetime vocabulary would grow unboundedly.
+            # r15 vectorization (guide §4.2): the per-occurrence dict
+            # loop is pd.factorize (C hash table), the per-distinct
+            # hashlib.md5 loop is one md5_u64_batch call, and the
+            # per-doc min loop is one np.minimum.reduceat — outputs
+            # byte-identical to the loop kernel (receipt:
+            # tests/test_round15_opt.py twin-kernel proof).
+            lists = list(pdf["shingles"])
+            n_docs = len(lists)
+            lens = np.array(
+                [0 if sl is None else len(sl) for sl in lists], dtype=np.int64
+            )
+            sig_mat = np.tile(empty_sig, (n_docs, 1))
+            nonempty = np.flatnonzero(lens > 0)
+            if len(nonempty):
+                flat = np.concatenate([lists[i] for i in nonempty])
+                codes, uniques = pd.factorize(flat)
                 # md5 first-8-bytes little-endian mod p — equals
                 # DuckDB's md5_number_upper(s) % p
-                i = memo.get(s)
-                if i is None:
-                    i = len(memo)
-                    memo[s] = i
-                return i
-
-            lists = list(pdf["shingles"])
-            idx_lists = [
-                None
-                if sl is None or len(sl) == 0
-                else np.array([shingle_idx(s) for s in sl], dtype=np.int64)
-                for sl in lists
-            ]
-            doc_sigs: list = [None] * len(lists)
-            if memo:
-                hs = np.array(
-                    [
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                        % MINHASH_P
-                        for s in memo
-                    ],
-                    dtype=np.uint64,
-                )
+                hs = md5_u64_batch([s.encode() for s in uniques]) % p
                 # overflow-free (a*x+b) mod p: any engine with 128-bit
-                # integers reproduces it directly
-                aff = _modp_affine(hs[:, None], a[None, :], b[None, :]).astype(
-                    np.int64
-                )
-                for i, idxs in enumerate(idx_lists):
-                    if idxs is not None:
-                        doc_sigs[i] = aff[idxs].min(axis=0)
-            sigs, band_col = [], []
-            for i in range(len(lists)):
-                sig = doc_sigs[i] if doc_sigs[i] is not None else empty_sig
-                sigs.append(sig.tolist())
-                if bands is not None:
-                    band_col.append(band_fold(sig))
+                # integers reproduces it directly. Cache-blocked in
+                # 2048-hash slices so the sweep's intermediates stay
+                # in L2 (~1 MB/slice) instead of streaming (V, 64)
+                # arrays through memory — 2x on top of the in-place
+                # folds, same outputs.
+                aff = np.empty((len(hs), n_hashes), dtype=np.int64)
+                for lo in range(0, len(hs), 2048):
+                    sl = hs[lo : lo + 2048]
+                    aff[lo : lo + len(sl)] = _modp_affine(
+                        sl[:, None], a[None, :], b[None, :]
+                    ).astype(np.int64)
+                ne_lens = lens[nonempty]
+                bounds = np.concatenate(([0], np.cumsum(ne_lens)))
+                # per-doc segment-min in one reduceat per 512-doc
+                # slice: bounds the gathered (occurrences, n_hashes)
+                # intermediate to ~15 MB however large the Arrow
+                # batch, instead of materializing it whole
+                for dlo in range(0, len(nonempty), 512):
+                    dhi = min(dlo + 512, len(nonempty))
+                    seg = aff[codes[bounds[dlo] : bounds[dhi]]]
+                    sig_mat[nonempty[dlo:dhi]] = np.minimum.reduceat(
+                        seg, bounds[dlo:dhi] - bounds[dlo]
+                    )
+            sig_rows = sig_mat.tolist()
             out = {
                 "doc_id": pdf["doc_id"],
-                "signature": sigs,
+                "signature": sig_rows,
                 "shingles": pdf["shingles"],
             }
             if bands is not None:
-                out["bands"] = band_col
+                out["bands"] = band_fold_batch(sig_rows).tolist()
             yield pd.DataFrame(out)
 
     return sh.mapInPandas(sign, out_schema)

@@ -56,6 +56,41 @@ def broadcast_threshold_bytes(df: DataFrame) -> int:
     return max(val, 0)
 
 
+def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition `df` UP to the session's default
+    parallelism when its physical plan currently yields fewer
+    partitions; return it unchanged otherwise.
+
+    Why: a single small parquet file is one row group, so its scan is
+    ONE task no matter how many cores the session has — and every
+    narrow operation chained on it (an Arrow kernel, an explode, the
+    map side of the first exchange) runs sequentially. Paying one tiny
+    exchange of the base rows unlocks full-width parallelism for an
+    expensive downstream pass (guide §2.5 "input skew: one huge
+    unsplittable file... repartition immediately after the read").
+
+    Scale-adaptive by construction (NOT a local[32] constant): the
+    target is `sparkContext.defaultParallelism` (total cores in local
+    mode and on clusters), and the repartition only fires when the
+    actual scan is narrower — at 100 TB the input has thousands of
+    splits, the guard sees width ≥ cores, and NO shuffle is added.
+    Apply only where the downstream per-row work dwarfs one exchange
+    of the input (measured per site; at sf0.1 that is the shingle/
+    signature family — cheap-stage-1 queries got slower from the
+    added exchange and were left alone, OPTIMIZATION_r15.md).
+
+    Correctness-invisible: round-robin repartition is deterministic
+    under Spark's sort-before-repartition default, and every declared
+    query is partitioning-independent (pinned by the shake gate).
+    """
+    t = target or df.sparkSession.sparkContext.defaultParallelism
+    # physical partition count of the frame as planned (for a scan:
+    # the file-split count); computing it is a plan walk, no job
+    if df.rdd.getNumPartitions() < t:
+        return df.repartition(t)
+    return df
+
+
 def broadcast_if_small(
     df: DataFrame, est_rows: int, row_bytes: int = _EST_ROW_BYTES
 ) -> DataFrame:

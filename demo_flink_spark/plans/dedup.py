@@ -88,12 +88,23 @@ def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     pass reads it; this memo is the single-session equivalent —
     bounded-LRU contract in plans/memo.py, keyed by (applicationId,
     sf_dir, n) so new sessions/scales rebuild."""
+    from demo_flink_spark.operators.hints import widen_if_narrow
     from demo_flink_spark.plans.memo import session_memo
 
+    # widen_if_narrow: the sf documents table is ONE row group, so
+    # without this every consumer's expensive stage-1 (the shingle
+    # Arrow kernel here; downstream, the signature kernel and the
+    # posting-list explode feeding the pair joins) runs as ONE task.
+    # One exchange of the raw docs (sub-MB here) makes the persisted
+    # memo full-width for every consumer: measured at sf0.1 the
+    # signature pass drops 1.7 -> 0.5 s and the ngram-pair build
+    # 1.9 -> 1.3 s (r15; no-op at scale — see the helper contract).
     return session_memo(
         "shingles",
         (spark.sparkContext.applicationId, sf_dir, n),
-        lambda: dd.shingles(load_table(spark, sf_dir, "documents"), n=n),
+        lambda: dd.shingles(
+            widen_if_narrow(load_table(spark, sf_dir, "documents")), n=n
+        ),
     )
 
 
