@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,6 +93,14 @@ _HANDLES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 _MAX_HANDLES = 64
+# load_table is called from driver thread pools (profile_table's
+# concurrent jobs, bench warm-up threads), and WeakKeyDictionary /
+# dict mutation is not atomic across the setdefault/pop/insert
+# sequence below (ADVICE r14). One lock around the cache operations;
+# the uncached read itself runs outside it so concurrent cold loads
+# of DIFFERENT tables still overlap (worst case two threads race the
+# same cold table and one result wins — both are valid handles).
+_HANDLES_LOCK = threading.Lock()
 
 
 def clear_table_handles() -> None:
@@ -99,7 +108,8 @@ def clear_table_handles() -> None:
     rewriting any table file a prior `load_table` of this session may
     have listed — the handle cache is metadata-only but its file
     listing is frozen at first read."""
-    _HANDLES.clear()
+    with _HANDLES_LOCK:
+        _HANDLES.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -113,9 +123,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session(spark)
-    per_session = _HANDLES.setdefault(spark, {})
     key = (sf_dir, name)
-    cached = per_session.get(key)
+    with _HANDLES_LOCK:
+        per_session = _HANDLES.setdefault(spark, {})
+        cached = per_session.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -132,9 +143,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if len(per_session) >= _MAX_HANDLES:
-        per_session.pop(next(iter(per_session)))
-    per_session[key] = df
+    with _HANDLES_LOCK:
+        if len(per_session) >= _MAX_HANDLES:
+            per_session.pop(next(iter(per_session)))
+        per_session[key] = df
     return df
 
 

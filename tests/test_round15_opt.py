@@ -197,6 +197,91 @@ def test_minhash_vectorized_kernel_twin_oracle(spark):
         sh.unpersist()
 
 
+def test_mad_outliers_single_execution_shape_and_value_twin(spark):
+    """ADVICE r14: dropping Window from the audit's required
+    final-plan nodes for anomaly_mad_hampel/anomaly_stl_residual
+    removed its ability to see the windowed median at all. This
+    receipt pins BOTH halves: (a) the final plan keeps the r14
+    single-execution shape — the rank windows live behind lineage
+    cuts, so Window/Sort must NOT reappear inline (a regression that
+    re-executes the sort per broadcast consumer would resurface
+    them); (b) the output equals an inline no-cut twin whose plan
+    visibly contains the two rank windows — so the cut can never
+    silently degrade the median computation itself."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from demo_flink_spark.operators.timeseries import mad_outliers
+    from demo_flink_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value", "event_id"
+    )
+    out = mad_outliers(ev, "event_type", "value", "event_id", k=3.0)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan and "Sort (" not in plan
+
+    # inline twin: same median-by-rank algebra, no lineage cuts
+    w = Window.partitionBy("key").orderBy("v", "tb")
+    wn = Window.partitionBy("key")
+    base = ev.select(
+        F.col("event_type").alias("key"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("tb"),
+    )
+    ranked = base.select(
+        "key",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        "key", F.col("v").alias("med"), "n"
+    )
+    dev = base.join(med.select("key", "med"), "key").select(
+        "key", "v", "tb", F.abs(F.col("v") - F.col("med")).alias("absdev")
+    )
+    w2 = Window.partitionBy("key").orderBy("absdev", "tb")
+    dev_ranked = dev.select(
+        "key",
+        "absdev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = dev_ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        "key", F.col("absdev").alias("mad")
+    )
+    stats = med.join(mad, "key")
+    twin = (
+        dev.join(stats.select("key", "mad"), "key")
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.when(F.col("absdev") > F.lit(3.0) * F.col("mad"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .join(stats, "key")
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+            "med",
+            "mad",
+            "n_outliers",
+        )
+    )
+    twin_plan = twin._sc._jvm.PythonSQLUtils.explainString(
+        twin._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" in twin_plan  # the twin's windows are visible
+    assert out.exceptAll(twin).count() == 0
+    assert twin.exceptAll(out).count() == 0
+
+
 def test_widen_if_narrow_contract(spark):
     from demo_flink_spark.operators.hints import widen_if_narrow
 
